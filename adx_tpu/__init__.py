@@ -1,0 +1,33 @@
+"""adx_tpu — TPU-native audio-deepfake-explainability framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+"Audio-Deepfake-Explainability" system (explainable fake-song detection):
+
+* ``adx_tpu.ops``        — JAX DSP primitives (STFT/ISTFT, mel, Griffin-Lim,
+                           dB scaling, band/patch/RISE/LIME mask construction).
+* ``adx_tpu.models``     — SpecTTTra classifier family and a Spleeter-style
+                           source-separation UNet, both in flax; torch/TF
+                           weight converters.
+* ``adx_tpu.predict``    — the Predictor layer (device-resident batched
+                           inference; thin remote-API parity client).
+* ``adx_tpu.parallel``   — device-mesh construction and perturbation-batch
+                           sharding (pjit / shard_map over ICI).
+* ``adx_tpu.runtime``    — the batched perturb→resynthesize→forward engine,
+                           profiler, and experiment checkpointing.
+* ``adx_tpu.explainers`` — occlusion / RISE saliency, frequency-band
+                           perturbation (FBP), and AudioLIME engines.
+* ``adx_tpu.features``   — physically-interpretable audio feature pipeline.
+* ``adx_tpu.io``         — audio files, YAML configs, result-JSON merging.
+* ``adx_tpu.viz``        — matplotlib/seaborn reporting layer.
+* ``adx_tpu.dataprep``   — loudness normalization + degradation pipeline.
+* ``adx_tpu.training``   — SpecTTTra fine-tuning (sharded train step).
+
+The unit of parallelism is the *perturbation batch* (occlusion patches, FBP
+bands, RISE masks, LIME stem masks): one batched mask tensor, one vmapped
+resynthesis + classifier forward XLA program, one reduction — instead of the
+reference's serial per-mask Python loops
+(reference: src/spectrogram_explainability.py:665-703,
+src/dsp_band_ops.py:573-653, src/lime_explainer.py:292-301).
+"""
+
+__version__ = "0.1.0"

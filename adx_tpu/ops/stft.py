@@ -1,0 +1,291 @@
+"""STFT / ISTFT / Griffin-Lim for TPU.
+
+Semantics follow librosa 0.10 (the DSP library used throughout the reference:
+src/spectrogram_explainability.py:364-411, src/dsp_band_ops.py:379-426):
+
+* ``stft``: hann (periodic) window of ``win_length`` zero-padded centered to
+  ``n_fft``; ``center=True`` pads the signal by ``n_fft // 2`` on both sides
+  (``pad_mode='constant'`` i.e. zeros, librosa's default since 0.10);
+  output layout ``[..., 1 + n_fft // 2, n_frames]``.
+* ``istft``: windowed overlap-add divided by the window-sum-square envelope,
+  then the ``n_fft // 2`` center padding is trimmed from both ends.
+* ``griffin_lim``: momentum-accelerated phase recovery (momentum 0.99,
+  random phase init) matching ``librosa.griffinlim``'s update rule.
+
+TPU notes
+---------
+Everything here is shape-static and jit-friendly. Framing and overlap-add
+avoid gathers/scatters when ``n_fft`` is a multiple of ``hop_length`` (the
+committed configuration: 2048 / 512 — configs/FBP_configs/
+fbp_experiment.yaml:78-80): frames decompose into ``n_fft // hop`` aligned
+hop-sized chunks, so both directions become reshapes + shifted adds that XLA
+fuses into bandwidth-bound loops; the FFT itself lowers to XLA's native rFFT.
+All functions broadcast over arbitrary leading batch dimensions, which is how
+the explainers evaluate the whole perturbation batch in one program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TINY = 1.1754944e-38  # smallest positive normal float32 (librosa util.tiny)
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic (fftbins=True) hann window, identical to
+    ``scipy.signal.get_window('hann', win_length, fftbins=True)``."""
+    n = np.arange(win_length)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
+    return jnp.asarray(w, dtype=dtype)
+
+
+def _pad_center(window: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Zero-pad ``window`` centered to length ``size`` (librosa pad_center)."""
+    n = window.shape[-1]
+    lpad = (size - n) // 2
+    return jnp.pad(window, (lpad, size - n - lpad))
+
+
+def get_window(window, win_length: int, n_fft: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Resolve a window spec (name or array) and center-pad it to ``n_fft``."""
+    if isinstance(window, str):
+        if window != "hann":
+            raise ValueError(f"Unsupported window: {window!r} (only 'hann')")
+        w = hann_window(win_length, dtype=dtype)
+    else:
+        w = jnp.asarray(window, dtype=dtype)
+    if w.shape[-1] > n_fft:
+        raise ValueError("win_length may not exceed n_fft")
+    return _pad_center(w, n_fft)
+
+
+def n_frames_for(n_samples: int, n_fft: int, hop_length: int, center: bool = True) -> int:
+    """Number of STFT frames produced for a signal of ``n_samples``."""
+    if center:
+        return 1 + n_samples // hop_length
+    return 1 + (n_samples - n_fft) // hop_length
+
+
+def frame_signal(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
+    """Slide a window of ``frame_length`` with ``hop_length`` over the last axis.
+
+    Returns ``[..., n_frames, frame_length]``. When ``frame_length`` is a
+    multiple of ``hop_length`` this is pure reshape + slice + stack (no
+    gather); otherwise it falls back to a gather.
+    """
+    n = y.shape[-1]
+    n_frames = 1 + (n - frame_length) // hop_length
+    if frame_length % hop_length == 0:
+        m = frame_length // hop_length
+        usable = (n_frames - 1 + m) * hop_length
+        chunks = y[..., :usable].reshape(*y.shape[:-1], -1, hop_length)
+        # frame t = concat(chunks[t], ..., chunks[t + m - 1])
+        parts = [chunks[..., k : k + n_frames, :] for k in range(m)]
+        return jnp.concatenate(parts, axis=-1)
+    idx = (
+        np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
+    )
+    return y[..., idx]
+
+
+def _overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
+    """Overlap-add ``[..., n_frames, frame_length]`` → ``[..., out_len]``.
+
+    ``out_len = frame_length + hop_length * (n_frames - 1)``. When
+    ``frame_length % hop_length == 0`` this is ``m`` shifted pad-and-adds of
+    contiguous ``[..., n_frames * hop]`` buffers — no scatter.
+    """
+    *batch, n_frames, frame_length = frames.shape
+    out_len = frame_length + hop_length * (n_frames - 1)
+    if frame_length % hop_length == 0:
+        m = frame_length // hop_length
+        chunks = frames.reshape(*batch, n_frames, m, hop_length)
+        out = jnp.zeros((*batch, out_len), dtype=frames.dtype)
+        flat_len = n_frames * hop_length
+        for k in range(m):
+            flat = chunks[..., :, k, :].reshape(*batch, flat_len)
+            pad = [(0, 0)] * len(batch) + [(k * hop_length, out_len - flat_len - k * hop_length)]
+            out = out + jnp.pad(flat, pad)
+        return out
+    # general fallback: scatter-add
+    out = jnp.zeros((*batch, out_len), dtype=frames.dtype)
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
+    return out.at[..., idx.reshape(-1)].add(frames.reshape(*batch, -1))
+
+
+def window_sumsquare(
+    window: jnp.ndarray, n_frames: int, hop_length: int
+) -> jnp.ndarray:
+    """Sum of squared, hop-shifted window copies (ISTFT normalization env)."""
+    w2 = (window * window)[None, :]
+    tiled = jnp.broadcast_to(w2, (n_frames, window.shape[-1]))
+    return _overlap_add(tiled, hop_length)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "win_length", "window", "center", "pad_mode"),
+)
+def stft(
+    y: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: str = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jnp.ndarray:
+    """Short-time Fourier transform; complex output ``[..., 1+n_fft//2, T]``."""
+    hop_length = hop_length or n_fft // 4
+    win_length = win_length or n_fft
+    w = get_window(window, win_length, n_fft, dtype=y.dtype)
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
+        y = jnp.pad(y, pad, mode=mode)
+    frames = frame_signal(y, n_fft, hop_length) * w
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop_length", "win_length", "n_fft", "window", "center", "length"),
+)
+def istft(
+    S: jnp.ndarray,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    n_fft: Optional[int] = None,
+    window: str = "hann",
+    center: bool = True,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Inverse STFT of ``[..., 1+n_fft//2, T]`` → ``[..., n_samples]``."""
+    if n_fft is None:
+        n_fft = 2 * (S.shape[-2] - 1)
+    hop_length = hop_length or n_fft // 4
+    win_length = win_length or n_fft
+    w = get_window(window, win_length, n_fft, dtype=jnp.float32)
+
+    frames = jnp.fft.irfft(jnp.swapaxes(S, -1, -2), n=n_fft, axis=-1)
+    frames = frames.astype(jnp.float32) * w
+    y = _overlap_add(frames, hop_length)
+
+    n_frames = S.shape[-1]
+    env = window_sumsquare(w, n_frames, hop_length)
+    y = jnp.where(env > _TINY, y / jnp.where(env > _TINY, env, 1.0), y)
+
+    if center:
+        y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
+    if length is not None:
+        y = _fix_length_last(y, length)
+    return y
+
+
+def _fix_length_last(y: jnp.ndarray, length: int) -> jnp.ndarray:
+    n = y.shape[-1]
+    if n > length:
+        return y[..., :length]
+    if n < length:
+        pad = [(0, 0)] * (y.ndim - 1) + [(0, length - n)]
+        return jnp.pad(y, pad)
+    return y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter",
+        "hop_length",
+        "win_length",
+        "n_fft",
+        "window",
+        "center",
+        "length",
+        "momentum",
+    ),
+)
+def griffin_lim(
+    S_mag: jnp.ndarray,
+    n_iter: int = 32,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    n_fft: Optional[int] = None,
+    window: str = "hann",
+    center: bool = True,
+    length: Optional[int] = None,
+    momentum: float = 0.99,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Griffin-Lim phase recovery from a magnitude spectrogram.
+
+    Matches ``librosa.griffinlim``'s accelerated update (momentum 0.99,
+    random phase init). The iteration runs as a ``lax.fori_loop`` so the
+    whole recovery — including the batched perturbation case — is a single
+    compiled program (reference invokes it serially per patch via
+    ``librosa.feature.inverse.mel_to_audio``,
+    src/spectrogram_explainability.py:391-402).
+    """
+    if n_fft is None:
+        n_fft = 2 * (S_mag.shape[-2] - 1)
+    hop_length = hop_length or n_fft // 4
+    win_length = win_length or n_fft
+    if key is None:
+        key = jax.random.key(0)
+
+    phase = jnp.exp(
+        2j * jnp.pi * jax.random.uniform(key, S_mag.shape, dtype=jnp.float32)
+    )
+    S_mag = S_mag.astype(jnp.float32)
+
+    def body(_, carry):
+        angles, tprev = carry
+        inv = istft(
+            S_mag * angles,
+            hop_length=hop_length,
+            win_length=win_length,
+            n_fft=n_fft,
+            window=window,
+            center=center,
+            length=length,
+        )
+        rebuilt = stft(
+            inv,
+            n_fft=n_fft,
+            hop_length=hop_length,
+            win_length=win_length,
+            window=window,
+            center=center,
+        )
+        t = rebuilt[..., : S_mag.shape[-1]]
+        angles = t - (momentum / (1.0 + momentum)) * tprev
+        angles = angles / (jnp.abs(angles) + 1e-16)
+        return angles, t
+
+    phase, _ = jax.lax.fori_loop(
+        0, n_iter, body, (phase, jnp.zeros_like(phase))
+    )
+    return istft(
+        S_mag * phase,
+        hop_length=hop_length,
+        win_length=win_length,
+        n_fft=n_fft,
+        window=window,
+        center=center,
+        length=length,
+    )
+
+
+def magphase(S: jnp.ndarray):
+    """Split complex spectrogram into magnitude and unit-phase factors
+    (librosa.magphase; reference uses it at src/dsp_band_ops.py:566)."""
+    mag = jnp.abs(S)
+    phase = S / jnp.where(mag > 0, mag, 1.0)
+    phase = jnp.where(mag > 0, phase, jnp.ones_like(phase))
+    return mag, phase

@@ -1,0 +1,153 @@
+"""Golden tests for the STFT/ISTFT/Griffin-Lim kernels.
+
+The reference delegates to librosa (src/spectrogram_explainability.py:364-411);
+librosa is not installed here, so the gold standard is a direct, loop-based
+numpy transcription of librosa 0.10's documented semantics, against which the
+vectorized JAX implementations are checked.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import importlib
+
+stft_mod = importlib.import_module("adx_tpu.ops.stft")
+from adx_tpu.ops import istft, griffin_lim, stft
+
+
+def np_hann(n):
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))
+
+
+def np_stft_ref(y, n_fft, hop, win_length=None, center=True, pad_mode="constant"):
+    """Direct librosa-semantics STFT: loop over frames."""
+    win_length = win_length or n_fft
+    w = np_hann(win_length)
+    lpad = (n_fft - win_length) // 2
+    w_full = np.zeros(n_fft)
+    w_full[lpad : lpad + win_length] = w
+    if center:
+        y = np.pad(y, n_fft // 2, mode="constant" if pad_mode == "constant" else "reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    out = np.empty((n_fft // 2 + 1, n_frames), dtype=np.complex128)
+    for t in range(n_frames):
+        out[:, t] = np.fft.rfft(y[t * hop : t * hop + n_fft] * w_full)
+    return out
+
+
+def np_istft_ref(S, hop, n_fft=None, win_length=None, center=True):
+    """Direct librosa-semantics ISTFT: windowed OLA / window-sum-square."""
+    n_fft = n_fft or 2 * (S.shape[0] - 1)
+    win_length = win_length or n_fft
+    w = np_hann(win_length)
+    lpad = (n_fft - win_length) // 2
+    w_full = np.zeros(n_fft)
+    w_full[lpad : lpad + win_length] = w
+    n_frames = S.shape[1]
+    out_len = n_fft + hop * (n_frames - 1)
+    y = np.zeros(out_len)
+    env = np.zeros(out_len)
+    for t in range(n_frames):
+        frame = np.fft.irfft(S[:, t], n=n_fft)
+        y[t * hop : t * hop + n_fft] += frame * w_full
+        env[t * hop : t * hop + n_fft] += w_full**2
+    nz = env > 1.1754944e-38
+    y[nz] /= env[nz]
+    if center:
+        y = y[n_fft // 2 : -(n_fft // 2)]
+    return y
+
+
+def test_hann_window_matches_scipy():
+    from scipy.signal import get_window
+
+    for n in [256, 2048, 401]:
+        got = np.asarray(stft_mod.hann_window(n))
+        want = get_window("hann", n, fftbins=True)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "n_fft,hop,win_length",
+    [(2048, 512, 2048), (1024, 256, 1024), (2048, 512, 1024), (512, 160, 512)],
+)
+def test_stft_matches_loop_reference(short_audio, n_fft, hop, win_length):
+    y, _ = short_audio
+    got = np.asarray(stft(jnp.asarray(y), n_fft=n_fft, hop_length=hop, win_length=win_length))
+    want = np_stft_ref(y.astype(np.float64), n_fft, hop, win_length)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-4)
+    # relative Frobenius error must be tiny (fp32 vs fp64 FFT)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 1e-5
+
+
+def test_stft_frame_count_matches_librosa_formula(short_audio):
+    y, _ = short_audio
+    S = stft(jnp.asarray(y), n_fft=2048, hop_length=512)
+    assert S.shape == (1025, 1 + len(y) // 512)
+
+
+@pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256)])
+def test_istft_matches_loop_reference(short_audio, n_fft, hop):
+    y, _ = short_audio
+    S = np_stft_ref(y.astype(np.float64), n_fft, hop)
+    got = np.asarray(istft(jnp.asarray(S.astype(np.complex64)), hop_length=hop))
+    want = np_istft_ref(S, hop)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_stft_istft_roundtrip(short_audio):
+    y, _ = short_audio
+    S = stft(jnp.asarray(y), n_fft=2048, hop_length=512)
+    y_rec = np.asarray(istft(S, hop_length=512, length=len(y)))
+    # interior must round-trip to float32 accuracy; edges are attenuated by
+    # the half-window (same as librosa with center=True on zero-padded edges)
+    np.testing.assert_allclose(y_rec[2048:-2048], y[2048:-2048], atol=1e-4)
+
+
+def test_stft_batched_equals_single(short_audio):
+    y, _ = short_audio
+    y2 = np.stack([y, y[::-1].copy()])
+    S_b = np.asarray(stft(jnp.asarray(y2), n_fft=1024, hop_length=256))
+    S_0 = np.asarray(stft(jnp.asarray(y2[0]), n_fft=1024, hop_length=256))
+    S_1 = np.asarray(stft(jnp.asarray(y2[1]), n_fft=1024, hop_length=256))
+    np.testing.assert_allclose(S_b[0], S_0, atol=1e-6)
+    np.testing.assert_allclose(S_b[1], S_1, atol=1e-6)
+
+
+def test_istft_batched_equals_single(short_audio):
+    y, _ = short_audio
+    S = stft(jnp.asarray(np.stack([y, 0.5 * y])), n_fft=1024, hop_length=256)
+    got = np.asarray(istft(S, hop_length=256))
+    one = np.asarray(istft(S[0], hop_length=256))
+    np.testing.assert_allclose(got[0], one, atol=1e-6)
+    np.testing.assert_allclose(got[1], 0.5 * one, atol=1e-5)
+
+
+def test_griffin_lim_reconstructs_magnitude(short_audio):
+    y, _ = short_audio
+    y = y[:16384]
+    S_mag = jnp.abs(stft(jnp.asarray(y), n_fft=1024, hop_length=256))
+    y_gl = griffin_lim(
+        S_mag, n_iter=32, hop_length=256, n_fft=1024, length=len(y),
+        key=jax.random.key(7),
+    )
+    S_rec = jnp.abs(stft(jnp.asarray(y_gl), n_fft=1024, hop_length=256))
+    err = float(
+        jnp.linalg.norm(S_rec[..., : S_mag.shape[-1]] - S_mag) / jnp.linalg.norm(S_mag)
+    )
+    # phase recovery should converge well below the no-iteration error
+    assert err < 0.15
+
+
+def test_magphase():
+    S = np.array([[3 + 4j, 0.0], [1.0, -2.0]], dtype=np.complex64)
+    mag, phase = stft_mod.magphase(jnp.asarray(S))
+    np.testing.assert_allclose(np.asarray(mag), np.abs(S), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mag * phase), S, atol=1e-6)
+    np.testing.assert_allclose(np.abs(np.asarray(phase)), np.ones((2, 2)), atol=1e-6)
