@@ -1,0 +1,108 @@
+"""Audio file I/O with librosa.load-compatible semantics.
+
+The reference loads every track with ``librosa.load(path, sr=44100,
+duration=120, mono=True)`` (e.g. src/dsp_band_ops.py:679,
+src/spectrogram_explainability.py:601) and writes WAVs with soundfile.
+Neither librosa nor soundfile nor ffmpeg is available in this environment, so:
+
+* WAV read/write is implemented on ``scipy.io.wavfile`` (PCM16/24/32,
+  float32/64), normalizing integer PCM to [-1, 1] exactly as soundfile does.
+* mp3/flac/ogg decode shells out to ``ffmpeg`` when present and raises a
+  clear error otherwise.
+* Resampling to the target rate uses polyphase filtering (host-side; decode
+  is a per-track one-time cost, never in the device hot path).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from adx_tpu.ops.audio import resample_poly, to_mono
+
+_PCM_SCALE = {np.dtype(np.int16): 32768.0, np.dtype(np.int32): 2147483648.0}
+
+
+def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
+    """Read a WAV file → (float32 samples [n] or [n, ch], sample_rate)."""
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(str(path))
+    if data.dtype in _PCM_SCALE:
+        data = data.astype(np.float32) / _PCM_SCALE[data.dtype]
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    return data, int(sr)
+
+
+def write_wav(path: str | Path, y: np.ndarray, sr: int, subtype: str = "PCM_16") -> None:
+    """Write a WAV file (default 16-bit PCM, matching soundfile's default)."""
+    from scipy.io import wavfile
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    y = np.asarray(y)
+    if y.ndim > 1 and y.shape[0] < y.shape[-1]:
+        y = y.T  # [ch, n] → [n, ch]
+    if subtype == "PCM_16":
+        data = np.clip(np.round(y * 32767.0), -32768, 32767).astype(np.int16)
+    elif subtype == "FLOAT":
+        data = y.astype(np.float32)
+    else:
+        raise ValueError(f"Unsupported subtype: {subtype}")
+    wavfile.write(str(path), int(sr), data)
+
+
+def _decode_via_ffmpeg(path: Path) -> Tuple[np.ndarray, int]:
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError(
+            f"Cannot decode {path.suffix} file {path}: ffmpeg is not installed "
+            "and scipy only reads WAV. Convert the dataset to WAV first."
+        )
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        subprocess.run(
+            [ffmpeg, "-y", "-v", "error", "-i", str(path), "-f", "wav",
+             "-acodec", "pcm_f32le", tmp.name],
+            check=True,
+        )
+        return read_wav(tmp.name)
+
+
+def load_audio(
+    path: str | Path,
+    sr: Optional[int] = 44100,
+    duration: Optional[float] = None,
+    offset: float = 0.0,
+    mono: bool = True,
+) -> Tuple[np.ndarray, int]:
+    """librosa.load-compatible decode: returns (float32 mono wave, sr).
+
+    ``sr=None`` keeps the native rate. ``duration``/``offset`` are applied
+    *after* resampling (matching librosa's sample-accurate semantics at the
+    target rate for WAV input).
+    """
+    path = Path(path)
+    if path.suffix.lower() in (".wav", ".wave"):
+        y, native_sr = read_wav(path)
+    else:
+        y, native_sr = _decode_via_ffmpeg(path)
+    if y.ndim > 1:
+        if mono:
+            y = to_mono(y.T)  # read gives [n, ch]
+        else:
+            y = y.T
+    target_sr = sr or native_sr
+    if target_sr != native_sr:
+        y = resample_poly(y.astype(np.float32), native_sr, target_sr)
+    if offset:
+        y = y[..., int(round(offset * target_sr)) :]
+    if duration is not None:
+        y = y[..., : int(round(duration * target_sr))]
+    return np.ascontiguousarray(y, dtype=np.float32), int(target_sr)

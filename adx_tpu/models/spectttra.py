@@ -1,0 +1,248 @@
+"""SpecTTTra — spectro-temporal transformer classifier in flax.
+
+Re-implementation of the SONICS fake-song detector the reference consumes as
+a torch black box (``HFAudioClassifier`` — reference: src/sonics_api.py:20,
+246-271). Architecture per the SONICS paper: a log-mel spectrogram is cut
+into *temporal* clips (all mel bins × ``t_clip`` frames) and *spectral* clips
+(``f_clip`` bins × all frames); each clip family is linearly embedded by a
+strided 1-D convolution, position-encoded, concatenated into one token
+sequence, fed through a pre-LN ViT-style encoder, mean-pooled, and projected
+to a single fake-logit. The caller applies a sigmoid, mirroring the
+reference (src/sonics_api.py:271).
+
+TPU notes
+---------
+* The mel frontend is part of the module, so a predictor forward is a single
+  XLA program: frame → rFFT → mel matmul → dB → normalize → tokenize →
+  transformer. No host round-trips.
+* All matmuls carry ``preferred_element_type=float32`` via flax defaults and
+  the module supports bf16 compute (``dtype=jnp.bfloat16``) with f32 params,
+  the MXU-native configuration.
+* Static shapes throughout: the model consumes exactly
+  ``cfg.audio.n_samples`` samples; the predictor pads/trims on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adx_tpu.models.config import ModelConfig
+from adx_tpu.ops.mel import melspectrogram
+from adx_tpu.ops.db import power_to_db
+
+
+def sinusoid_position_encoding(n_positions: int, dim: int) -> np.ndarray:
+    """Standard transformer sin/cos position table ``[n_positions, dim]``."""
+    pos = np.arange(n_positions)[:, None].astype(np.float64)
+    i = np.arange(dim)[None, :]
+    angle = pos / np.power(10000.0, (2 * (i // 2)) / dim)
+    table = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+    return table.astype(np.float32)
+
+
+class MelFrontend(nn.Module):
+    """Waveform → normalized log-mel spectrogram ``[B, n_mels, T]``.
+
+    torchaudio conventions (the ``sonics`` package's feature extractor):
+    htk mel scale, unnormalized filterbank, reflect pad, power=2 → dB with
+    ref=1 and ``top_db`` clamp, then per-instance normalization.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, wave: jnp.ndarray) -> jnp.ndarray:
+        a = self.cfg.audio
+        M = melspectrogram(
+            wave.astype(jnp.float32),
+            sr=a.sample_rate,
+            n_fft=a.n_fft,
+            hop_length=a.hop_length,
+            win_length=a.win_length,
+            n_mels=a.n_mels,
+            fmin=a.f_min,
+            fmax=a.f_max,
+            htk=True,
+            norm=None,
+            power=a.power,
+            pad_mode="reflect",
+        )
+        # AmplitudeToDB(stype='power', top_db): ref=1, clamp relative to the
+        # per-instance max over the whole spectrogram.
+        S_db = power_to_db(M, ref=1.0, top_db=None)
+        mx = jnp.max(S_db, axis=(-2, -1), keepdims=True)
+        S_db = jnp.maximum(S_db, mx - a.top_db)
+        if a.norm == "mean_std":
+            mu = jnp.mean(S_db, axis=(-2, -1), keepdims=True)
+            sd = jnp.std(S_db, axis=(-2, -1), keepdims=True)
+            S_db = (S_db - mu) / (sd + 1e-6)
+        elif a.norm == "min_max":
+            mn = jnp.min(S_db, axis=(-2, -1), keepdims=True)
+            S_db = (S_db - mn) / (jnp.max(S_db, axis=(-2, -1), keepdims=True) - mn + 1e-6)
+        elif a.norm != "none":
+            raise ValueError(f"Unknown spec norm: {a.norm!r}")
+        return S_db
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, D = x.shape
+        H = self.num_heads
+        head_dim = D // H
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        # jax.nn.dot_product_attention lowers to fused attention where
+        # available; layout [B, N, H, Dh]
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(B, N, D)
+        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(
+            self.dim, self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
+        )(y)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        return x
+
+
+class Tokenizer1D(nn.Module):
+    """Strided 1-D conv embedding: ``[B, L, C] → [B, L // clip, D]``."""
+
+    embed_dim: int
+    clip: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.clip,),
+            strides=(self.clip,),
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+
+
+class STTokenizer(nn.Module):
+    """Spectro-temporal tokenization of a ``[B, F, T]`` spectrogram."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
+        m = self.cfg.model
+        B, F, T = spec.shape
+        t_tokens = T // m.t_clip
+        f_tokens = F // m.f_clip
+
+        # temporal clips: conv over time, mel bins as channels
+        x_t = jnp.swapaxes(spec, -1, -2)  # [B, T, F]
+        tok_t = Tokenizer1D(m.embed_dim, m.t_clip, dtype=self.dtype, name="temporal")(x_t)
+        # spectral clips: conv over frequency, frames as channels
+        tok_f = Tokenizer1D(m.embed_dim, m.f_clip, dtype=self.dtype, name="spectral")(spec)
+
+        if m.pe_learnable:
+            pe_t = self.param(
+                "pos_embed_temporal", nn.initializers.normal(0.02), (t_tokens, m.embed_dim)
+            )
+            pe_f = self.param(
+                "pos_embed_spectral", nn.initializers.normal(0.02), (f_tokens, m.embed_dim)
+            )
+        else:
+            pe_t = jnp.asarray(sinusoid_position_encoding(t_tokens, m.embed_dim))
+            pe_f = jnp.asarray(sinusoid_position_encoding(f_tokens, m.embed_dim))
+        tok_t = tok_t + pe_t[None]
+        tok_f = tok_f + pe_f[None]
+        return jnp.concatenate([tok_t, tok_f], axis=1)  # [B, t+f, D]
+
+
+class SpecTTTra(nn.Module):
+    """Spectrogram ``[B, F, T]`` → token embeddings ``[B, N_tokens, D]``."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
+        m = self.cfg.model
+        if m.pre_norm:
+            spec = nn.LayerNorm(dtype=self.dtype, name="input_norm")(spec)
+        x = STTokenizer(self.cfg, dtype=self.dtype, name="tokenizer")(spec)
+        for i in range(m.num_layers):
+            x = Block(
+                m.embed_dim, m.num_heads, m.mlp_ratio, m.qkv_bias,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+class AudioClassifier(nn.Module):
+    """Waveform ``[B, n_samples]`` → fake logit ``[B]``.
+
+    The duck-typed core of the predictor layer: ``sigmoid(logit)`` is the
+    fake probability, matching the reference's
+    ``torch.sigmoid(model(t)).item()`` (src/sonics_api.py:268-271).
+    """
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.frontend = MelFrontend(self.cfg, name="frontend")
+        self.encoder = SpecTTTra(self.cfg, dtype=self.dtype, name="encoder")
+        self.head = nn.Dense(self.cfg.num_classes, name="head")
+
+    def classify_spec(self, spec: jnp.ndarray) -> jnp.ndarray:
+        """Logits from a precomputed ``[B, F, T]`` spectrogram."""
+        tokens = self.encoder(spec.astype(self.dtype))
+        emb = jnp.mean(tokens, axis=1).astype(jnp.float32)
+        return jnp.squeeze(self.head(emb), axis=-1)
+
+    def __call__(self, wave: jnp.ndarray) -> jnp.ndarray:
+        return self.classify_spec(self.frontend(wave))
+
+
+def init_params(cfg: ModelConfig, key: Optional[jax.Array] = None, dtype=jnp.float32):
+    """Initialize random parameters for the given config."""
+    if key is None:
+        key = jax.random.key(0)
+    model = AudioClassifier(cfg, dtype=dtype)
+    wave = jnp.zeros((1, cfg.audio.n_samples), jnp.float32)
+    return model.init(key, wave)

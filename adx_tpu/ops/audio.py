@@ -49,6 +49,29 @@ def resample_poly(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return _rp(y, target_sr // g, orig_sr // g, axis=-1).astype(y.dtype, copy=False)
 
 
+def resample_fourier(y: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Exact bandlimited resampling via rFFT truncation/zero-padding
+    (scipy.signal.resample semantics), batched over leading dims.
+
+    This is the *device-side* resampler used in the explainer hot path: the
+    explainers synthesize perturbed audio at the analysis rate (44.1 kHz)
+    while the classifier consumes its training rate (16 kHz); one rFFT +
+    truncation + irFFT keeps the whole conversion inside the XLA program.
+    Edge behavior assumes periodicity (negligible for 120 s tracks).
+    """
+    n_in = y.shape[-1]
+    if n_in == n_out:
+        return y
+    F = jnp.fft.rfft(y, axis=-1)
+    n_keep = min(n_in, n_out) // 2 + 1
+    F = F[..., :n_keep]
+    if n_out > n_in:
+        pad = [(0, 0)] * (F.ndim - 1) + [(0, n_out // 2 + 1 - n_keep)]
+        F = jnp.pad(F, pad)
+    out = jnp.fft.irfft(F, n=n_out, axis=-1)
+    return (out * (n_out / n_in)).astype(y.dtype)
+
+
 def to_mono(y: np.ndarray) -> np.ndarray:
     """Average channels down to mono (librosa.to_mono semantics)."""
     if y.ndim == 1:

@@ -1,0 +1,281 @@
+"""Predictor layer — the L1 of the framework.
+
+Replaces the reference's scalar-in/scalar-out torch predictor
+(``LocalSonnics.predict`` → one H2D copy + forward + D2H sync per waveform,
+src/sonics_api.py:259-271) with a device-resident, batched, mesh-sharded
+forward, while keeping the duck-typed surface every explainer consumes:
+
+    predictor.predict(wave, sr) -> float              # fake probability
+    predictor.predict_batch(waves, sr) -> np.ndarray
+    predictor.predict_from_file(path, sr=44100, duration=None) -> float
+    predictor.predict_batch_from_files(paths, ...) -> list[float]
+
+``RemoteSonics`` is a thin HTTP parity client for the HF Space, kept only
+for cross-checking against the reference deployment (same retry envelope:
+exponential backoff with jitter on 502/503/504 and timeouts,
+src/sonics_api.py:88-132).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import random
+import time
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adx_tpu.io.audio_io import load_audio
+from adx_tpu.models.config import ModelConfig, resolve_preset, tiny_test_config
+from adx_tpu.models.spectttra import AudioClassifier, init_params
+from adx_tpu.ops.audio import fix_length, resample_fourier
+from adx_tpu.parallel.mesh import batch_sharding, pad_batch, perturbation_mesh, replicate
+
+
+class LocalSonics:
+    """On-device SpecTTTra predictor.
+
+    Parameters
+    ----------
+    cfg, params : model configuration and flax parameter tree.
+    mesh        : optional 1-D device mesh; the wave batch axis is sharded
+                  over it and params are replicated (ICI-only collectives).
+    max_batch   : compiled batch size; calls are chunked/padded to it so one
+                  compiled program serves every request shape.
+    dtype       : transformer compute dtype (bf16 recommended on TPU).
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        mesh=None,
+        max_batch: int = 8,
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else perturbation_mesh()
+        n_dev = int(self.mesh.devices.size)
+        # the sharded batch axis must divide evenly over the mesh
+        self.max_batch = max(1, -(-max_batch // n_dev)) * n_dev
+        self.model = AudioClassifier(cfg, dtype=dtype)
+        self.params = replicate(self.mesh, params)
+        self._wave_sharding = batch_sharding(self.mesh, 2)
+
+        @jax.jit
+        def _fwd(p, waves):  # [B, n_samples] -> [B] fake probs
+            return jax.nn.sigmoid(self.model.apply(p, waves))
+
+        self._fwd = _fwd
+        self._n_samples = cfg.audio.n_samples
+
+        n_model = cfg.audio.n_samples
+        sr_model = cfg.audio.sample_rate
+
+        @functools.partial(jax.jit, static_argnames=("src_sr",))
+        def _to_model_rate(waves, src_sr: int):
+            if src_sr != sr_model:
+                n_out = int(round(waves.shape[-1] * sr_model / src_sr))
+                waves = resample_fourier(waves, n_out)
+            return fix_length(waves, n_model)
+
+        self._to_model_rate = _to_model_rate
+
+    # -- device-side API (used by the engine; everything stays on device) --
+
+    def forward_device(self, waves: jnp.ndarray) -> jnp.ndarray:
+        """``[B, cfg.audio.n_samples]`` model-rate waves → ``[B]`` probs."""
+        return self._fwd(self.params, waves)
+
+    def to_model_rate(self, waves: jnp.ndarray, src_sr: int) -> jnp.ndarray:
+        """Resample + fix-length to the model's input shape, on device."""
+        return self._to_model_rate(waves, int(src_sr))
+
+    # -- host-facing duck-typed API ---------------------------------------
+
+    def predict(self, audio_wave: np.ndarray, sr: int) -> float:
+        """Fake probability for one waveform (any length / rate)."""
+        return float(self.predict_batch(np.asarray(audio_wave)[None, :], sr)[0])
+
+    def predict_batch(self, waves: np.ndarray, sr: int) -> np.ndarray:
+        """Fake probabilities for ``[B, n]`` waveforms (chunked to the
+        compiled batch size; last chunk zero-padded, not recompiled)."""
+        waves = np.asarray(waves, dtype=np.float32)
+        if waves.ndim == 1:
+            waves = waves[None]
+        out = np.empty((waves.shape[0],), np.float32)
+        for lo in range(0, waves.shape[0], self.max_batch):
+            chunk = waves[lo : lo + self.max_batch]
+            padded, n = pad_batch(chunk, self.max_batch)
+            dev = jax.device_put(jnp.asarray(padded), self._wave_sharding)
+            dev = self._to_model_rate(dev, int(sr))
+            probs = self.forward_device(dev)
+            out[lo : lo + n] = np.asarray(probs)[:n]
+        return out
+
+    def predict_from_file(
+        self,
+        audio_path: Union[str, Path],
+        sr: int = 44100,
+        duration: Optional[float] = None,
+    ) -> float:
+        y, _ = load_audio(audio_path, sr=sr, duration=duration, mono=True)
+        return self.predict(y, sr)
+
+    def predict_batch_from_files(
+        self,
+        audio_paths: Sequence[Union[str, Path]],
+        sr: int = 44100,
+        duration: Optional[float] = None,
+        verbose: bool = True,
+        **kwargs,
+    ) -> List[float]:
+        probs = []
+        for idx, path in enumerate(audio_paths):
+            if verbose:
+                print(f"   Predicting {idx+1}/{len(audio_paths)}: {Path(path).name}")
+            prob = self.predict_from_file(path, sr=sr, duration=duration)
+            probs.append(prob)
+            if verbose:
+                print(f"      → Fake prob: {prob:.4f}")
+        return probs
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        name: str,
+        checkpoint_dir: Optional[Union[str, Path]] = None,
+        device: str = "tpu",  # accepted for config compatibility; unused
+        seed: int = 0,
+        **kwargs,
+    ) -> "LocalSonics":
+        """Build from a converted checkpoint directory, or (when no weights
+        are available, e.g. offline CI) from the named architecture preset
+        with seeded random parameters — clearly announced."""
+        del device
+        if checkpoint_dir is not None and Path(checkpoint_dir).exists():
+            from adx_tpu.models.convert import load_torch_checkpoint
+
+            cfg, params = load_torch_checkpoint(checkpoint_dir)
+            print(f"📥 Loaded converted checkpoint from {checkpoint_dir}")
+        else:
+            if name in ("tiny", "spectttra-tiny"):
+                cfg = tiny_test_config()
+            else:
+                cfg = resolve_preset(name)
+            params = init_params(cfg, jax.random.key(seed))
+            print(
+                f"⚠️  No checkpoint weights for {name!r}; using seeded random "
+                f"parameters (architecture preset {cfg.name}). Convert the HF "
+                "checkpoint with adx_tpu.models.convert for real predictions."
+            )
+        return cls(cfg, params, **kwargs)
+
+
+class RemoteSonics:
+    """Thin HF-Space parity client (availability mechanism, not a compute
+    path). Mirrors the reference's retry envelope exactly; requires network
+    egress, so it is only exercised in deployments that have it."""
+
+    def __init__(
+        self,
+        space: str,
+        model_time: int = 120,
+        api_name: str = "/predict",
+        model_type: str = "SpecTTTra-α",
+        max_retries: int = 20,
+        initial_delay: float = 2.0,
+        max_delay: float = 60.0,
+        timeout: float = 180.0,
+    ):
+        self.space = space
+        self.model_time = model_time
+        self.api_name = api_name
+        self.model_type = model_type
+        self.max_retries = max_retries
+        self.initial_delay = initial_delay
+        self.max_delay = max_delay
+        self.timeout = timeout
+
+    def _backoff(self, attempt: int) -> float:
+        return min(self.initial_delay * (2**attempt) + random.uniform(0, 1), self.max_delay)
+
+    def _call_space(self, wav_path: str) -> float:
+        try:
+            from gradio_client import Client, handle_file  # optional dep
+        except ImportError as e:
+            raise RuntimeError(
+                "RemoteSonics requires the gradio_client package (not "
+                "installed in this environment). Use LocalSonics instead."
+            ) from e
+        client = Client(self.space)
+        result = client.predict(
+            audio_file=handle_file(wav_path),
+            model_type=self.model_type,
+            duration=f"{self.model_time}s",
+            api_name=self.api_name,
+        )
+        return float(
+            next(
+                (item["confidence"] for item in result["confidences"] if item["label"] == "Fake"),
+                0.0,
+            )
+        )
+
+    def predict_from_file(self, audio_path: Union[str, Path]) -> float:
+        last_err: Optional[Exception] = None
+        for attempt in range(self.max_retries):
+            try:
+                return self._call_space(str(audio_path))
+            except Exception as e:  # noqa: BLE001 — retry envelope
+                last_err = e
+                status = getattr(getattr(e, "response", None), "status_code", None)
+                retryable = status in (502, 503, 504) or "Timeout" in type(e).__name__
+                if retryable and attempt < self.max_retries - 1:
+                    delay = self._backoff(attempt)
+                    print(
+                        f"[Warning] {type(e).__name__} (attempt {attempt+1}/{self.max_retries}); "
+                        f"retrying after {delay:.2f}s..."
+                    )
+                    time.sleep(delay)
+                    continue
+                raise
+        raise RuntimeError(
+            f"Failed to get prediction after {self.max_retries} attempts"
+        ) from last_err
+
+    def predict(self, audio_wave: np.ndarray, sr: int) -> float:
+        import tempfile
+
+        from adx_tpu.io.audio_io import write_wav
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+            write_wav(tmp.name, audio_wave, sr)
+            return self.predict_from_file(tmp.name)
+
+    def predict_batch_from_files(self, audio_paths, verbose: bool = True, **kwargs):
+        probs = []
+        for idx, path in enumerate(audio_paths):
+            if verbose:
+                print(f"   Predicting {idx+1}/{len(audio_paths)}: {Path(path).name}")
+            probs.append(self.predict_from_file(path))
+        return probs
+
+
+Predictor = Union[LocalSonics, RemoteSonics]
+
+
+def predict_from_file(predictor: Predictor, audio_path, **kwargs) -> float:
+    """Unified dispatch (reference: src/sonics_api.py:319-330)."""
+    return predictor.predict_from_file(audio_path, **kwargs)
+
+
+def predict_batch_from_files(predictor: Predictor, audio_paths, verbose=True, **kwargs):
+    """Unified batch dispatch (reference: src/sonics_api.py:332-345)."""
+    return predictor.predict_batch_from_files(audio_paths, verbose=verbose, **kwargs)

@@ -1,0 +1,306 @@
+"""PerturbationEngine — the batched perturb→resynthesize→classify core.
+
+Every explainer in the reference reduces to the same loop: build one mask,
+apply it to a spectrogram, invert to audio, run the classifier, record the
+scalar (occlusion: src/spectrogram_explainability.py:665-703; FBP:
+src/dsp_band_ops.py:573-653; RISE: :766-791; LIME's 500 stem recombinations).
+This engine is that loop as data: a mask *batch* enters, a probability
+vector leaves, and the whole pipeline — mask application, batched ISTFT /
+Griffin-Lim, device-side 44.1 kHz → model-rate resampling, SpecTTTra forward
+— is a single compiled XLA program per chunk, sharded over the device mesh.
+
+Memory/layout decisions (TPU v5e, 16 GB HBM):
+
+* The track's complex STFT (1025×10337 ≈ 85 MB) is computed once and stays
+  device-resident across all perturbation batches; complex values never
+  cross to the host (the transfer is broken on some TPU runtimes and is
+  never needed — hosts only see dB maps and scalars).
+* Perturbation batches are processed in fixed-size chunks (default 8) so one
+  compiled program serves any mask count; the final chunk is zero-padded,
+  never recompiled. Peak per-chunk footprint ≈ chunk × (|S| complex + ISTFT
+  frames) ≈ 1.4 GB at chunk=8 for 120 s audio.
+* RISE masks are generated *inside* the kernel from a counter-based PRNG key
+  and reduced on device (``Σ mask·p``), so the [M, F, T] mask tensor never
+  exists in full.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adx_tpu.ops.audio import match_rms
+from adx_tpu.ops.db import amplitude_to_db, power_to_db
+from adx_tpu.ops.mel import mel_to_stft, melspectrogram
+from adx_tpu.ops.stft import griffin_lim, istft, magphase, stft
+from adx_tpu.parallel.mesh import batch_sharding, pad_batch
+from adx_tpu.predict import LocalSonics
+from adx_tpu.runtime.profiler import TimeAggregator
+
+
+class PerturbationEngine:
+    def __init__(
+        self,
+        predictor: LocalSonics,
+        sr: int = 44100,
+        duration: float = 120.0,
+        n_fft: int = 2048,
+        hop_length: int = 512,
+        win_length: int = 2048,
+        spec_type: str = "stft",
+        n_mels: int = 128,
+        fmax: Optional[float] = None,
+        n_iter: int = 256,
+        chunk: int = 8,
+        profiler: Optional[TimeAggregator] = None,
+    ):
+        self.predictor = predictor
+        self.sr = sr
+        self.duration = duration
+        self.n_fft = n_fft
+        self.hop_length = hop_length
+        self.win_length = win_length
+        self.spec_type = spec_type.lower()
+        self.n_mels = n_mels
+        self.fmax = fmax if fmax is not None else sr // 2
+        self.n_iter = n_iter
+        self.chunk = chunk
+        self.profiler = profiler or TimeAggregator()
+        self.n_samples = int(round(sr * duration))
+        self._mask_sharding = batch_sharding(predictor.mesh, 3)
+
+        eng = self
+
+        # ---- jitted pipelines (compiled once per track length) ----------
+
+        @jax.jit
+        def _analyze(y):
+            """wave → (complex S [F,T] | mel power S, S_db) on device."""
+            if eng.spec_type == "mel":
+                S = melspectrogram(
+                    y, sr=eng.sr, n_fft=eng.n_fft, hop_length=eng.hop_length,
+                    win_length=eng.win_length, n_mels=eng.n_mels, fmax=eng.fmax,
+                )
+                S_db = power_to_db(S, ref="max")
+            else:
+                S = stft(
+                    y, n_fft=eng.n_fft, hop_length=eng.hop_length,
+                    win_length=eng.win_length,
+                )
+                S_db = amplitude_to_db(jnp.abs(S), ref="max")
+            return S, S_db
+
+        self._analyze = _analyze
+
+        def _synthesize(S_batch, n_out):
+            """Batched spectrogram → audio at the analysis rate."""
+            if eng.spec_type == "mel":
+                S_mag = mel_to_stft(
+                    S_batch, sr=eng.sr, n_fft=eng.n_fft, n_mels=eng.n_mels,
+                    fmax=eng.fmax,
+                )
+                return griffin_lim(
+                    S_mag, n_iter=eng.n_iter, hop_length=eng.hop_length,
+                    win_length=eng.win_length, n_fft=eng.n_fft, length=n_out,
+                )
+            return istft(
+                S_batch, hop_length=eng.hop_length, win_length=eng.win_length,
+                n_fft=eng.n_fft, length=n_out,
+            )
+
+        @functools.partial(jax.jit, static_argnames=("normalize_loudness",))
+        def _gain_rows_probs(S, gains, y_ref, normalize_loudness: bool):
+            """FBP inner: per-row frequency gains on the magnitude.
+
+            S complex [F, T]; gains [B, F]; y_ref [n] → probs [B].
+            """
+            mag, phase = magphase(S)
+            S_b = (gains[:, :, None] * mag) * phase
+            y_b = _synthesize(S_b, y_ref.shape[-1])
+            if normalize_loudness:
+                y_b = match_rms(y_ref[None], y_b)
+            return eng._forward(y_b)
+
+        self._gain_rows_probs = _gain_rows_probs
+
+        @functools.partial(jax.jit, static_argnames=("patch_f", "patch_t", "n_out"))
+        def _occlusion_chunk(S, starts, patch_f: int, patch_t: int, occl_value, n_out: int):
+            """Occlusion inner: zero a [patch_f, patch_t] block per lane.
+
+            S [F, T] (complex for stft, real for mel); starts [C, 2] as
+            (t_start, f_start); → probs [C].
+            """
+            fill = jnp.full((patch_f, patch_t), occl_value, dtype=S.dtype)
+
+            def one(st):
+                t0, f0 = st[0], st[1]
+                S_occ = jax.lax.dynamic_update_slice(S, fill, (f0, t0))
+                return S_occ
+
+            S_b = jax.vmap(one)(starts)
+            y_b = _synthesize(S_b, n_out)
+            return eng._forward(y_b)
+
+        self._occlusion_chunk = _occlusion_chunk
+
+        @functools.partial(jax.jit, static_argnames=("n_in_chunk", "n_out"))
+        def _rise_chunk(S, key, mask_probability, imp_acc, n_in_chunk: int, n_out: int):
+            """RISE inner: Bernoulli masks generated in-kernel, probs and the
+            on-device ``Σ mask·p`` reduction returned together."""
+            u = jax.random.uniform(
+                key, (n_in_chunk, S.shape[-2], S.shape[-1]), dtype=jnp.float32
+            )
+            masks = (u > (1.0 - mask_probability)).astype(jnp.float32)
+            S_b = S[None] * masks
+            y_b = _synthesize(S_b, n_out)
+            probs = eng._forward(y_b)
+            imp_acc = imp_acc + jnp.sum(masks * probs[:, None, None], axis=0)
+            return probs, imp_acc
+
+        self._rise_chunk = _rise_chunk
+
+        @jax.jit
+        def _stem_mix_probs(stems, mask_rows):
+            """LIME inner: stems [S, n] × binary rows [C, S] → probs [C]."""
+            y_b = jnp.einsum("cs,sn->cn", mask_rows, stems)
+            return eng._forward(y_b)
+
+        self._stem_mix_probs = _stem_mix_probs
+
+        self._baseline_fn = jax.jit(lambda y: eng._forward(y))
+
+    # ------------------------------------------------------------------
+
+    def _forward(self, y_batch: jnp.ndarray) -> jnp.ndarray:
+        """Analysis-rate audio batch → fake probs (traced inside pipelines):
+        device-side resample to the model rate, fix-length, SpecTTTra."""
+        from adx_tpu.ops.audio import fix_length, resample_fourier
+
+        p = self.predictor
+        sr_model = p.cfg.audio.sample_rate
+        w = y_batch
+        if self.sr != sr_model:
+            n_out = int(round(w.shape[-1] * sr_model / self.sr))
+            w = resample_fourier(w, n_out)
+        w = fix_length(w, p.cfg.audio.n_samples)
+        return jax.nn.sigmoid(p.model.apply(p.params, w))
+
+    # -- public API ----------------------------------------------------
+
+    def analyze(self, y: np.ndarray):
+        """Track → (device spectrogram handle, host S_db). The complex S
+        never leaves the device."""
+        with self.profiler.section("Computing spectrogram"):
+            S, S_db = self._analyze(jnp.asarray(y, jnp.float32))
+            S.block_until_ready()
+        return S, np.asarray(S_db)
+
+    def baseline(self, y: np.ndarray) -> float:
+        with self.profiler.section("Predicting audio"):
+            prob = self._baseline_fn(jnp.asarray(y, jnp.float32)[None])
+            out = float(np.asarray(prob)[0])
+        self.profiler.count("perturbation_forwards", 1)
+        return out
+
+    def fbp_probs(
+        self, S, y_ref: np.ndarray, gains: np.ndarray, normalize_loudness: bool = False
+    ) -> np.ndarray:
+        """All band perturbation probabilities in one program."""
+        with self.profiler.section("Computing importance for bands"):
+            probs = self._gain_rows_probs(
+                S, jnp.asarray(gains), jnp.asarray(y_ref, jnp.float32), normalize_loudness
+            )
+            out = np.asarray(probs)
+        self.profiler.count("perturbation_forwards", len(out))
+        return out
+
+    def occlusion_probs(
+        self,
+        S,
+        starts: np.ndarray,
+        patch_f: int,
+        patch_t: int,
+        occlusion_value: float,
+        n_out: int,
+    ) -> np.ndarray:
+        """Probabilities for every occlusion patch, chunked."""
+        out = np.empty((len(starts),), np.float32)
+        occl = (
+            jnp.asarray(occlusion_value, jnp.complex64)
+            if self.spec_type != "mel"
+            else jnp.asarray(occlusion_value, jnp.float32)
+        )
+        with self.profiler.section("Computing occlusion map"):
+            for lo in range(0, len(starts), self.chunk):
+                part = starts[lo : lo + self.chunk]
+                padded, n = pad_batch(part, self.chunk)
+                probs = self._occlusion_chunk(
+                    S, jnp.asarray(padded), patch_f, patch_t, occl, n_out
+                )
+                out[lo : lo + n] = np.asarray(probs)[:n]
+        self.profiler.count("perturbation_forwards", len(out))
+        return out
+
+    def rise_map(
+        self,
+        S,
+        n_masks: int,
+        mask_probability: float,
+        n_out: int,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """RISE: returns (probs [n_masks], accumulated Σ mask·p map [F, T])."""
+        if key is None:
+            key = jax.random.key(0)
+        imp = jnp.zeros(S.shape, jnp.float32)
+        probs_all = np.empty((n_masks,), np.float32)
+        with self.profiler.section("Computing RISE map"):
+            n_chunks = -(-n_masks // self.chunk)
+            for c in range(n_chunks):
+                sub = jax.random.fold_in(key, c)
+                lo = c * self.chunk
+                hi = min(lo + self.chunk, n_masks)
+                # the final partial chunk compiles once at its exact size so
+                # no surplus mask·p contributions pollute the map
+                probs, imp = self._rise_chunk(
+                    S, sub, jnp.float32(mask_probability), imp, hi - lo, n_out
+                )
+                probs_all[lo:hi] = np.asarray(probs)
+        self.profiler.count("perturbation_forwards", n_masks)
+        return probs_all, np.asarray(imp)
+
+    def stem_mix_probs(self, stems: np.ndarray, mask_rows: np.ndarray) -> np.ndarray:
+        """LIME: probabilities for every masked stem recombination, chunked."""
+        stems_d = jnp.asarray(stems, jnp.float32)
+        out = np.empty((len(mask_rows),), np.float32)
+        with self.profiler.section("Predicting audio"):
+            for lo in range(0, len(mask_rows), self.chunk):
+                part = mask_rows[lo : lo + self.chunk]
+                padded, n = pad_batch(np.asarray(part, np.float32), self.chunk)
+                probs = self._stem_mix_probs(stems_d, jnp.asarray(padded))
+                out[lo : lo + n] = np.asarray(probs)[:n]
+        self.profiler.count("perturbation_forwards", len(out))
+        return out
+
+    def synthesize_masked(self, S, gain_rows: np.ndarray, n_out: int) -> np.ndarray:
+        """Host-facing: synthesize audio for magnitude gain rows (used when
+        exporting band-isolated / band-removed WAVs)."""
+        mag, phase = magphase(S) if self.spec_type != "mel" else (S, None)
+        if self.spec_type == "mel":
+            S_b = S[None] * jnp.asarray(gain_rows)[:, :, None]
+            S_mag = mel_to_stft(S_b, sr=self.sr, n_fft=self.n_fft, n_mels=self.n_mels, fmax=self.fmax)
+            y = griffin_lim(
+                S_mag, n_iter=self.n_iter, hop_length=self.hop_length,
+                win_length=self.win_length, n_fft=self.n_fft, length=n_out,
+            )
+        else:
+            S_b = (jnp.asarray(gain_rows)[:, :, None] * mag) * phase
+            y = istft(
+                S_b, hop_length=self.hop_length, win_length=self.win_length,
+                n_fft=self.n_fft, length=n_out,
+            )
+        return np.asarray(y)

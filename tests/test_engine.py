@@ -1,0 +1,137 @@
+"""Predictor + PerturbationEngine tests on the tiny model (CPU mesh).
+
+Checks the batched engine against the reference's serial semantics: each
+batched probability must equal what a one-at-a-time perturb→invert→predict
+loop produces (SURVEY.md §7.1's core equivalence claim).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adx_tpu.models.config import tiny_test_config
+from adx_tpu.ops import (
+    band_gain_matrix,
+    fft_frequencies,
+    istft,
+    magphase,
+    occlusion_patch_grid,
+    stft,
+)
+from adx_tpu.predict import LocalSonics
+from adx_tpu.runtime.engine import PerturbationEngine
+
+
+SR = 8000  # analysis rate == tiny model rate (keeps the test fast)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return LocalSonics.from_pretrained("tiny", max_batch=4)
+
+
+@pytest.fixture(scope="module")
+def engine(predictor):
+    return PerturbationEngine(
+        predictor, sr=SR, duration=predictor.cfg.audio.duration,
+        n_fft=256, hop_length=128, win_length=256, spec_type="stft", chunk=4,
+    )
+
+
+@pytest.fixture(scope="module")
+def track(predictor):
+    rng = np.random.default_rng(0)
+    n = predictor.cfg.audio.n_samples
+    t = np.arange(n) / SR
+    return (0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(n)).astype(
+        np.float32
+    )
+
+
+def test_predict_batch_matches_predict(predictor, track):
+    waves = np.stack([track, 0.5 * track, track[::-1].copy()])
+    batch = predictor.predict_batch(waves, SR)
+    singles = [predictor.predict(w, SR) for w in waves]
+    np.testing.assert_allclose(batch, singles, atol=1e-5)
+    assert np.all((batch >= 0) & (batch <= 1))
+
+
+def test_predict_resamples_other_rates(predictor, track):
+    # same content at 2x rate should give a similar probability
+    up = np.repeat(track, 2)  # crude 2x; fine for a smoke check
+    p1 = predictor.predict(track, SR)
+    p2 = predictor.predict(up, SR * 2)
+    assert abs(p1 - p2) < 0.2
+
+
+def test_fbp_probs_match_serial_loop(engine, predictor, track):
+    """Batched FBP == serial mask→istft→predict loop, band by band."""
+    S, S_db = engine.analyze(track)
+    freqs = fft_frequencies(SR, 256)
+    bands = [(100, 500), (500, 1500), (1500, 3000)]
+    gains = np.asarray(
+        band_gain_matrix(freqs, bands, attenuation=0.25, transition_mode="abs", transition_hz=50.0)
+    )
+    batched = engine.fbp_probs(S, track, gains, normalize_loudness=True)
+
+    # serial reference path
+    S_host_mag, S_host_phase = magphase(S)
+    serial = []
+    for g in gains:
+        S_p = (jnp.asarray(g)[:, None] * S_host_mag) * S_host_phase
+        y_p = istft(S_p, hop_length=128, win_length=256, n_fft=256, length=len(track))
+        from adx_tpu.ops.audio import match_rms
+
+        y_p = match_rms(jnp.asarray(track), y_p)
+        serial.append(predictor.predict(np.asarray(y_p), SR))
+    np.testing.assert_allclose(batched, serial, atol=1e-4)
+
+
+def test_occlusion_probs_match_serial_loop(engine, predictor, track):
+    S, _ = engine.analyze(track)
+    n_freq, n_time = S.shape
+    starts, patch_f, patch_t = occlusion_patch_grid(
+        n_freq, n_time, patch_time_frames=8, stride_time_frames=8,
+        patch_freq_percent=50.0, stride_freq_percent=50.0,
+    )
+    batched = engine.occlusion_probs(S, starts, patch_f, patch_t, 0.0, len(track))
+    assert len(batched) == len(starts)
+
+    S_np = np.array(jnp.stack([jnp.real(S), jnp.imag(S)]))  # complex→host via floats
+    S_c = S_np[0] + 1j * S_np[1]
+    serial = []
+    for t0, f0 in starts[:5]:
+        S_occ = S_c.copy()
+        S_occ[f0 : f0 + patch_f, t0 : t0 + patch_t] = 0.0
+        y_occ = istft(
+            jnp.asarray(S_occ.astype(np.complex64)), hop_length=128,
+            win_length=256, n_fft=256, length=len(track),
+        )
+        serial.append(predictor.predict(np.asarray(y_occ), SR))
+    np.testing.assert_allclose(batched[:5], serial, atol=1e-4)
+
+
+def test_rise_map_shapes_and_range(engine, track):
+    S, _ = engine.analyze(track)
+    probs, imp = engine.rise_map(S, n_masks=10, mask_probability=0.5, n_out=len(track))
+    assert probs.shape == (10,)
+    assert imp.shape == S.shape
+    assert np.all((probs >= 0) & (probs <= 1))
+    # Σ mask·p is bounded by Σ p
+    assert imp.max() <= probs.sum() + 1e-5
+
+
+def test_stem_mix_probs_match_manual(engine, predictor, track):
+    n = len(track)
+    rng = np.random.default_rng(2)
+    stems = np.stack([track * 0.5, rng.standard_normal(n).astype(np.float32) * 0.05])
+    rows = np.array([[1, 1], [1, 0], [0, 1], [0, 0]], np.float32)
+    got = engine.stem_mix_probs(stems, rows)
+    want = [predictor.predict(rows[i] @ stems, SR) for i in range(4)]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_profiler_counts_forwards(engine):
+    assert engine.profiler.counters.get("perturbation_forwards", 0) > 0
