@@ -31,3 +31,20 @@ src/dsp_band_ops.py:573-653, src/lime_explainer.py:292-301).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the experiment drivers re-launch python
+# per sweep, and SpecTTTra-sized programs take 20-40 s to compile on TPU.
+# The cache turns every rerun after the first into a warm start.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.expanduser("~/.cache/adx_tpu_xla")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+

@@ -105,4 +105,6 @@ def load_audio(
         y = y[..., int(round(offset * target_sr)) :]
     if duration is not None:
         y = y[..., : int(round(duration * target_sr))]
+    if y.shape[-1] == 0:
+        print(f"⚠️ Warning: decoded 0 samples from {path} (duration={duration}, offset={offset})")
     return np.ascontiguousarray(y, dtype=np.float32), int(target_sr)

@@ -1,0 +1,61 @@
+"""YAML experiment config system (same section names and defaults as the
+reference's L7 config layer — SURVEY.md §5.6) plus provenance snapshots."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from pathlib import Path
+
+import yaml
+
+
+def load_yaml(path: str | Path) -> dict:
+    with open(path, "r", encoding="utf-8") as f:
+        return yaml.safe_load(f)
+
+
+def save_experiment_config(config: dict, output_dir: Path, experiment_name: str) -> Path:
+    """Timestamped config snapshot with an experiment_info header
+    (reference: scripts/experiments/run_FBP_experiment.py:109-139)."""
+    config_dir = Path(output_dir) / "configs"
+    config_dir.mkdir(parents=True, exist_ok=True)
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    config_path = config_dir / f"config_{timestamp}.yaml"
+    config_with_meta = {
+        "experiment_info": {
+            "name": experiment_name,
+            "timestamp": timestamp,
+            "created_at": datetime.now().isoformat(),
+        },
+        **config,
+    }
+    with open(config_path, "w", encoding="utf-8") as f:
+        yaml.dump(config_with_meta, f, default_flow_style=False, allow_unicode=True)
+    print(f"💾 Config saved: {config_path}")
+    return config_path
+
+
+def build_predictor(model_cfg: dict):
+    """Model-section dispatch: local (on-device SpecTTTra) vs remote (HTTP
+    parity client). Section keys match the reference
+    (configs/FBP_configs/fbp_experiment.yaml:12-25)."""
+    from adx_tpu.predict import LocalSonics, RemoteSonics
+
+    if bool(model_cfg.get("local", True)):
+        model_name = str(model_cfg.get("local_model", "awsaf49/sonics-spectttra-alpha-120s"))
+        return LocalSonics.from_pretrained(
+            model_name,
+            checkpoint_dir=model_cfg.get("checkpoint_dir"),
+            device=str(model_cfg.get("device", "tpu")),
+            max_batch=int(model_cfg.get("max_batch", 8)),
+        )
+    retry_cfg = model_cfg.get("retry", {})
+    return RemoteSonics(
+        space=str(model_cfg.get("remote_space", "awsaf49/sonics-fake-song-detection")),
+        model_time=int(model_cfg.get("model_time", 120)),
+        api_name=str(model_cfg.get("remote_api_name", "/predict")),
+        model_type=str(model_cfg.get("remote_model_type", "SpecTTTra-α")),
+        max_retries=int(retry_cfg.get("max_retries", 10)),
+        initial_delay=float(retry_cfg.get("initial_delay", 3.0)),
+        max_delay=float(retry_cfg.get("max_delay", 120.0)),
+    )

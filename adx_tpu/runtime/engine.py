@@ -147,6 +147,22 @@ class PerturbationEngine:
 
         self._occlusion_chunk = _occlusion_chunk
 
+        @functools.partial(jax.jit, static_argnames=("patch_f", "patch_t", "n_out"))
+        def _keep_patch_chunk(S, starts, patch_f: int, patch_t: int, n_out: int):
+            """Inverse of occlusion: keep ONLY the patch, zero the rest —
+            audio for the top-window export (reference's masked_S path,
+            src/spectrogram_explainability.py:472-485)."""
+
+            def one(st):
+                t0, f0 = st[0], st[1]
+                block = jax.lax.dynamic_slice(S, (f0, t0), (patch_f, patch_t))
+                return jax.lax.dynamic_update_slice(jnp.zeros_like(S), block, (f0, t0))
+
+            S_b = jax.vmap(one)(starts)
+            return _synthesize(S_b, n_out)
+
+        self._keep_patch_chunk = _keep_patch_chunk
+
         @functools.partial(jax.jit, static_argnames=("n_in_chunk", "n_out"))
         def _rise_chunk(S, key, mask_probability, imp_acc, n_in_chunk: int, n_out: int):
             """RISE inner: Bernoulli masks generated in-kernel, probs and the
@@ -172,6 +188,15 @@ class PerturbationEngine:
         self._stem_mix_probs = _stem_mix_probs
 
         self._baseline_fn = jax.jit(lambda y: eng._forward(y))
+
+        @jax.jit
+        def _masked_db(S, gain_rows):
+            """Per-row dB spectrograms of gain-masked magnitudes, each with
+            its own ref=max (for the batches_vis side-by-side export)."""
+            mag = jnp.abs(S)[None] * gain_rows[:, :, None]
+            return jax.vmap(lambda m: amplitude_to_db(m, ref="max"))(mag)
+
+        self._masked_db = _masked_db
 
     # ------------------------------------------------------------------
 
@@ -285,6 +310,22 @@ class PerturbationEngine:
                 out[lo : lo + n] = np.asarray(probs)[:n]
         self.profiler.count("perturbation_forwards", len(out))
         return out
+
+    def keep_patch_audio(
+        self, S, starts: np.ndarray, patch_f: int, patch_t: int, n_out: int
+    ) -> np.ndarray:
+        """Audio for spectrograms zeroed everywhere except each patch."""
+        out = np.empty((len(starts), n_out), np.float32)
+        for lo in range(0, len(starts), self.chunk):
+            part = starts[lo : lo + self.chunk]
+            padded, n = pad_batch(part, self.chunk)
+            y = self._keep_patch_chunk(S, jnp.asarray(padded), patch_f, patch_t, n_out)
+            out[lo : lo + n] = np.asarray(y)[:n]
+        return out
+
+    def masked_db(self, S, gain_rows: np.ndarray) -> np.ndarray:
+        """Host dB spectrograms of gain-masked magnitudes ``[B, F, T]``."""
+        return np.asarray(self._masked_db(S, jnp.asarray(gain_rows)))
 
     def synthesize_masked(self, S, gain_rows: np.ndarray, n_out: int) -> np.ndarray:
         """Host-facing: synthesize audio for magnitude gain rows (used when

@@ -1,0 +1,66 @@
+"""Spectrogram display primitives (librosa.display.specshow replacement).
+
+librosa is not available in this environment, so the axis conventions the
+reference relies on (``x_axis='time'``, ``y_axis='hz'|'mel'``) are
+re-implemented on plain ``imshow``: identical data orientation
+(origin='lower'), time in seconds from the hop length, linear-Hz or
+mel-scaled frequency tick labeling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from adx_tpu.ops.mel import hz_to_mel, mel_to_hz
+
+
+def specshow(
+    data: np.ndarray,
+    sr: int = 44100,
+    hop_length: int = 512,
+    x_axis: Optional[str] = "time",
+    y_axis: Optional[str] = "hz",
+    ax=None,
+    cmap: str = "viridis",
+    vmin: Optional[float] = None,
+    vmax: Optional[float] = None,
+    alpha=None,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+):
+    """imshow with librosa.specshow-compatible axes; returns the image."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        ax = plt.gca()
+    n_freq, n_time = data.shape
+    t_max = n_time * hop_length / sr
+
+    extent = [0.0, t_max, 0.0, float(n_freq)]
+    if y_axis == "hz":
+        extent[3] = sr / 2.0
+    img = ax.imshow(
+        data,
+        aspect="auto",
+        origin="lower",
+        cmap=cmap,
+        vmin=vmin,
+        vmax=vmax,
+        alpha=alpha,
+        extent=extent,
+        interpolation="nearest",
+    )
+    if x_axis == "time":
+        ax.set_xlabel("Time")
+    if y_axis == "mel":
+        # mel-spaced tick labels on the bin axis, like librosa's mel axis
+        fmax = fmax if fmax is not None else sr / 2.0
+        mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_freq)
+        hz = mel_to_hz(mels)
+        ticks_hz = [512, 1024, 2048, 4096, 8192, 16384]
+        tick_bins = [float(np.argmin(np.abs(hz - f))) for f in ticks_hz if f < fmax]
+        ax.set_yticks(tick_bins)
+        ax.set_yticklabels([str(f) for f in ticks_hz if f < fmax])
+    return img
