@@ -1,0 +1,435 @@
+"""AudioLIME experiment drivers.
+
+Flow-, schema- and checkpoint-compatible with the reference's
+``src/lime_explainer.py`` (explain_predictions_separate :303-482,
+explain_predictions_segmented :131-218, run_lime_experiment_safe :484-673),
+with the 500-recombination hot loop replaced by the batched engine and the
+TF graph-scope retry machinery deleted (no TF in the process — the failure
+class it worked around does not exist here, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from adx_tpu.explainers.audiolime import LimeAudioExplainer, SpleeterFactorization
+from adx_tpu.io.audio_io import load_audio, write_wav
+from adx_tpu.io.results import (
+    append_update_explanations,
+    load_existing_explanations,
+    safe_stem,
+)
+from adx_tpu.predict import predict_batch_from_files
+from adx_tpu.runtime.checkpoint import LIMEExperimentCheckpoint
+from adx_tpu.runtime.engine import PerturbationEngine
+from adx_tpu.viz.lime_viz import (
+    plot_stacked_rms_area_components,
+    plot_waveforms_overlay_with_influences,
+)
+
+
+def _get_engine(predictor, sr: int = 44100) -> Optional[PerturbationEngine]:
+    """Batched engine for LocalSonics; None for remote predictors (their
+    path falls back to predict_fn batching)."""
+    if hasattr(predictor, "forward_device"):
+        return PerturbationEngine(predictor, sr=sr, duration=getattr(predictor.cfg.audio, "duration", 120.0))
+    return None
+
+
+def predict_fn_unified(waveforms, predictor):
+    """Batch predict → [N, 2] (real, fake) (reference: src/lime_explainer.py:283-301)."""
+    waveforms = np.asarray(waveforms)
+    if waveforms.ndim == 1:
+        waveforms = waveforms[np.newaxis, :]
+    if hasattr(predictor, "predict_batch"):
+        fake = np.asarray(predictor.predict_batch(waveforms, sr=44100))
+    else:
+        fake = np.asarray([predictor.predict(w, sr=44100) for w in waveforms])
+    return np.stack([1.0 - fake, fake], axis=1)
+
+
+def explain_predictions_separate(
+    audio_files,
+    predictor,
+    model_time,
+    max_samples=5,
+    original_predictions=None,
+    num_samples_lime=500,
+    ids_to_explain=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+    checkpoint: Optional[LIMEExperimentCheckpoint] = None,
+    folder_name: str = "",
+    explanations_path: Optional[str] = None,
+    features_output_dir: Optional[str] = None,
+    model_name: Optional[str] = None,
+    engine: Optional[PerturbationEngine] = None,
+    separation_model: str = "spleeter:4stems",
+):
+    """LIME-explain a set of audio files (full-track mode)."""
+    print(f"Starting explanation for {min(len(audio_files), max_samples)} samples...")
+
+    audio_arrays = []
+    for fpath in audio_files[:max_samples]:
+        y, _ = load_audio(fpath, sr=44100, mono=True, offset=0, duration=model_time)
+        audio_arrays.append(y)
+
+    processed_samples = set()
+    if checkpoint:
+        processed_samples = checkpoint.load_processed_samples().get(folder_name, set())
+
+    sample_info: Dict[str, dict] = {}
+    if explanations_path and Path(explanations_path).exists():
+        try:
+            import json
+
+            with open(explanations_path, "r", encoding="utf-8") as f:
+                sample_info = json.load(f)
+        except Exception:
+            print(f"⚠️ Warning: Cannot load existing explanations from {explanations_path}")
+
+    if engine is None:
+        engine = _get_engine(predictor)
+
+    for i, waveform in enumerate(audio_arrays):
+        if i >= max_samples:
+            break
+        if i not in ids_to_explain:
+            continue
+        if i in processed_samples:
+            print(f"⏭️  Sample {i+1} already processed, skipping...")
+            continue
+        print(f"\n🔍 Processing sample {i+1}/{len(audio_arrays)}...")
+
+        try:
+            if original_predictions is not None:
+                fake_prob = original_predictions[i]
+                print(f"🔮 Model prediction: {fake_prob:.4f} ({'Fake' if fake_prob > 0.5 else 'Real'})")
+            else:
+                fake_prob = None
+
+            waveform_mono = waveform[0] if waveform.ndim > 1 else waveform
+
+            factorization = SpleeterFactorization(
+                input=waveform_mono,
+                target_sr=44100,
+                temporal_segmentation_params=1,
+                composition_fn=None,
+                model_name=separation_model,
+            )
+            explainer = LimeAudioExplainer(kernel_width=0.25)
+            explanation = explainer.explain_instance(
+                factorization=factorization,
+                predict_fn=lambda x: predict_fn_unified(x, predictor),
+                num_samples=num_samples_lime,
+                top_labels=1,
+                engine=engine,
+            )
+            weights = explanation.local_exp[explanation.top_labels[0]]
+            influences = {
+                component: weight[1]
+                for component, weight in zip(factorization._components_names, weights)
+            }
+            predicted_class = None if fake_prob is None else ("Fake" if fake_prob > 0.5 else "Real")
+
+            sample_key = safe_stem(audio_files[i])
+            sample_info[sample_key] = {
+                "file_path": str(audio_files[i]),
+                "model_prediction": fake_prob,
+                "predicted_class": predicted_class,
+                "component_influences": influences,
+            }
+            safe_name = sample_key
+
+            if features_output_dir:
+                features_audio_output_dir = Path(features_output_dir or "") / folder_name / safe_name
+                features_audio_output_dir.mkdir(parents=True, exist_ok=True)
+                plot_waveforms_overlay_with_influences(
+                    original_audio=waveform_mono,
+                    components=factorization.components,
+                    component_names=factorization._components_names,
+                    influences=influences,
+                    sr=44100,
+                    output_path=features_audio_output_dir,
+                    prefix=safe_name,
+                )
+                plot_stacked_rms_area_components(
+                    components=factorization.components,
+                    component_names=factorization._components_names,
+                    influences=influences,
+                    sr=44100,
+                    output_path=features_audio_output_dir,
+                    prefix=safe_name,
+                )
+
+            print(f"✅ Finished processing sample {i+1}.")
+            print("📊 Components influence:")
+            for component, weight in influences.items():
+                print(f"  {component}: {weight:.4f}")
+
+            if explanations_path and model_name:
+                new_explanations = {
+                    model_name: {
+                        safe_name: {
+                            "track_id": i,
+                            "type": "full_track",
+                            "segment_id": None,
+                            "explanations": sample_info[sample_key],
+                        }
+                    }
+                }
+                append_update_explanations(new_explanations, Path(explanations_path))
+                print(f"💾 Saved explanation for sample {i+1} to {explanations_path}")
+
+            if checkpoint:
+                checkpoint.mark_as_processed(folder_name, i)
+
+        except Exception as e:  # noqa: BLE001 — per-sample resilience by contract
+            print(f"❌ Error processing sample {i+1}: {e}")
+
+    return sample_info
+
+
+def explain_predictions_segmented(
+    audio_path: str,
+    predictor,
+    segment_duration: float = 10.0,
+    model_time: float = 10.0,
+    num_samples_lime: int = 500,
+    features_output_dir: Optional[str] = None,
+    max_samples: int = 5,
+    ids_to_explain: Optional[List[int]] = None,
+    model_name: Optional[str] = None,
+    audio_file_stem: Optional[str] = None,
+    max_duration: Optional[float] = None,
+    checkpoint_segmented: Optional[LIMEExperimentCheckpoint] = None,
+    processed_segments: Optional[List[int]] = None,
+    engine: Optional[PerturbationEngine] = None,
+    separation_model: str = "spleeter:4stems",
+):
+    """Segmented LIME: split into segment_duration chunks, per-segment WAV
+    export + per-segment explanation (reference: src/lime_explainer.py:131-218)."""
+    if ids_to_explain is None:
+        ids_to_explain = list(range(1000))
+
+    y, sr = load_audio(audio_path, sr=44100, mono=True, duration=max_duration)
+    total_duration = min(len(y) / sr, model_time)
+    segment_samples = int(segment_duration * sr)
+    n_segments = int(np.ceil(total_duration / segment_duration))
+
+    print(f"Audio File Stem: {audio_file_stem}")
+    print(f"total_duration: {total_duration}")
+    print(f"segment_samples: {segment_samples}")
+    print(f"n_segments: {n_segments}")
+
+    results = {}
+    for seg_i in range(n_segments):
+        if processed_segments and seg_i in processed_segments:
+            print(f"⏭️ Skipping already processed segment {seg_i}")
+            continue
+
+        start_sample = seg_i * segment_samples
+        end_sample = min((seg_i + 1) * segment_samples, len(y))
+        segment_audio = y[start_sample:end_sample]
+
+        if len(segment_audio) < 2048:
+            print(f"⏭️  Segment {seg_i} too short ({len(segment_audio)} samples), skipping.")
+            continue
+
+        print(
+            f"\n🎵 Processing segment {seg_i} ({start_sample}-{end_sample} samples, "
+            f"{segment_duration}s approx)"
+        )
+        segment_dir_name = f"segment_{seg_i}_{int(start_sample / sr)}s_to_{int(end_sample / sr)}s"
+        if features_output_dir and model_name and audio_file_stem:
+            segment_output_dir = Path(features_output_dir) / model_name / audio_file_stem / segment_dir_name
+            segment_output_dir.mkdir(parents=True, exist_ok=True)
+            segment_wav_path = segment_output_dir / f"segment_{seg_i}.wav"
+            write_wav(segment_wav_path, segment_audio, sr)
+        else:
+            segment_wav_path = None
+
+        segment_audio_files = [segment_wav_path] if segment_wav_path else []
+        segment_explanations = explain_predictions_separate(
+            audio_files=segment_audio_files,
+            predictor=predictor,
+            model_time=model_time,
+            max_samples=max_samples,
+            original_predictions=None,
+            num_samples_lime=num_samples_lime,
+            ids_to_explain=ids_to_explain,
+            checkpoint=None,
+            folder_name=segment_dir_name,
+            explanations_path=None,
+            features_output_dir=Path(features_output_dir) / model_name / audio_file_stem
+            if features_output_dir
+            else None,
+            engine=engine,
+            separation_model=separation_model,
+        )
+        results[segment_dir_name] = segment_explanations
+
+        if checkpoint_segmented:
+            checkpoint_segmented.mark_segment_as_processed(model_name, audio_file_stem, seg_i)
+
+    return results
+
+
+def run_lime_experiment_safe(
+    predictor,
+    model_time=120,
+    explain=False,
+    max_samples_explain=5,
+    dataset_path="../../Data/FakeRealMusic",
+    num_samples_lime=500,
+    models_to_explain=("ElevenLabs", "REAL", "SUNO", "SUNO_PRO", "UDIO"),
+    ids_to_explain=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+    checkpoint_dir: Optional[str | Path] = None,
+    explanations_path: Optional[str] = None,
+    features_output_dir_full: Optional[str] = None,
+    features_output_dir_segmented: Optional[str] = None,
+    full_track_explanations: bool = True,
+    segmented_explanations: bool = False,
+    segment_duration: float = 10.0,
+    segmented_explanations_path: Optional[str] = None,
+    save_separated_audio_only: Optional[bool] = None,
+    save_reversed_separated_audio_only: Optional[bool] = None,
+    separation_model: str = "spleeter:4stems",
+):
+    """Run the LIME experiment for fake song detection."""
+    checkpoint = None
+    checkpoint_segmented = None
+    if checkpoint_dir and explain:
+        checkpoint = LIMEExperimentCheckpoint(checkpoint_dir)
+    if checkpoint_dir and segmented_explanations and explain:
+        checkpoint_segmented = LIMEExperimentCheckpoint(str(checkpoint_dir) + "_segmented")
+    results = {}
+
+    merged_explanations = {}
+    if explanations_path:
+        merged_explanations = load_existing_explanations(Path(explanations_path))
+        print(
+            f"Loaded existing explanations for {len(merged_explanations)} folders "
+            f"from {explanations_path}"
+        )
+    merged_segmented_explanations = (
+        load_existing_explanations(Path(segmented_explanations_path))
+        if segmented_explanations and segmented_explanations_path
+        else {}
+    )
+
+    engine = _get_engine(predictor)
+
+    for folder in Path(dataset_path).iterdir():
+        if not folder.is_dir() or folder.name not in models_to_explain:
+            continue
+        print(f"\n🔊 Processing folder: {folder.name}")
+        all_audio = sorted(list(folder.glob("*.mp3")) + list(folder.glob("*.wav")))[:max_samples_explain]
+        if not all_audio:
+            print("   No audio files found, skipping...")
+            continue
+
+        original_probs = None
+        if not save_separated_audio_only and not save_reversed_separated_audio_only:
+            print(f"   Getting predictions for {len(all_audio)} files...")
+            original_probs = predict_batch_from_files(
+                predictor, all_audio, verbose=True, sr=44100, duration=model_time
+            )
+            results[folder.name] = [prob > 0.5 for prob in original_probs]
+
+        if explain:
+            if full_track_explanations:
+                if save_separated_audio_only or save_reversed_separated_audio_only:
+                    for fpath in all_audio:
+                        y, _ = load_audio(fpath, sr=44100, mono=True, offset=0, duration=model_time)
+                        factorization = SpleeterFactorization(
+                            input=y, target_sr=44100, temporal_segmentation_params=1,
+                            composition_fn=None, model_name=separation_model,
+                        )
+                        for name, separated_audio in zip(
+                            factorization._components_names, factorization.components
+                        ):
+                            safe_name = safe_stem(fpath)
+                            if save_separated_audio_only:
+                                out = (
+                                    Path(features_output_dir_full or "") / folder.name / safe_name
+                                    / "separated_components" / f"{name}.wav"
+                                )
+                                write_wav(out, separated_audio, 44100)
+                                print(f"   Saved separated component audio: {out}")
+                            else:
+                                out = (
+                                    Path(features_output_dir_full or "") / folder.name / safe_name
+                                    / "reversed_separated_components" / f"{name}.wav"
+                                )
+                                write_wav(out, y - separated_audio[: len(y)], 44100)
+                                print(f"   Saved reversed separated component audio: {out}")
+                    continue
+
+                explain_predictions_separate(
+                    audio_files=all_audio,
+                    predictor=predictor,
+                    model_time=model_time,
+                    max_samples=max_samples_explain,
+                    original_predictions=original_probs,
+                    num_samples_lime=num_samples_lime,
+                    ids_to_explain=ids_to_explain,
+                    checkpoint=checkpoint,
+                    folder_name=folder.name,
+                    explanations_path=explanations_path,
+                    features_output_dir=features_output_dir_full,
+                    model_name=folder.name,
+                    engine=engine,
+                    separation_model=separation_model,
+                )
+
+            if segmented_explanations:
+                print(f"\n🔊 Processing segmented explanations for folder: {folder.name}")
+                processed_segments = (
+                    checkpoint_segmented.load_processed_segments() if checkpoint_segmented else {}
+                )
+                merged_segmented_explanations.setdefault(folder.name, {})
+
+                for audio_file in all_audio:
+                    audio_stem = Path(audio_file).stem
+                    segment_explanations = explain_predictions_segmented(
+                        audio_path=str(audio_file),
+                        predictor=predictor,
+                        segment_duration=segment_duration,
+                        model_time=model_time,
+                        num_samples_lime=num_samples_lime,
+                        features_output_dir=features_output_dir_segmented,
+                        max_samples=max_samples_explain,
+                        model_name=folder.name,
+                        audio_file_stem=audio_stem,
+                        max_duration=model_time,
+                        checkpoint_segmented=checkpoint_segmented,
+                        processed_segments=processed_segments.get(folder.name, {}).get(audio_stem, []),
+                        engine=engine,
+                        separation_model=separation_model,
+                    )
+                    entry = merged_segmented_explanations[folder.name].setdefault(
+                        audio_stem, {"type": "segment", "segments": {}}
+                    )
+                    for segment_id, explanations_data in segment_explanations.items():
+                        entry["segments"][str(segment_id)] = {"explanations": explanations_data}
+                    if segmented_explanations_path:
+                        append_update_explanations(
+                            merged_segmented_explanations, Path(segmented_explanations_path)
+                        )
+
+    if save_separated_audio_only or save_reversed_separated_audio_only:
+        print("\n✅ Experiment completed with separated audio saved. No explanations generated.")
+        return None, None
+
+    df = pd.DataFrame(results)
+    print("\n📊 Results DataFrame (True = Fake):")
+    print(df)
+
+    if explain:
+        if explanations_path and Path(explanations_path).exists():
+            return df, load_existing_explanations(Path(explanations_path))
+        return df, {}
+    return df

@@ -32,7 +32,7 @@ import numpy as np
 from adx_tpu.io.audio_io import load_audio
 from adx_tpu.models.config import ModelConfig, resolve_preset, tiny_test_config
 from adx_tpu.models.spectttra import AudioClassifier, init_params
-from adx_tpu.ops.audio import fix_length, resample_fourier
+from adx_tpu.ops.audio import fix_length, resample_poly_device
 from adx_tpu.parallel.mesh import batch_sharding, pad_batch, perturbation_mesh, replicate
 
 
@@ -79,8 +79,7 @@ class LocalSonics:
         @functools.partial(jax.jit, static_argnames=("src_sr",))
         def _to_model_rate(waves, src_sr: int):
             if src_sr != sr_model:
-                n_out = int(round(waves.shape[-1] * sr_model / src_sr))
-                waves = resample_fourier(waves, n_out)
+                waves = resample_poly_device(waves, sr_model, src_sr)
             return fix_length(waves, n_model)
 
         self._to_model_rate = _to_model_rate

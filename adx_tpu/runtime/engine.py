@@ -132,9 +132,11 @@ class PerturbationEngine:
             """Occlusion inner: zero a [patch_f, patch_t] block per lane.
 
             S [F, T] (complex for stft, real for mel); starts [C, 2] as
-            (t_start, f_start); → probs [C].
+            (t_start, f_start); → probs [C]. ``occl_value`` arrives as a
+            real scalar and is cast to S.dtype on device (complex host→
+            device transfers are unsupported on some TPU runtimes).
             """
-            fill = jnp.full((patch_f, patch_t), occl_value, dtype=S.dtype)
+            fill = jnp.full((patch_f, patch_t), occl_value).astype(S.dtype)
 
             def one(st):
                 t0, f0 = st[0], st[1]
@@ -202,15 +204,15 @@ class PerturbationEngine:
 
     def _forward(self, y_batch: jnp.ndarray) -> jnp.ndarray:
         """Analysis-rate audio batch → fake probs (traced inside pipelines):
-        device-side resample to the model rate, fix-length, SpecTTTra."""
-        from adx_tpu.ops.audio import fix_length, resample_fourier
+        device-side polyphase resample to the model rate, fix-length,
+        SpecTTTra."""
+        from adx_tpu.ops.audio import fix_length, resample_poly_device
 
         p = self.predictor
         sr_model = p.cfg.audio.sample_rate
         w = y_batch
         if self.sr != sr_model:
-            n_out = int(round(w.shape[-1] * sr_model / self.sr))
-            w = resample_fourier(w, n_out)
+            w = resample_poly_device(w, sr_model, self.sr)
         w = fix_length(w, p.cfg.audio.n_samples)
         return jax.nn.sigmoid(p.model.apply(p.params, w))
 
@@ -254,11 +256,7 @@ class PerturbationEngine:
     ) -> np.ndarray:
         """Probabilities for every occlusion patch, chunked."""
         out = np.empty((len(starts),), np.float32)
-        occl = (
-            jnp.asarray(occlusion_value, jnp.complex64)
-            if self.spec_type != "mel"
-            else jnp.asarray(occlusion_value, jnp.float32)
-        )
+        occl = jnp.float32(occlusion_value)
         with self.profiler.section("Computing occlusion map"):
             for lo in range(0, len(starts), self.chunk):
                 part = starts[lo : lo + self.chunk]

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark: full explanation (FBP + occlusion + LIME-style stem masking)
+of one 120 s track on one chip.
+
+The north-star target (BASELINE.json) is < 10 s p50 for occlusion + FBP +
+LIME of a 120 s track on one TPU v5e chip; the reference runs the same
+workload as serial per-mask Python loops over a CPU/remote predictor (no
+published numbers — SURVEY.md §6).
+
+Prints ONE JSON line:
+  {"metric": "full_explain_latency_120s_track", "value": <p50 seconds>,
+   "unit": "s", "vs_baseline": <10.0 / value>, ...details}
+
+``vs_baseline`` > 1 means the 10 s north-star budget is beaten, and by how
+much. Details carry the secondary metric (perturbation forwards/sec/chip)
+and the per-stage split.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Workload constants — the committed reference configuration
+SR = 44100
+DURATION = 120.0
+N_FFT, HOP, WIN = 2048, 512, 2048
+FBP_BANDS = [(20, 100), (100, 250), (250, 2000), (2000, 4000), (4000, 8000), (8000, 16000)]
+OCC = dict(patch_time_frames=1024, stride_time_frames=1024,
+           patch_freq_percent=20.0, stride_freq_percent=10.0)
+LIME_SAMPLES = 500
+LIME_STEMS = 4
+REPEATS = 3
+
+
+def main():
+    import jax
+
+    from adx_tpu.ops import band_gain_matrix, fft_frequencies, occlusion_patch_grid
+    from adx_tpu.ops.masks import lime_mask_batch
+    from adx_tpu.predict import LocalSonics
+    from adx_tpu.runtime.engine import PerturbationEngine
+
+    t_setup = time.time()
+    predictor = LocalSonics.from_pretrained(
+        "spectttra-alpha-120s", max_batch=8, dtype=jax.numpy.bfloat16
+    )
+    engine = PerturbationEngine(
+        predictor, sr=SR, duration=DURATION, n_fft=N_FFT, hop_length=HOP,
+        win_length=WIN, spec_type="stft", chunk=8,
+    )
+
+    n = int(SR * DURATION)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / SR
+    track = (
+        0.3 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 1320 * t)
+        + 0.05 * rng.standard_normal(n)
+    ).astype(np.float32)
+
+    freqs = fft_frequencies(SR, N_FFT)
+    gains = np.asarray(
+        band_gain_matrix(freqs, FBP_BANDS, attenuation=0.25, transition_mode="rel",
+                         transition_rel=0.2, transition_min_hz=5.0, transition_max_hz=500.0)
+    )
+    # synthetic 4-stem decomposition for the LIME stage (separation itself is
+    # benchmarked separately once the UNet weights are converted)
+    stems = np.stack([track * w for w in (0.4, 0.3, 0.2, 0.1)]).astype(np.float32)
+    lime_rows = lime_mask_batch(jax.random.key(0), LIME_SAMPLES, LIME_STEMS)
+
+    setup_s = time.time() - t_setup
+
+    def full_explain():
+        stage = {}
+        t0 = time.time()
+        S, _ = engine.analyze(track)
+        base = engine.baseline(track)
+        stage["analyze_baseline"] = time.time() - t0
+
+        t0 = time.time()
+        engine.fbp_probs(S, track, gains, normalize_loudness=False)
+        stage["fbp"] = time.time() - t0
+
+        t0 = time.time()
+        starts, pf, pt = occlusion_patch_grid(
+            N_FFT // 2 + 1, S.shape[-1], OCC["patch_time_frames"],
+            OCC["stride_time_frames"], OCC["patch_freq_percent"], OCC["stride_freq_percent"],
+        )
+        engine.occlusion_probs(S, starts, pf, pt, 0.0, n)
+        stage["occlusion"] = time.time() - t0
+        stage["n_patches"] = len(starts)
+
+        t0 = time.time()
+        engine.stem_mix_probs(stems, lime_rows)
+        stage["lime"] = time.time() - t0
+        del base
+        return stage
+
+    # warm-up (compiles every program once; cached for later runs)
+    t0 = time.time()
+    warm = full_explain()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        stages = full_explain()
+        times.append(time.time() - t0)
+
+    p50 = float(np.percentile(times, 50))
+    n_forwards = 1 + len(FBP_BANDS) + warm["n_patches"] + LIME_SAMPLES
+    forwards_per_sec = n_forwards / p50
+
+    print(
+        json.dumps(
+            {
+                "metric": "full_explain_latency_120s_track",
+                "value": round(p50, 3),
+                "unit": "s",
+                "vs_baseline": round(10.0 / p50, 3),
+                "details": {
+                    "device": str(jax.devices()[0]),
+                    "perturbation_forwards_per_sec_per_chip": round(forwards_per_sec, 1),
+                    "n_perturbation_forwards": n_forwards,
+                    "stages_s": {k: round(v, 3) for k, v in stages.items() if k != "n_patches"},
+                    "n_occlusion_patches": warm["n_patches"],
+                    "warmup_compile_s": round(compile_s, 1),
+                    "setup_s": round(setup_s, 1),
+                    "runs": [round(x, 3) for x in times],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

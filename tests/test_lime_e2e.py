@@ -1,0 +1,227 @@
+"""AudioLIME tests: separation partition property, native LIME surrogate
+faithfulness, and the end-to-end experiment driver."""
+
+import json
+
+import numpy as np
+import pytest
+
+from adx_tpu.explainers.audiolime import LimeAudioExplainer, SpleeterFactorization
+from adx_tpu.explainers.lime_explainer import run_lime_experiment_safe
+from adx_tpu.explainers.separation import mask_separate, separate
+from adx_tpu.io.audio_io import write_wav
+from adx_tpu.predict import LocalSonics
+
+SR = 8000
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return LocalSonics.from_pretrained("tiny", max_batch=8)
+
+
+@pytest.fixture(scope="module")
+def mixture(rng):
+    n = SR  # 1 s
+    t = np.arange(n) / SR
+    return (
+        0.3 * np.sin(2 * np.pi * 330 * t)
+        + 0.2 * np.sin(2 * np.pi * 110 * t)
+        + 0.1 * rng.standard_normal(n)
+    ).astype(np.float32)
+
+
+def test_mask_separation_partitions_mixture(mixture):
+    for model in ["spleeter:2stems", "spleeter:4stems", "spleeter:5stems"]:
+        stems = mask_separate(mixture, SR, model_name=model)
+        total = np.sum(list(stems.values()), axis=0)
+        # stems must partition the mixture up to ISTFT round-trip error
+        np.testing.assert_allclose(total[2048:-2048], mixture[2048:-2048], atol=1e-3)
+
+
+def test_separation_stem_names(mixture):
+    stems = separate(mixture, SR, model_name="spleeter:4stems")
+    assert list(stems.keys()) == ["vocals0", "drums0", "bass0", "other0"]
+    stems2 = separate(mixture, SR, model_name="spleeter:2stems")
+    assert list(stems2.keys()) == ["vocals0", "accompaniment0"]
+
+
+def test_lime_recovers_known_linear_model(mixture):
+    """If the predictor IS linear in the stems, LIME must recover its
+    coefficients (the canonical LIME sanity check)."""
+    fact = SpleeterFactorization(mixture, target_sr=SR, model_name="spleeter:4stems")
+    # replace the real stems with orthogonal tones so the linear ground
+    # truth is exactly representable (real stems share phase and correlate)
+    n = len(mixture)
+    t = np.arange(n) / SR
+    fact.components = [
+        np.sin(2 * np.pi * f * t).astype(np.float32) for f in (110, 220, 440, 880)
+    ]
+    stems = np.stack([c[:n] for c in fact.components])
+    true_w = np.array([0.5, -0.3, 0.2, 0.1])
+
+    def predict_fn(waves):
+        # project each wave onto the (nearly orthogonal) stems
+        coeffs = (waves @ stems.T) / (np.sum(stems**2, axis=1) + 1e-12)
+        fake = 0.5 + coeffs @ true_w * 0.5
+        return np.stack([1 - fake, fake], axis=1)
+
+    expl = LimeAudioExplainer(kernel_width=0.25).explain_instance(
+        fact, predict_fn=predict_fn, num_samples=200, top_labels=1
+    )
+    label = expl.top_labels[0]
+    got = np.array([w for _, w in expl.local_exp[label]])
+    want = 0.5 * true_w if label == 1 else -0.5 * true_w
+    # sign pattern and ordering must match; magnitudes approximately
+    np.testing.assert_allclose(got, want, atol=0.1)
+    # weights are in feature order, so the reference's positional zip works
+    assert [i for i, _ in expl.local_exp[label]] == [0, 1, 2, 3]
+
+
+def test_lime_engine_path_matches_predictfn_path(predictor, mixture):
+    from adx_tpu.runtime.engine import PerturbationEngine
+
+    fact = SpleeterFactorization(mixture, target_sr=SR, model_name="spleeter:4stems")
+    engine = PerturbationEngine(predictor, sr=SR, duration=predictor.cfg.audio.duration, chunk=8)
+
+    def predict_fn(waves):
+        fake = predictor.predict_batch(waves, sr=SR)
+        return np.stack([1 - fake, fake], axis=1)
+
+    e1 = LimeAudioExplainer().explain_instance(fact, predict_fn=predict_fn, num_samples=64)
+    e2 = LimeAudioExplainer().explain_instance(fact, engine=engine, num_samples=64)
+    w1 = np.array([w for _, w in e1.local_exp[e1.top_labels[0]]])
+    w2 = np.array([w for _, w in e2.local_exp[e2.top_labels[0]]])
+    np.testing.assert_allclose(w1, w2, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory, rng):
+    root = tmp_path_factory.mktemp("LimeMini")
+    n = SR
+    t = np.arange(n) / SR
+    for model in ["REAL", "SUNO"]:
+        for i in range(2):
+            y = 0.3 * np.sin(2 * np.pi * (200 + 120 * i) * t) + 0.05 * rng.standard_normal(n)
+            write_wav(root / model / f"clip_{i}.wav", y.astype(np.float32), SR)
+    return root
+
+
+def test_lime_experiment_end_to_end(predictor, dataset, tmp_path):
+    out = tmp_path / "lime_out"
+    expl_path = out / "full_track" / "explanations.json"
+    df, explanations = run_lime_experiment_safe(
+        predictor=predictor,
+        model_time=1.0,
+        explain=True,
+        max_samples_explain=2,
+        dataset_path=dataset,
+        num_samples_lime=32,
+        models_to_explain=["REAL", "SUNO"],
+        ids_to_explain=[0, 1],
+        checkpoint_dir=tmp_path / "ckpt",
+        explanations_path=str(expl_path),
+        features_output_dir_full=str(out / "full_track"),
+    )
+    assert set(df.columns) == {"REAL", "SUNO"}
+
+    data = json.loads(expl_path.read_text())
+    assert set(data) == {"REAL", "SUNO"}
+    entry = data["REAL"]["clip_0"]
+    assert entry["type"] == "full_track"
+    expl = entry["explanations"]
+    assert set(expl) == {"file_path", "model_prediction", "predicted_class", "component_influences"}
+    assert set(expl["component_influences"]) == {"vocals0", "drums0", "bass0", "other0"}
+
+    # per-sample figures written under full_track/<model>/<stem>/
+    sample_dir = out / "full_track" / "REAL" / "clip_0"
+    assert (sample_dir / "clip_0_waveforms_overlay_influences.png").exists()
+    assert (sample_dir / "clip_0_stacked_rms_area_components.png").exists()
+
+    # checkpoint: second run skips all samples but keeps explanations
+    df2, expl2 = run_lime_experiment_safe(
+        predictor=predictor,
+        model_time=1.0,
+        explain=True,
+        max_samples_explain=2,
+        dataset_path=dataset,
+        num_samples_lime=32,
+        models_to_explain=["REAL", "SUNO"],
+        ids_to_explain=[0, 1],
+        checkpoint_dir=tmp_path / "ckpt",
+        explanations_path=str(expl_path),
+    )
+    assert set(expl2) == {"REAL", "SUNO"}
+
+
+def test_lime_save_separated_modes(predictor, dataset, tmp_path):
+    out = tmp_path / "sep_out"
+    result = run_lime_experiment_safe(
+        predictor=predictor,
+        model_time=1.0,
+        explain=True,
+        max_samples_explain=1,
+        dataset_path=dataset,
+        models_to_explain=["REAL"],
+        features_output_dir_full=str(out),
+        save_separated_audio_only=True,
+    )
+    assert result == (None, None)
+    comp_dir = out / "REAL" / "clip_0" / "separated_components"
+    assert sorted(p.name for p in comp_dir.glob("*.wav")) == [
+        "bass0.wav", "drums0.wav", "other0.wav", "vocals0.wav",
+    ]
+
+
+def test_lime_visualizations(dataset, tmp_path):
+    explanations = {
+        "REAL": {
+            f"t{i}": {
+                "type": "full_track",
+                "explanations": {
+                    "model_prediction": 0.2 + 0.1 * i,
+                    "predicted_class": "Real",
+                    "component_influences": {
+                        "vocals0": 0.1 * i, "drums0": -0.05, "bass0": 0.02, "other0": 0.0,
+                    },
+                },
+            }
+            for i in range(4)
+        },
+        "SUNO": {
+            f"t{i}": {
+                "type": "full_track",
+                "explanations": {
+                    "model_prediction": 0.7 + 0.05 * i,
+                    "predicted_class": "Fake",
+                    "component_influences": {
+                        "vocals0": 0.2, "drums0": 0.1 * i, "bass0": -0.02, "other0": 0.01,
+                    },
+                },
+            }
+            for i in range(4)
+        },
+    }
+    from adx_tpu.viz.lime_viz import (
+        visualize_explanations,
+        visualize_explanations_by_model,
+        visualize_per_sample_explanations,
+    )
+
+    out = tmp_path / "viz"
+    visualize_explanations(explanations, output_dir=str(out / "overall"))
+    for name in [
+        "average_component_influence.png", "influence_distributions.png",
+        "influence_vs_probability.png", "correlation_r_influence_probability.png",
+    ]:
+        assert (out / "overall" / name).exists()
+
+    visualize_explanations_by_model(explanations, output_dir=str(out / "per_model"))
+    for name in ["all_models_comparison.png", "influence_heatmap.png",
+                 "probability_vs_influence.png", "correlation_r_per_model.png"]:
+        assert (out / "per_model" / name).exists()
+
+    visualize_per_sample_explanations(explanations, features_outputdir_full=str(out / "samples"),
+                                      max_samples_per_model=1)
+    assert (out / "samples" / "REAL" / "t0" / "t0_bar_influences.png").exists()
+    assert (out / "samples" / "REAL" / "t0" / "t0_radar_influences.png").exists()

@@ -1,0 +1,64 @@
+"""Polyphase device resampler quality tests vs scipy.signal.resample_poly."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from adx_tpu.ops.audio import resample_poly_device
+
+
+@pytest.mark.parametrize("up,down", [(160, 441), (441, 160), (1, 2), (2, 1), (16000, 44100)])
+def test_resample_length_matches_scipy(up, down):
+    from scipy.signal import resample_poly
+
+    x = np.random.default_rng(0).standard_normal(44100).astype(np.float32)
+    got = np.asarray(resample_poly_device(jnp.asarray(x), up, down))
+    want = resample_poly(x, up, down)
+    assert got.shape == want.shape
+
+
+def test_resample_preserves_tone_frequency():
+    sr_in, sr_out = 44100, 16000
+    n = sr_in  # 1 second
+    t = np.arange(n) / sr_in
+    f0 = 1000.0
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    y = np.asarray(resample_poly_device(jnp.asarray(x), sr_out, sr_in))
+    spec = np.abs(np.fft.rfft(y[800:-800] * np.hanning(len(y) - 1600)))
+    freqs = np.fft.rfftfreq(len(y) - 1600, 1 / sr_out)
+    peak = freqs[np.argmax(spec)]
+    assert abs(peak - f0) < 3.0
+
+
+def test_resample_antialiasing():
+    """Content above the output Nyquist must be strongly attenuated."""
+    sr_in, sr_out = 44100, 16000
+    n = sr_in
+    t = np.arange(n) / sr_in
+    x = np.sin(2 * np.pi * 12000.0 * t).astype(np.float32)  # > 8 kHz Nyquist
+    y = np.asarray(resample_poly_device(jnp.asarray(x), sr_out, sr_in))
+    in_rms = np.sqrt(np.mean(x**2))
+    out_rms = np.sqrt(np.mean(y[800:-800] ** 2))
+    assert out_rms < 0.02 * in_rms  # ≥ 34 dB suppression
+
+
+def test_resample_close_to_scipy_waveform():
+    from scipy.signal import resample_poly
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(22050).astype(np.float32)
+    got = np.asarray(resample_poly_device(jnp.asarray(x), 160, 441))
+    want = resample_poly(x, 160, 441)
+    # interior agreement (different windows ⇒ not bit-equal)
+    g, w = got[200:-200], want[200:-200]
+    corr = np.dot(g, w) / (np.linalg.norm(g) * np.linalg.norm(w))
+    assert corr > 0.99
+
+
+def test_resample_batched():
+    x = np.random.default_rng(2).standard_normal((3, 8820)).astype(np.float32)
+    got = np.asarray(resample_poly_device(jnp.asarray(x), 160, 441))
+    one = np.asarray(resample_poly_device(jnp.asarray(x[0]), 160, 441))
+    assert got.shape == (3, one.shape[0])
+    np.testing.assert_allclose(got[0], one, atol=1e-5)
