@@ -1,0 +1,300 @@
+"""Feature extraction — capability-equivalent to the reference's
+``extract_all_features`` (src/feature_extraction.py:5-96): identical dict
+schema (keys, nesting, stat suffixes), with the STFT-derived statistics
+computed in one batched device program and pyin / HPSS / beat-tracking on
+host.
+
+Reference quirks preserved on purpose (feature values stay comparable):
+
+* pyin runs with librosa's default ``sr=22050`` regardless of the true rate
+  (the reference never passes sr — src/feature_extraction.py:11-13);
+* spectral statistics use each feature's librosa default frame parameters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adx_tpu.features import rhythm as rhythm_mod
+from adx_tpu.features import spectral as sp
+from adx_tpu.features.pyin import note_to_hz, pyin
+from adx_tpu.ops.stft import istft, stft
+
+
+@functools.partial(jax.jit, static_argnames=("sr",))
+def _spectral_stats_device(y: jnp.ndarray, sr: int):
+    """All STFT-derived statistics in one compiled program."""
+    S = jnp.abs(stft(y, n_fft=2048, hop_length=512))
+    out = {
+        "rms_wave": sp.rms_from_audio(y),
+        "rms_spec": sp.rms_from_spectrogram(S),
+        "zcr": sp.zero_crossing_rate(y),
+        "centroid": sp.spectral_centroid(S, sr, 2048),
+        "bandwidth": sp.spectral_bandwidth(S, sr, 2048),
+        "rolloff_1": sp.spectral_rolloff(S, sr, 2048, 0.01),
+        "rolloff_85": sp.spectral_rolloff(S, sr, 2048, 0.85),
+        "rolloff_99": sp.spectral_rolloff(S, sr, 2048, 0.99),
+        "contrast": sp.spectral_contrast(S, sr, 2048),
+        "flatness": sp.spectral_flatness(S),
+        "onset_env": sp.onset_strength(y, sr),
+    }
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _harmonic_device(y: jnp.ndarray, n_out: int):
+    """librosa.effects.harmonic equivalent: HPSS mask → ISTFT."""
+    S = stft(y, n_fft=2048, hop_length=512)
+    mask_h, _ = sp.hpss(jnp.abs(S))
+    return istft(S * mask_h, hop_length=512, n_fft=2048, length=n_out)
+
+
+def _stat4(x: np.ndarray) -> Dict[str, float]:
+    return {
+        "min": float(np.min(x)),
+        "mean": float(np.mean(x)),
+        "std": float(np.std(x)),
+        "max": float(np.max(x)),
+    }
+
+
+def extract_all_features(audio, sr, reference_audio=None) -> dict:
+    """Per-waveform feature dict (reference schema)."""
+    audio = np.asarray(audio, dtype=np.float32)
+    features: Dict[str, object] = {}
+    features["duration"] = len(audio) / sr
+
+    # pyin with librosa's default sr (reference quirk, see module docstring)
+    f0, voiced_flag, voiced_probs = pyin(
+        audio, fmin=note_to_hz("C2"), fmax=note_to_hz("C7")
+    )
+
+    dev = _spectral_stats_device(jnp.asarray(audio), int(sr))
+    dev = {k: np.asarray(v) for k, v in dev.items()}
+
+    features["rms_wave"] = {
+        "min": np.min(dev["rms_wave"]),
+        "mean": np.mean(dev["rms_wave"]),
+        "std": np.std(dev["rms_wave"]),
+        "max": np.max(dev["rms_wave"]),
+    }
+    features["rms_spec"] = {
+        "min": np.min(dev["rms_spec"]),
+        "mean": np.mean(dev["rms_spec"]),
+        "std": np.std(dev["rms_spec"]),
+        "max": np.max(dev["rms_spec"]),
+    }
+    features["zero_crossing_rate"] = np.mean(dev["zcr"])
+    features["spectral_centroid"] = _stat4(dev["centroid"])
+    features["spectral_bandwidth"] = _stat4(dev["bandwidth"])
+    features["spectral_rolloff_1"] = _stat4(dev["rolloff_1"])
+    features["spectral_rolloff_85"] = _stat4(dev["rolloff_85"])
+    features["spectral_rolloff_99"] = _stat4(dev["rolloff_99"])
+    features["spectral_contrast"] = _stat4(dev["contrast"])
+    features["spectral_flatness"] = _stat4(dev["flatness"])
+
+    with np.errstate(all="ignore"):
+        features["f0"] = {
+            "min": np.nanmin(f0) if np.any(~np.isnan(f0)) else np.nan,
+            "mean": np.nanmean(f0) if np.any(~np.isnan(f0)) else np.nan,
+            "std": np.nanstd(f0) if np.any(~np.isnan(f0)) else np.nan,
+            "max": np.nanmax(f0) if np.any(~np.isnan(f0)) else np.nan,
+        }
+
+    features["jitter"] = compute_jitter_extended(audio, sr, f0=f0)
+    features["shimmer"] = compute_shimmer_extended(audio, sr)
+    features["hnr"] = compute_hnr(audio, sr)
+    features["breath_count"] = detect_breaths(audio, sr)
+    features["intonation_pattern"] = compute_intonation_pattern(audio, sr, f0=f0)
+    features["voice_breaks"] = detect_voice_breaks(audio, sr)
+    features["rhythm_stats"] = compute_rhythm_stats(audio, sr, onset_env=dev["onset_env"])
+    return features
+
+
+def compute_jitter(y, sr, f0=None):
+    if f0 is None:
+        f0 = pyin(y, fmin=80, fmax=1500, sr=sr)[0]
+    f0 = f0[~np.isnan(f0)]
+    if len(f0) < 2:
+        return np.nan
+    return float(np.mean(np.abs(np.diff(f0))) / np.mean(f0)) * 100
+
+
+def compute_jitter_extended(y, sr, f0=None) -> dict:
+    """Jitter family from pyin periods (reference: src/feature_extraction.py:108-165)."""
+    if f0 is None:
+        f0, _, _ = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"), sr=sr)
+    f0_valid = f0[~np.isnan(f0)]
+    if len(f0_valid) < 2:
+        return {
+            "jitter_local": np.nan,
+            "jitter_rap": np.nan,
+            "jitter_ppq5": np.nan,
+            "jitter_mean_absolute": np.nan,
+            "jitter_std": np.nan,
+            "jitter_range": np.nan,
+        }
+    periods = 1.0 / (f0_valid + 1e-8)
+    dper = np.abs(np.diff(periods))
+    mean_period = np.mean(periods)
+
+    jitter_local_abs = np.mean(dper)
+    jitter_local_pct = (jitter_local_abs / mean_period) * 100
+
+    if len(periods) >= 3:
+        neigh3 = (periods[:-2] + periods[1:-1] + periods[2:]) / 3.0
+        jitter_rap_pct = (np.mean(np.abs(periods[1:-1] - neigh3)) / mean_period) * 100
+    else:
+        jitter_rap_pct = np.nan
+
+    if len(periods) >= 5:
+        neigh5 = (
+            periods[:-4] + periods[1:-3] + periods[2:-2] + periods[3:-1] + periods[4:]
+        ) / 5.0
+        jitter_ppq5_pct = (np.mean(np.abs(periods[2:-2] - neigh5)) / mean_period) * 100
+    else:
+        jitter_ppq5_pct = np.nan
+
+    return {
+        "jitter_local": float(jitter_local_pct),
+        "jitter_rap": float(jitter_rap_pct),
+        "jitter_ppq5": float(jitter_ppq5_pct),
+        "jitter_mean_absolute_ms": float(jitter_local_abs * 1000),
+        "jitter_std": float(np.std(dper) / mean_period * 100),
+        "jitter_range": float((np.max(dper) - np.min(dper)) / mean_period * 100),
+    }
+
+
+def _rms_envelope_np(y, frame_length, hop_length):
+    n = len(y)
+    if n < frame_length:
+        return np.array([np.sqrt(np.mean(np.pad(y, (0, frame_length - n)) ** 2))])
+    yp = np.pad(y, frame_length // 2)
+    n_frames = 1 + (len(yp) - frame_length) // hop_length
+    idx = np.arange(frame_length)[None, :] + hop_length * np.arange(n_frames)[:, None]
+    return np.sqrt(np.mean(yp[idx] ** 2, axis=1))
+
+
+def detect_breaths(y, sr, min_pause=0.2, energy_thresh=0.05) -> int:
+    """RMS-threshold pause counting (reference: src/feature_extraction.py:168-182)."""
+    frame_length, hop_length = 2048, 512
+    rms = _rms_envelope_np(y, frame_length, hop_length)
+    times = np.arange(len(rms)) * hop_length / sr
+    breath_indices = np.where(rms < energy_thresh)[0]
+    if len(breath_indices) == 0:
+        return 0
+    pauses = []
+    curr_start = times[breath_indices[0]]
+    for i in range(1, len(breath_indices)):
+        if times[breath_indices[i]] - times[breath_indices[i - 1]] > min_pause:
+            pauses.append((curr_start, times[breath_indices[i - 1]]))
+            curr_start = times[breath_indices[i]]
+    pauses.append((curr_start, times[breath_indices[-1]]))
+    return len(pauses)
+
+
+def compute_hnr(y, sr) -> float:
+    """Harmonics-to-noise ratio via HPSS (reference: src/feature_extraction.py:184-188)."""
+    harmonic = np.asarray(_harmonic_device(jnp.asarray(y, jnp.float32), len(y)))
+    noise = y - harmonic
+    return float(10 * np.log10(np.sum(harmonic**2) / (np.sum(noise**2) + 1e-8)))
+
+
+def compute_shimmer(y, sr):
+    frame_length = int(0.03 * sr)
+    hop_length = int(0.015 * sr)
+    env = _rms_envelope_np(y, frame_length, hop_length)
+    if len(env) < 2:
+        return np.nan
+    return float(np.mean(np.abs(np.diff(env))) / np.mean(env)) * 100
+
+
+def compute_shimmer_extended(y, sr) -> dict:
+    """Shimmer family from the 30 ms RMS envelope
+    (reference: src/feature_extraction.py:214-272)."""
+    frame_length = int(0.03 * sr)
+    hop_length = int(0.015 * sr)
+    env = _rms_envelope_np(y, frame_length, hop_length)
+    if len(env) < 2:
+        return {
+            "shimmer_local": np.nan,
+            "shimmer_apq3": np.nan,
+            "shimmer_apq5": np.nan,
+            "shimmer_dB": np.nan,
+            "shimmer_std": np.nan,
+            "shimmer_range": np.nan,
+        }
+    denv = np.abs(np.diff(env))
+    mean_env = np.mean(env)
+    shimmer_local_pct = (np.mean(denv) / mean_env) * 100
+
+    if len(env) >= 3:
+        neigh3 = (env[:-2] + env[1:-1] + env[2:]) / 3.0
+        shimmer_apq3_pct = (np.mean(np.abs(env[1:-1] - neigh3)) / mean_env) * 100
+    else:
+        shimmer_apq3_pct = np.nan
+    if len(env) >= 5:
+        neigh5 = (env[:-4] + env[1:-3] + env[2:-2] + env[3:-1] + env[4:]) / 5.0
+        shimmer_apq5_pct = (np.mean(np.abs(env[2:-2] - neigh5)) / mean_env) * 100
+    else:
+        shimmer_apq5_pct = np.nan
+
+    amplitude_db = 20 * np.log10(env + 1e-8)
+    return {
+        "shimmer_local": float(shimmer_local_pct),
+        "shimmer_apq3": float(shimmer_apq3_pct),
+        "shimmer_apq5": float(shimmer_apq5_pct),
+        "shimmer_dB": float(np.mean(np.abs(np.diff(amplitude_db)))),
+        "shimmer_std": float(np.std(denv) / mean_env * 100),
+        "shimmer_range": float((np.max(denv) - np.min(denv)) / mean_env * 100),
+    }
+
+
+def compute_intonation_pattern(y, sr, f0=None) -> dict:
+    if f0 is None:
+        f0, _, _ = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"))
+    f0 = np.nan_to_num(f0, nan=0.0)
+    return {"pitch_variability": float(np.std(f0))}
+
+
+def detect_voice_breaks(y, sr, threshold=0.1, min_duration_ms=50) -> int:
+    """Sub-threshold run counting (reference: src/feature_extraction.py:282-302)."""
+    frame_length = int(0.02 * sr)
+    hop_length = int(0.01 * sr)
+    energy = _rms_envelope_np(y, frame_length, hop_length)
+    breaks = energy < threshold
+    counts = 0
+    min_frames = int(min_duration_ms / (hop_length / sr * 1000))
+    count = 0
+    for b in breaks:
+        if b:
+            count += 1
+        else:
+            if count >= min_frames:
+                counts += 1
+            count = 0
+    if count >= min_frames:
+        counts += 1
+    return counts
+
+
+def compute_rms_envelope(audio, sr=44100, frame_length=2048, hop_length=512):
+    rms = _rms_envelope_np(np.asarray(audio, np.float32), frame_length, hop_length)
+    times = np.arange(len(rms)) * hop_length / sr
+    return times, rms
+
+
+def compute_rhythm_stats(audio, sr=44100, onset_env: Optional[np.ndarray] = None) -> dict:
+    if onset_env is None:
+        onset_env = np.asarray(sp.onset_strength(jnp.asarray(audio, jnp.float32), sr))
+    tempo, _beats = rhythm_mod.beat_track(onset_env, sr=sr, hop_length=512)
+    return {
+        "tempo_bpm": float(tempo),
+        "avg_onset_strength": float(np.mean(onset_env)),
+        "max_onset_strength": float(np.max(onset_env)),
+    }

@@ -1,0 +1,270 @@
+"""pYIN fundamental-frequency estimation (host-side numpy).
+
+Implements the probabilistic-YIN algorithm (Mauch & Dixon 2014) with
+librosa-compatible call semantics: ``pyin(y, fmin, fmax, sr=22050, ...)``
+returns ``(f0, voiced_flag, voiced_prob)`` per frame with NaN where
+unvoiced.
+
+The reference calls ``librosa.pyin(y=audio, fmin=C2, fmax=C7)`` *without*
+passing the true sample rate (src/feature_extraction.py:11-13), so its f0
+values are computed against librosa's default sr=22050 even for 44.1 kHz
+audio; the same default is kept here so features remain comparable.
+
+Vectorized stages (difference function, CMNDF, trough probabilities,
+observation matrix) run in numpy across all frames; only the Viterbi
+recursion loops over frames (banded transitions, vectorized over states).
+This is the documented "host fallback first" path (SURVEY.md §7.2.7) — the
+Viterbi is sequential and off the latency-critical explain path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _frame(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
+    n_frames = 1 + (len(y) - frame_length) // hop_length
+    idx = np.arange(frame_length)[None, :] + hop_length * np.arange(n_frames)[:, None]
+    return y[idx]
+
+
+def _difference_function(frames: np.ndarray, max_tau: int) -> np.ndarray:
+    """YIN difference function d[t, τ] for τ in [0, max_tau) via FFT
+    autocorrelation. ``frames`` is [T, frame_length]; window W = max_tau."""
+    T, N = frames.shape
+    W = max_tau
+    # r[τ] = Σ_{j=0}^{W-1} x[j] x[j+τ] — correlate the first-W window
+    # against the full frame (correlation theorem; no wraparound for τ < W)
+    n_fft = int(2 ** np.ceil(np.log2(N + W)))
+    F_full = np.fft.rfft(frames, n_fft, axis=1)
+    F_win = np.fft.rfft(frames[:, :W], n_fft, axis=1)
+    acf = np.fft.irfft(F_full * np.conj(F_win), n_fft, axis=1)[:, :W]
+    # energy terms: e0 = Σ_{j<W} x²; e_tau = Σ_{τ<=j<τ+W} x²
+    csum = np.cumsum(frames**2, axis=1)
+    csum = np.concatenate([np.zeros((T, 1)), csum], axis=1)
+    e_tau = csum[:, W : W + W] - csum[:, 0:W]  # Σ_{j=τ}^{τ+W-1}
+    e0 = csum[:, [W]]
+    d = e0 + e_tau - 2.0 * acf
+    return np.maximum(d, 0.0)
+
+
+def _cmndf(d: np.ndarray) -> np.ndarray:
+    tau = np.arange(d.shape[1])
+    cum = np.cumsum(d[:, 1:], axis=1)
+    out = np.ones_like(d)
+    out[:, 1:] = d[:, 1:] * tau[1:] / (cum + 1e-12)
+    return out
+
+
+def pyin(
+    y: np.ndarray,
+    fmin: float,
+    fmax: float,
+    sr: int = 22050,
+    frame_length: int = 2048,
+    win_length: Optional[int] = None,
+    hop_length: Optional[int] = None,
+    n_thresholds: int = 100,
+    beta_parameters: Tuple[float, float] = (2.0, 18.0),
+    resolution: float = 0.1,
+    max_transition_rate: float = 35.92,
+    switch_prob: float = 0.01,
+    no_trough_prob: float = 0.01,
+    center: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    y = np.asarray(y, dtype=np.float64)
+    win_length = win_length or frame_length // 2
+    hop_length = hop_length or frame_length // 4
+    if center:
+        y = np.pad(y, frame_length // 2)
+    frames = _frame(y, frame_length, hop_length)
+    T = frames.shape[0]
+
+    tau_min = max(1, int(sr / fmax))
+    tau_max = min(win_length, int(sr / fmin) + 1)
+    d = _difference_function(frames, win_length)
+    dp = _cmndf(d)
+
+    # --- trough candidates per frame -------------------------------------
+    interior = dp[:, 1:-1]
+    is_trough = (interior < dp[:, :-2]) & (interior <= dp[:, 2:])
+    taus = np.arange(dp.shape[1])
+    in_range = (taus >= tau_min) & (taus < tau_max)
+    trough_mask = np.zeros_like(dp, dtype=bool)
+    trough_mask[:, 1:-1] = is_trough
+    trough_mask &= in_range[None, :]
+
+    # threshold distribution (beta pdf over [0, 1])
+    from scipy.stats import beta as beta_dist
+
+    thresholds = np.linspace(0, 1, n_thresholds + 1)[1:]
+    beta_cdf = beta_dist.cdf(np.linspace(0, 1, n_thresholds + 1), *beta_parameters)
+    beta_w = np.diff(beta_cdf)  # weight per threshold bin
+
+    # pitch-bin grid
+    n_bins_per_semitone = int(round(1.0 / resolution))
+    n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
+
+    obs_voiced = np.zeros((T, n_pitch_bins))
+    voiced_prob = np.zeros(T)
+
+    for t in range(T):
+        tr_idx = np.flatnonzero(trough_mask[t])
+        if len(tr_idx) == 0:
+            continue
+        vals = dp[t, tr_idx]
+        # parabolic interpolation of each trough
+        tau_interp = tr_idx.astype(np.float64)
+        val_interp = vals.copy()
+        ok = (tr_idx > 0) & (tr_idx < dp.shape[1] - 1)
+        a = dp[t, tr_idx[ok] - 1]
+        b = dp[t, tr_idx[ok]]
+        c = dp[t, tr_idx[ok] + 1]
+        denom = a - 2 * b + c
+        shift = np.where(np.abs(denom) > 1e-12, 0.5 * (a - c) / np.where(np.abs(denom) > 1e-12, denom, 1.0), 0.0)
+        shift = np.clip(shift, -0.5, 0.5)
+        tau_interp[ok] = tr_idx[ok] + shift
+        val_interp[ok] = b - 0.25 * (a - c) * shift
+
+        # probability mass per trough: for each threshold, the FIRST trough
+        # below it wins that threshold's beta weight
+        below = val_interp[None, :] < thresholds[:, None]  # [K, n_troughs]
+        any_below = below.any(axis=1)
+        first = np.argmax(below, axis=1)
+        probs = np.zeros(len(tr_idx))
+        np.add.at(probs, first[any_below], beta_w[any_below])
+        # thresholds with no trough below: tiny mass on the global best
+        # trough, but only when that trough shows genuine periodicity —
+        # otherwise a lone concentrated 0.01 beats the unvoiced state's
+        # per-bin density and silence decodes as voiced
+        miss_w = beta_w[~any_below].sum()
+        best = int(np.argmin(val_interp))
+        if miss_w > 0 and val_interp[best] < 0.8:
+            probs[best] += no_trough_prob * miss_w
+
+        freqs_t = sr / np.maximum(tau_interp, 1e-6)
+        valid = (freqs_t >= fmin) & (freqs_t <= fmax)
+        if not valid.any():
+            continue
+        bins = np.clip(
+            np.round(12 * n_bins_per_semitone * np.log2(freqs_t[valid] / fmin)).astype(int),
+            0, n_pitch_bins - 1,
+        )
+        np.add.at(obs_voiced[t], bins, probs[valid])
+        voiced_prob[t] = min(1.0, probs[valid].sum())
+
+    # --- Viterbi over 2M states (voiced bins + unvoiced bins) -------------
+    M = n_pitch_bins
+    # max pitch slew in bins per frame
+    frames_per_sec = sr / hop_length
+    max_step = max(
+        1, int(round(max_transition_rate * 12 * n_bins_per_semitone / frames_per_sec))
+    )
+    offsets = np.arange(-max_step, max_step + 1)
+    tri_w = 1.0 - np.abs(offsets) / (max_step + 1)
+    tri_w /= tri_w.sum()
+
+    log_obs_v = np.log(np.maximum(obs_voiced, 1e-30))
+    log_obs_u = np.log(np.maximum((1.0 - voiced_prob)[:, None] / M, 1e-30))
+    log_stay = np.log1p(-switch_prob)
+    log_switch = np.log(switch_prob)
+    log_tri = np.log(tri_w)
+
+    def banded_max(delta_row):
+        """max over s' of delta[s'] + log_tri[s - s'] for each s (banded)."""
+        out = np.full(M, -np.inf)
+        for k, off in enumerate(offsets):
+            if off >= 0:
+                seg = delta_row[: M - off] + log_tri[k]
+                out[off:] = np.maximum(out[off:], seg)
+            else:
+                seg = delta_row[-off:] + log_tri[k]
+                out[: M + off] = np.maximum(out[: M + off], seg)
+        return out
+
+    delta_v = np.full(M, np.log(1.0 / (2 * M))) + log_obs_v[0]
+    delta_u = np.full(M, np.log(1.0 / (2 * M))) + log_obs_u[0]
+    back_v = np.zeros((T, M), dtype=np.int32)
+    back_u = np.zeros((T, M), dtype=np.int32)
+    from_u = np.zeros((T, M), dtype=bool)
+    from_v = np.zeros((T, M), dtype=bool)
+
+    for t in range(1, T):
+        bm_v = banded_max(delta_v)
+        bm_u = banded_max(delta_u)
+        # voiced[t] from voiced (stay) or unvoiced (switch)
+        cand_vv = bm_v + log_stay
+        cand_uv = bm_u + log_switch
+        take_u = cand_uv > cand_vv
+        new_v = np.where(take_u, cand_uv, cand_vv) + log_obs_v[t]
+        from_u[t] = take_u
+        # unvoiced[t]
+        cand_uu = bm_u + log_stay
+        cand_vu = bm_v + log_switch
+        take_v = cand_vu > cand_uu
+        new_u = np.where(take_v, cand_vu, cand_uu) + log_obs_u[t]
+        from_v[t] = take_v
+
+        # argmax within the band for backtracking (recomputed per source)
+        def banded_argmax(delta_row):
+            best = np.full(M, -np.inf)
+            arg = np.zeros(M, dtype=np.int32)
+            for k, off in enumerate(offsets):
+                if off >= 0:
+                    seg = delta_row[: M - off] + log_tri[k]
+                    upd = seg > best[off:]
+                    best[off:][upd] = seg[upd]
+                    arg[off:][upd] = (np.arange(M - off))[upd]
+                else:
+                    seg = delta_row[-off:] + log_tri[k]
+                    upd = seg > best[: M + off]
+                    best[: M + off][upd] = seg[upd]
+                    arg[: M + off][upd] = (np.arange(-off, M))[upd]
+            return arg
+
+        arg_v = banded_argmax(delta_v)
+        arg_u = banded_argmax(delta_u)
+        back_v[t] = np.where(take_u, arg_u, arg_v)
+        back_u[t] = np.where(take_v, arg_v, arg_u)
+        delta_v, delta_u = new_v, new_u
+
+    # backtrace
+    states = np.zeros(T, dtype=np.int32)
+    voiced = np.zeros(T, dtype=bool)
+    if delta_v.max() >= delta_u.max():
+        states[-1] = int(np.argmax(delta_v))
+        voiced[-1] = True
+    else:
+        states[-1] = int(np.argmax(delta_u))
+        voiced[-1] = False
+    for t in range(T - 1, 0, -1):
+        if voiced[t]:
+            states[t - 1] = back_v[t, states[t]]
+            voiced[t - 1] = not from_u[t, states[t]]
+        else:
+            states[t - 1] = back_u[t, states[t]]
+            voiced[t - 1] = from_v[t, states[t]]
+
+    bin_freqs = fmin * 2.0 ** (np.arange(n_pitch_bins) / (12 * n_bins_per_semitone))
+    f0 = bin_freqs[states].astype(np.float64)
+    f0[~voiced] = np.nan
+    return f0, voiced, voiced_prob
+
+
+def note_to_hz(note: str) -> float:
+    """'C2' → Hz (librosa.note_to_hz for natural notes with octave)."""
+    names = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+    name = note[0].upper()
+    rest = note[1:]
+    semitone = names[name]
+    if rest.startswith("#"):
+        semitone += 1
+        rest = rest[1:]
+    elif rest.startswith("b"):
+        semitone -= 1
+        rest = rest[1:]
+    octave = int(rest)
+    midi = 12 * (octave + 1) + semitone
+    return 440.0 * 2.0 ** ((midi - 69) / 12.0)

@@ -1,0 +1,164 @@
+"""Spectral feature kernels (librosa.feature.* semantics, JAX).
+
+Each function reproduces the corresponding librosa formula the reference
+calls in ``extract_all_features`` (reference: src/feature_extraction.py:5-96)
+and runs as batched device code: one STFT feeds every spectral statistic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adx_tpu.ops.db import power_to_db
+from adx_tpu.ops.mel import fft_frequencies, melspectrogram
+from adx_tpu.ops.stft import frame_signal, stft
+
+
+def rms_from_audio(
+    y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512
+) -> jnp.ndarray:
+    """Frame RMS with center padding (librosa.feature.rms(y=...))."""
+    pad = [(0, 0)] * (y.ndim - 1) + [(frame_length // 2, frame_length // 2)]
+    yp = jnp.pad(y, pad)
+    frames = frame_signal(yp, frame_length, hop_length)
+    return jnp.sqrt(jnp.mean(frames**2, axis=-1))
+
+
+def rms_from_spectrogram(S_mag: jnp.ndarray, n_fft: Optional[int] = None) -> jnp.ndarray:
+    """Frame RMS from a magnitude spectrogram (librosa.feature.rms(S=...)):
+    Parseval with DC/Nyquist halving."""
+    n_fft = n_fft or 2 * (S_mag.shape[-2] - 1)
+    power = S_mag.astype(jnp.float32) ** 2
+    power = power.at[..., 0, :].mul(0.5)
+    if n_fft % 2 == 0:
+        power = power.at[..., -1, :].mul(0.5)
+    return jnp.sqrt(2.0 * jnp.sum(power, axis=-2) / n_fft**2)
+
+
+def zero_crossing_rate(
+    y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512, threshold: float = 1e-10
+) -> jnp.ndarray:
+    """librosa.feature.zero_crossing_rate: edge-padded frames, mean of
+    sign-change indicators (tiny values clamped to +0)."""
+    pad = [(0, 0)] * (y.ndim - 1) + [(frame_length // 2, frame_length // 2)]
+    yp = jnp.pad(y, pad, mode="edge")
+    yc = jnp.where(jnp.abs(yp) <= threshold, 0.0, yp)
+    sign = yc >= 0  # librosa: zeros count as positive
+    crossings = sign[..., 1:] != sign[..., :-1]
+    crossings = jnp.concatenate(
+        [jnp.zeros((*crossings.shape[:-1], 1), bool), crossings], axis=-1
+    )
+    frames = frame_signal(crossings.astype(jnp.float32), frame_length, hop_length)
+    return jnp.mean(frames, axis=-1)
+
+
+def spectral_centroid(S_mag: jnp.ndarray, sr: int, n_fft: int) -> jnp.ndarray:
+    freqs = jnp.asarray(fft_frequencies(sr, n_fft), jnp.float32)
+    norm = jnp.sum(S_mag, axis=-2) + 1e-10
+    return jnp.einsum("f,...ft->...t", freqs, S_mag) / norm
+
+
+def spectral_bandwidth(S_mag: jnp.ndarray, sr: int, n_fft: int, p: float = 2.0) -> jnp.ndarray:
+    freqs = jnp.asarray(fft_frequencies(sr, n_fft), jnp.float32)
+    centroid = spectral_centroid(S_mag, sr, n_fft)
+    # librosa normalizes S columns to sum 1 before the deviation average
+    Sn = S_mag / (jnp.sum(S_mag, axis=-2, keepdims=True) + 1e-10)
+    dev = jnp.abs(freqs[:, None] - centroid[..., None, :]) ** p
+    return jnp.sum(Sn * dev, axis=-2) ** (1.0 / p)
+
+
+def spectral_rolloff(S_mag: jnp.ndarray, sr: int, n_fft: int, roll_percent: float = 0.85) -> jnp.ndarray:
+    freqs = jnp.asarray(fft_frequencies(sr, n_fft), jnp.float32)
+    total = jnp.cumsum(S_mag, axis=-2)
+    threshold = roll_percent * total[..., -1:, :]
+    above = total >= threshold
+    # first bin meeting the threshold (librosa: nanmin of freqs where cum >= thr)
+    idx = jnp.argmax(above, axis=-2)
+    return freqs[idx]
+
+
+def spectral_flatness(S_mag: jnp.ndarray, amin: float = 1e-10, power: float = 2.0) -> jnp.ndarray:
+    Sp = jnp.maximum(S_mag, amin) ** power
+    gmean = jnp.exp(jnp.mean(jnp.log(Sp), axis=-2))
+    amean = jnp.mean(Sp, axis=-2)
+    return gmean / amean
+
+
+def spectral_contrast(
+    S_mag: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    fmin: float = 200.0,
+    n_bands: int = 6,
+    quantile: float = 0.02,
+    linear: bool = False,
+) -> jnp.ndarray:
+    """librosa.feature.spectral_contrast: per-octave-band peak − valley in dB.
+
+    Returns ``[..., n_bands + 1, T]``.
+    """
+    freqs = fft_frequencies(sr, n_fft)
+    octa = np.zeros(n_bands + 2)
+    octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
+
+    rows = []
+    for k in range(n_bands + 1):
+        f_low, f_high = octa[k], octa[k + 1]
+        current = (freqs >= f_low) & (freqs <= f_high)
+        idx = np.flatnonzero(current)
+        if len(idx) == 0:
+            idx = np.array([0])
+        sub = S_mag[..., idx, :]
+        n = len(idx)
+        n_q = int(np.maximum(np.rint(quantile * n), 1))
+        sorted_sub = jnp.sort(sub, axis=-2)
+        valley = jnp.mean(sorted_sub[..., :n_q, :], axis=-2)
+        peak = jnp.mean(sorted_sub[..., -n_q:, :], axis=-2)
+        if linear:
+            rows.append(peak - valley)
+        else:
+            rows.append(
+                power_to_db(jnp.maximum(peak, 1e-10) ** 2, ref=1.0, top_db=None)
+                - power_to_db(jnp.maximum(valley, 1e-10) ** 2, ref=1.0, top_db=None)
+            )
+    return jnp.stack(rows, axis=-2)
+
+
+def hpss(
+    S_mag: jnp.ndarray, kernel_harm: int = 31, kernel_perc: int = 31, power: float = 2.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Median-filtering harmonic/percussive soft masks (librosa.decompose.hpss).
+
+    Returns (harmonic_mask, percussive_mask); multiply with the complex S
+    and invert for librosa.effects.harmonic/percussive equivalents.
+    """
+    def rolling_median(x, size, axis):
+        shifts = range(-(size // 2), size // 2 + 1)
+        stacked = jnp.stack([jnp.roll(x, s, axis) for s in shifts], axis=0)
+        return jnp.median(stacked, axis=0)
+
+    H = rolling_median(S_mag, kernel_harm, axis=-1)
+    P = rolling_median(S_mag, kernel_perc, axis=-2)
+    Hp = H**power
+    Pp = P**power
+    total = Hp + Pp
+    mask_h = jnp.where(total > 0, Hp / jnp.where(total > 0, total, 1.0), 0.5)
+    return mask_h, 1.0 - mask_h
+
+
+def onset_strength(
+    y: jnp.ndarray, sr: int, n_fft: int = 2048, hop_length: int = 512, n_mels: int = 128
+) -> jnp.ndarray:
+    """librosa.onset.onset_strength: mel-dB spectral flux (positive part,
+    mean over bands, lag-1 reference)."""
+    M = melspectrogram(y, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels)
+    S_db = power_to_db(M, ref="max")
+    diff = S_db[..., :, 1:] - S_db[..., :, :-1]
+    flux = jnp.mean(jnp.maximum(0.0, diff), axis=-2)
+    pad = [(0, 0)] * (flux.ndim - 1) + [(1, 0)]
+    return jnp.pad(flux, pad)

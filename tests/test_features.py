@@ -1,0 +1,162 @@
+"""Feature pipeline tests: physical correctness of each extractor and the
+reference dict schema."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from adx_tpu.features.extraction import (
+    compute_hnr,
+    compute_jitter_extended,
+    compute_rhythm_stats,
+    compute_shimmer_extended,
+    detect_breaths,
+    detect_voice_breaks,
+    extract_all_features,
+)
+from adx_tpu.features.pyin import note_to_hz, pyin
+from adx_tpu.features import spectral as sp
+from adx_tpu.ops.stft import stft
+
+SR = 22050
+
+
+def test_note_to_hz():
+    assert note_to_hz("A4") == pytest.approx(440.0)
+    assert note_to_hz("C2") == pytest.approx(65.406, abs=0.01)
+    assert note_to_hz("C7") == pytest.approx(2093.0, abs=0.1)
+
+
+def test_pyin_recovers_sine_frequency():
+    t = np.arange(SR) / SR  # 1 s
+    for f0_true in [110.0, 220.0, 440.0]:
+        y = np.sin(2 * np.pi * f0_true * t).astype(np.float32)
+        f0, voiced, vprob = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"), sr=SR)
+        est = np.nanmedian(f0)
+        assert abs(est - f0_true) / f0_true < 0.02, (f0_true, est)
+        assert voiced.mean() > 0.8
+
+
+def test_pyin_silence_is_unvoiced():
+    y = 1e-6 * np.random.default_rng(0).standard_normal(SR).astype(np.float32)
+    f0, voiced, vprob = pyin(y, fmin=65.0, fmax=2000.0, sr=SR)
+    assert voiced.mean() < 0.2
+    assert np.mean(vprob) < 0.3
+
+
+def test_spectral_centroid_of_tone():
+    t = np.arange(SR) / SR
+    y = np.sin(2 * np.pi * 2000.0 * t).astype(np.float32)
+    S = jnp.abs(stft(jnp.asarray(y), n_fft=2048, hop_length=512))
+    cent = np.asarray(sp.spectral_centroid(S, SR, 2048))
+    assert abs(np.median(cent) - 2000.0) < 50.0
+
+
+def test_spectral_rolloff_ordering():
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(SR).astype(np.float32)
+    S = jnp.abs(stft(jnp.asarray(y), n_fft=2048, hop_length=512))
+    r01 = np.median(np.asarray(sp.spectral_rolloff(S, SR, 2048, 0.01)))
+    r85 = np.median(np.asarray(sp.spectral_rolloff(S, SR, 2048, 0.85)))
+    r99 = np.median(np.asarray(sp.spectral_rolloff(S, SR, 2048, 0.99)))
+    assert r01 < r85 < r99
+    # white noise: 85% rolloff near 85% of Nyquist
+    assert abs(r85 - 0.85 * SR / 2) < 0.1 * SR / 2
+
+
+def test_spectral_flatness_range():
+    t = np.arange(SR) / SR
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    noise = np.random.default_rng(1).standard_normal(SR).astype(np.float32)
+    S_tone = jnp.abs(stft(jnp.asarray(tone), n_fft=2048, hop_length=512))
+    S_noise = jnp.abs(stft(jnp.asarray(noise), n_fft=2048, hop_length=512))
+    f_tone = float(np.median(np.asarray(sp.spectral_flatness(S_tone))))
+    f_noise = float(np.median(np.asarray(sp.spectral_flatness(S_noise))))
+    assert f_tone < 0.01 < f_noise
+
+
+def test_rms_spec_approximates_rms_wave():
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal(4 * 2048).astype(np.float32)
+    yj = jnp.asarray(y)
+    rw = np.asarray(sp.rms_from_audio(yj))
+    S = jnp.abs(stft(yj, n_fft=2048, hop_length=512))
+    rs = np.asarray(sp.rms_from_spectrogram(S))
+    # Parseval with hann windowing: spectrogram RMS ≈ sqrt(mean(win²)) × wave
+    # RMS = sqrt(0.375) × (same caveat as librosa's docs)
+    scale = np.sqrt(0.375)
+    np.testing.assert_allclose(rs[4 : len(rw) - 4], scale * rw[4:-4], rtol=0.1)
+
+
+def test_hnr_separates_tone_from_noise():
+    t = np.arange(2 * SR) / SR
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    noise = 0.5 * np.random.default_rng(3).standard_normal(2 * SR).astype(np.float32)
+    assert compute_hnr(tone, SR) > compute_hnr(noise, SR) + 5.0
+
+
+def test_rhythm_tempo_of_click_track():
+    sr = SR
+    bpm_true = 120.0
+    n = 8 * sr
+    y = np.zeros(n, dtype=np.float32)
+    period = int(sr * 60 / bpm_true)
+    for i in range(0, n - 200, period):
+        y[i : i + 200] += np.hanning(200).astype(np.float32)
+    stats = compute_rhythm_stats(y, sr)
+    assert abs(stats["tempo_bpm"] - bpm_true) < 6.0
+    assert set(stats) == {"tempo_bpm", "avg_onset_strength", "max_onset_strength"}
+
+
+def test_breaths_and_voice_breaks():
+    sr = SR
+    seg = np.sin(2 * np.pi * 300 * np.arange(sr // 2) / sr).astype(np.float32)
+    silence = np.zeros(sr // 2, dtype=np.float32)
+    y = np.concatenate([seg, silence, seg, silence, seg])
+    assert detect_breaths(y, sr) >= 2
+    assert detect_voice_breaks(y, sr) >= 2
+    assert detect_breaths(np.ones(sr, np.float32), sr) == 0
+
+
+def test_jitter_shimmer_on_modulated_tone():
+    sr = SR
+    t = np.arange(2 * sr) / sr
+    # vibrato + tremolo → nonzero jitter/shimmer
+    f_inst = 220.0 * (1 + 0.02 * np.sin(2 * np.pi * 5 * t))
+    phase = 2 * np.pi * np.cumsum(f_inst) / sr
+    y = ((1 + 0.2 * np.sin(2 * np.pi * 3 * t)) * np.sin(phase)).astype(np.float32)
+    j = compute_jitter_extended(y, sr)
+    s = compute_shimmer_extended(y, sr)
+    assert set(j) == {
+        "jitter_local", "jitter_rap", "jitter_ppq5",
+        "jitter_mean_absolute_ms", "jitter_std", "jitter_range",
+    }
+    assert set(s) == {
+        "shimmer_local", "shimmer_apq3", "shimmer_apq5",
+        "shimmer_dB", "shimmer_std", "shimmer_range",
+    }
+    assert s["shimmer_local"] > 0.5  # tremolo is visible
+
+
+def test_extract_all_features_schema():
+    sr = SR
+    t = np.arange(sr) / sr
+    y = (np.sin(2 * np.pi * 220 * t) * (1 + 0.1 * np.sin(2 * np.pi * 2 * t))).astype(np.float32)
+    feats = extract_all_features(y, sr)
+    expected_keys = {
+        "duration", "rms_wave", "rms_spec", "zero_crossing_rate",
+        "spectral_centroid", "spectral_bandwidth",
+        "spectral_rolloff_1", "spectral_rolloff_85", "spectral_rolloff_99",
+        "spectral_contrast", "spectral_flatness", "f0", "jitter", "shimmer",
+        "hnr", "breath_count", "intonation_pattern", "voice_breaks", "rhythm_stats",
+    }
+    assert set(feats) == expected_keys
+    for k in ("rms_wave", "rms_spec", "spectral_centroid", "spectral_bandwidth",
+              "spectral_contrast", "spectral_flatness", "f0"):
+        assert set(feats[k]) == {"min", "mean", "std", "max"}, k
+    assert feats["duration"] == pytest.approx(1.0)
+    assert feats["f0"]["mean"] == pytest.approx(220.0, rel=0.05)
+    assert feats["intonation_pattern"] == {
+        "pitch_variability": feats["intonation_pattern"]["pitch_variability"]
+    }
