@@ -1,0 +1,78 @@
+"""Prediction pipeline tests: predictions.json schema + visualization outputs."""
+
+import json
+
+import numpy as np
+import pytest
+
+from adx_tpu.io.audio_io import write_wav
+from adx_tpu.predict import LocalSonics
+from adx_tpu.predictions import run_sonics_predictions
+
+SR = 8000
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return LocalSonics.from_pretrained("tiny", max_batch=8)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory, rng):
+    root = tmp_path_factory.mktemp("PredMini")
+    n = SR // 2
+    t = np.arange(n) / SR
+    for model in ["REAL", "SUNO"]:
+        for i in range(3):
+            y = 0.3 * np.sin(2 * np.pi * (150 + 90 * i) * t) + 0.02 * rng.standard_normal(n)
+            write_wav(root / model / f"tune {i}!.wav", y.astype(np.float32), SR)
+    return root
+
+
+def test_run_sonics_predictions_schema(predictor, dataset, tmp_path):
+    out = tmp_path / "predictions.json"
+    results = run_sonics_predictions(
+        predictor, dataset_path=dataset, explanations_path=str(out), sample_rate=SR
+    )
+    data = json.loads(out.read_text())
+    assert set(data) == {"REAL", "SUNO"}
+    # keys are sanitized stems (reference: re.sub non-alnum → '_')
+    assert "tune_0_" in data["REAL"]
+    entry = data["REAL"]["tune_0_"]
+    assert set(entry) == {
+        "file_path", "model", "track_stem", "prediction",
+        "predicted_class", "track_source",
+    }
+    assert entry["track_source"] == "Real"
+    assert data["SUNO"]["tune_0_"]["track_source"] == "Fake"
+    assert entry["predicted_class"] in ("Real", "Fake")
+    assert 0.0 <= entry["prediction"] <= 1.0
+    assert results == data
+
+
+def test_prediction_visualizations(predictor, dataset, tmp_path):
+    from adx_tpu.viz.predictions_viz import (
+        load_predictions,
+        plot_confusion_matrices,
+        plot_metrics_table,
+        plot_model_predictions_lines,
+        plot_threshold_curves,
+    )
+
+    out = tmp_path / "predictions.json"
+    run_sonics_predictions(predictor, dataset_path=dataset, explanations_path=str(out), sample_rate=SR)
+    df = load_predictions(out)
+    assert len(df) == 6
+    assert set(df["true_binary"].unique()) <= {0, 1}
+
+    models = ["REAL", "SUNO"]
+    colors = {"REAL": "#1f77b4", "SUNO": "#2ca02c"}
+    viz = tmp_path / "viz"
+    plot_model_predictions_lines(df, models, colors, viz)
+    plot_confusion_matrices(df, models, colors, viz)
+    plot_metrics_table(df, models, viz)
+    plot_threshold_curves(df, models, colors, viz)
+    assert (viz / "model_predictions_clean" / "predictions_lines.png").exists()
+    assert (viz / "confusion_matrices" / "confusion_matrices.png").exists()
+    assert (viz / "metrics" / "performance_metrics.png").exists()
+    assert (viz / "threshold_curves" / "fake_share_vs_threshold_professional.png").exists()
