@@ -1,0 +1,162 @@
+"""Data-prep pipeline driver — the notebook's cells 6-8 as a proper module.
+
+Output taxonomy (exactly what the cross-run ``extract_run_label`` parsers
+expect — SURVEY.md §2.5):
+``OUT_ROOT/minus{14,23}/{base,mp3_192,resample22k,noise_snr30,reverb_room}/
+GROUP/.../stem.wav``, 16-bit WAV with TPDF dither, all arms re-normalized to
+−14 LUFS post-degradation, plus ``pipeline_log.csv`` telemetry.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from adx_tpu.dataprep.degrade import (
+    degrade_add_noise,
+    degrade_mp3_roundtrip,
+    degrade_resample,
+    degrade_reverb_synthetic,
+)
+from adx_tpu.dataprep.loudness import normalize_to_lufs_with_tp, tpdf_dither
+from adx_tpu.io.audio_io import load_audio, write_wav
+
+AUDIO_EXTS = {".mp3", ".wav", ".flac", ".m4a", ".aac", ".ogg"}
+BASE_TARGETS_LUFS = [-14.0, -23.0]
+POST_DEGRAD_TARGET_LUFS = -14.0
+TRUE_PEAK_LIMIT_DBTP = -1.0
+OVERSAMPLE_TP = 4
+KNOWN_GROUPS = ["REAL", "SUNO_PRO", "SUNO", "UDIO", "ElevenLabs"]
+
+ARMS = {
+    "mp3_192": lambda y, sr: degrade_mp3_roundtrip(y, sr, bitrate="192k"),
+    "resample22k": lambda y, sr: degrade_resample(y, sr, down_sr=22050)[0],
+    "noise_snr30": lambda y, sr: degrade_add_noise(y, snr_db=30),
+    "reverb_room": lambda y, sr: degrade_reverb_synthetic(y, sr, rt60=0.6, mix=0.15),
+}
+
+
+def find_audio_files(paths: List[str]) -> List[Path]:
+    files = []
+    for p in paths:
+        path = Path(p)
+        if path.is_file() and path.suffix.lower() in AUDIO_EXTS:
+            files.append(path)
+        elif path.is_dir():
+            files.extend(
+                fp for fp in sorted(path.rglob("*")) if fp.suffix.lower() in AUDIO_EXTS
+            )
+    return files
+
+
+def infer_group_from_path(fp: Path) -> str:
+    s = str(fp).replace("\\", "/").lower()
+    for g in KNOWN_GROUPS:
+        if f"/{g.lower()}/" in s:
+            return g
+    return "UNKNOWN"
+
+
+def _save_16bit(out_dir: Path, name: str, y: np.ndarray, sr: int, dither: bool = True) -> Path:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out = out_dir / (Path(name).stem + ".wav")
+    y_out = tpdf_dither(y, 16) if dither else y
+    write_wav(out, np.clip(y_out, -1.0, 1.0), sr)
+    return out
+
+
+def audio_inventory(paths: List[str], out_csv: Optional[Path] = None):
+    """Per-file sr / duration / LUFS inventory (notebook cells 0-4)."""
+    import pandas as pd
+
+    from adx_tpu.dataprep.loudness import integrated_lufs, to_mono, true_peak_dbtp
+
+    rows = []
+    for fp in find_audio_files(paths):
+        try:
+            y, sr = load_audio(fp, sr=None, mono=False)
+            mono = to_mono(y if y.ndim > 1 else y)
+            rows.append(
+                {
+                    "file_path": str(fp),
+                    "group": infer_group_from_path(fp),
+                    "sr": sr,
+                    "duration_s": mono.shape[-1] / sr,
+                    "lufs": integrated_lufs(mono, sr),
+                    "true_peak_dbtp": true_peak_dbtp(mono, sr),
+                }
+            )
+        except Exception as e:  # noqa: BLE001 — inventory keeps going
+            rows.append({"file_path": str(fp), "error": str(e)})
+    df = pd.DataFrame(rows)
+    if out_csv is not None:
+        Path(out_csv).parent.mkdir(parents=True, exist_ok=True)
+        df.to_csv(out_csv, index=False)
+        print(f"[INFO] Inventory saved: {out_csv}")
+    return df
+
+
+def process_file(
+    fp: Path,
+    out_root: Path,
+    sr: int = 44100,
+    arms: Optional[List[str]] = None,
+) -> List[Dict[str, Any]]:
+    """Base normalization at −14/−23 LUFS plus the enabled degradation arms."""
+    arms = list(ARMS) if arms is None else arms
+    y, sr = load_audio(fp, sr=sr, mono=True)
+    group = infer_group_from_path(fp)
+    name = fp.name
+    logs = []
+
+    for target in BASE_TARGETS_LUFS:
+        y_base, info = normalize_to_lufs_with_tp(
+            y, sr, target_lufs=target,
+            tp_limit_db=TRUE_PEAK_LIMIT_DBTP, oversample_tp=OVERSAMPLE_TP,
+        )
+        minus = f"minus{abs(int(target))}"
+        out = _save_16bit(out_root / minus / "base" / group, name, y_base, sr)
+        logs.append(
+            {"arm": "base", "base_minus": abs(int(target)), "group": group,
+             "target_lufs": target, "output_path": str(out), "sr": sr,
+             "input_path": str(fp), **info}
+        )
+
+        for arm in arms:
+            y_deg = ARMS[arm](y_base, sr)
+            y_final, info_n = normalize_to_lufs_with_tp(
+                y_deg, sr, target_lufs=POST_DEGRAD_TARGET_LUFS,
+                tp_limit_db=TRUE_PEAK_LIMIT_DBTP, oversample_tp=OVERSAMPLE_TP,
+            )
+            out = _save_16bit(out_root / minus / arm / group, name, y_final, sr)
+            logs.append(
+                {"arm": arm, "base_minus": abs(int(target)), "group": group,
+                 "output_path": str(out), "sr": sr, "input_path": str(fp), **info_n}
+            )
+    return logs
+
+
+def run_pipeline(
+    input_paths: List[str],
+    out_root: str | Path,
+    sr: int = 44100,
+    arms: Optional[List[str]] = None,
+) -> None:
+    import pandas as pd
+
+    files = find_audio_files(input_paths)
+    out_root = Path(out_root)
+    all_logs: List[Dict[str, Any]] = []
+    for fp in files:
+        print(f"[INFO] Processing: {fp}")
+        try:
+            all_logs.extend(process_file(fp, out_root, sr=sr, arms=arms))
+        except Exception as e:  # noqa: BLE001 — per-file resilience
+            print(f"[ERROR] file={fp}, err={e}")
+            all_logs.append({"input_path": str(fp), "error": str(e)})
+    out_root.mkdir(parents=True, exist_ok=True)
+    log_path = out_root / "pipeline_log.csv"
+    pd.DataFrame(all_logs).to_csv(log_path, index=False)
+    print(f"[INFO] Log saved: {log_path} ({len(all_logs)} rows)")

@@ -151,6 +151,52 @@ def hpss(
     return mask_h, 1.0 - mask_h
 
 
+@functools.lru_cache(maxsize=8)
+def _chroma_filterbank_np(sr: int, n_fft: int, n_chroma: int = 12) -> np.ndarray:
+    """Chroma filterbank [n_chroma, 1 + n_fft//2]: wrapped-Gaussian pitch
+    class profiles with octave weighting (librosa.filters.chroma semantics)."""
+    freqs = fft_frequencies(sr, n_fft)[1:]
+    frqbins = n_chroma * np.log2(freqs / (440.0 / 16))  # ref C ~ A440/16
+    frqbins = np.concatenate(([frqbins[0] - 1.5 * n_chroma], frqbins))
+    binwidthbins = np.concatenate((np.maximum(frqbins[1:] - frqbins[:-1], 1.0), [1.0]))
+    D = np.subtract.outer(frqbins, np.arange(0, n_chroma, dtype="d")).T
+    n_chroma2 = np.round(float(n_chroma) / 2)
+    D = np.remainder(D + n_chroma2 + 10 * n_chroma, n_chroma) - n_chroma2
+    wts = np.exp(-0.5 * (2 * D / np.tile(binwidthbins, (n_chroma, 1))) ** 2)
+    wts /= np.sqrt(np.sum(wts**2, axis=0, keepdims=True)) + 1e-12
+    # octave weighting: Gaussian centered at octave 5, width 2
+    ctroct, octwidth = 5.0, 2.0
+    wts *= np.tile(
+        np.exp(-0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)), (n_chroma, 1)
+    )
+    return wts.astype(np.float32)
+
+
+def chroma_stft(y: jnp.ndarray, sr: int, n_fft: int = 2048, hop_length: int = 512,
+                n_chroma: int = 12) -> jnp.ndarray:
+    """Chromagram (librosa.feature.chroma_stft semantics: power spectrogram ×
+    chroma filterbank, max-normalized per frame)."""
+    S = jnp.abs(stft(y, n_fft=n_fft, hop_length=hop_length)) ** 2
+    fb = jnp.asarray(_chroma_filterbank_np(int(sr), int(n_fft), int(n_chroma)))
+    raw = jnp.einsum("cf,...ft->...ct", fb, S)
+    return raw / (jnp.max(raw, axis=-2, keepdims=True) + 1e-10)
+
+
+def mfcc(y: jnp.ndarray, sr: int, n_mfcc: int = 13, n_fft: int = 2048,
+         hop_length: int = 512, n_mels: int = 128) -> jnp.ndarray:
+    """MFCCs: DCT-II (ortho) of the dB mel spectrogram (librosa defaults)."""
+    from adx_tpu.ops.db import power_to_db as _p2db
+
+    M = melspectrogram(y, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels)
+    S_db = _p2db(M, ref=1.0, top_db=None)
+    n = S_db.shape[-2]
+    k = np.arange(n_mfcc)[:, None]
+    m = np.arange(n)[None, :]
+    dct = np.cos(np.pi * k * (2 * m + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    dct[0] /= np.sqrt(2.0)
+    return jnp.einsum("km,...mt->...kt", jnp.asarray(dct, jnp.float32), S_db)
+
+
 def onset_strength(
     y: jnp.ndarray, sr: int, n_fft: int = 2048, hop_length: int = 512, n_mels: int = 128
 ) -> jnp.ndarray:

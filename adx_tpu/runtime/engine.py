@@ -56,6 +56,7 @@ class PerturbationEngine:
         fmax: Optional[float] = None,
         n_iter: int = 256,
         chunk: int = 8,
+        lime_chunk: int = 64,
         profiler: Optional[TimeAggregator] = None,
     ):
         self.predictor = predictor
@@ -69,6 +70,9 @@ class PerturbationEngine:
         self.fmax = fmax if fmax is not None else sr // 2
         self.n_iter = n_iter
         self.chunk = chunk
+        # LIME's stem mixes skip the ISTFT (the memory-heavy stage), so a
+        # much larger chunk amortizes per-dispatch overhead
+        self.lime_chunk = lime_chunk
         self.profiler = profiler or TimeAggregator()
         self.n_samples = int(round(sr * duration))
         self._mask_sharding = batch_sharding(predictor.mesh, 3)
@@ -301,9 +305,9 @@ class PerturbationEngine:
         stems_d = jnp.asarray(stems, jnp.float32)
         out = np.empty((len(mask_rows),), np.float32)
         with self.profiler.section("Predicting audio"):
-            for lo in range(0, len(mask_rows), self.chunk):
-                part = mask_rows[lo : lo + self.chunk]
-                padded, n = pad_batch(np.asarray(part, np.float32), self.chunk)
+            for lo in range(0, len(mask_rows), self.lime_chunk):
+                part = mask_rows[lo : lo + self.lime_chunk]
+                padded, n = pad_batch(np.asarray(part, np.float32), self.lime_chunk)
                 probs = self._stem_mix_probs(stems_d, jnp.asarray(padded))
                 out[lo : lo + n] = np.asarray(probs)[:n]
         self.profiler.count("perturbation_forwards", len(out))

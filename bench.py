@@ -53,7 +53,7 @@ def main():
     )
     engine = PerturbationEngine(
         predictor, sr=SR, duration=DURATION, n_fft=N_FFT, hop_length=HOP,
-        win_length=WIN, spec_type="stft", chunk=8,
+        win_length=WIN, spec_type="stft", chunk=8, lime_chunk=64,
     )
 
     n = int(SR * DURATION)
@@ -74,6 +74,14 @@ def main():
     # benchmarked separately once the UNet weights are converted)
     stems = np.stack([track * w for w in (0.4, 0.3, 0.2, 0.1)]).astype(np.float32)
     lime_rows = lime_mask_batch(jax.random.key(0), LIME_SAMPLES, LIME_STEMS)
+
+    # one-time H2D: the track and stems stay device-resident across stages
+    # (a 21 MB transfer per stage otherwise dominates the short stages)
+    import jax.numpy as jnp
+
+    track = jnp.asarray(track)
+    stems = jnp.asarray(stems)
+    track.block_until_ready()
 
     setup_s = time.time() - t_setup
 

@@ -1,0 +1,145 @@
+"""Data-prep tests: BS.1770 meter calibration, normalization control flow,
+degradation arms, and the output taxonomy."""
+
+import numpy as np
+import pytest
+
+from adx_tpu.dataprep.degrade import (
+    degrade_add_noise,
+    degrade_resample,
+    degrade_reverb_synthetic,
+)
+from adx_tpu.dataprep.loudness import (
+    apply_gain,
+    integrated_lufs,
+    normalize_to_lufs_with_tp,
+    soft_limiter,
+    tpdf_dither,
+    true_peak_dbtp,
+)
+
+SR = 44100
+
+
+def test_integrated_lufs_sine_calibration():
+    """997 Hz sine at −23.01 dBFS RMS must read ≈ −23 LUFS (BS.1770
+    calibration point: the −0.691 offset cancels the K-weighting gain at 1 kHz)."""
+    t = np.arange(10 * SR) / SR
+    y = 0.1 * np.sqrt(2) * np.sin(2 * np.pi * 997.0 * t)  # RMS 0.1 → −20 dBFS
+    lufs = integrated_lufs(y, SR)
+    assert lufs == pytest.approx(-20.0, abs=0.5)
+
+
+def test_integrated_lufs_gain_linearity():
+    rng = np.random.default_rng(0)
+    y = 0.05 * rng.standard_normal(5 * SR)
+    l0 = integrated_lufs(y, SR)
+    l6 = integrated_lufs(apply_gain(y, 6.0), SR)
+    assert l6 - l0 == pytest.approx(6.0, abs=0.1)
+
+
+def test_integrated_lufs_gating_ignores_silence():
+    """Appending silence must not change gated loudness much."""
+    rng = np.random.default_rng(1)
+    y = 0.1 * rng.standard_normal(5 * SR)
+    l_only = integrated_lufs(y, SR)
+    l_padded = integrated_lufs(np.concatenate([y, np.zeros(5 * SR)]), SR)
+    assert abs(l_only - l_padded) < 0.5
+
+
+def test_true_peak_exceeds_sample_peak_for_intersample():
+    # inter-sample peak: tone near Nyquist sampled off-peak
+    t = np.arange(SR) / SR
+    y = 0.8 * np.sin(2 * np.pi * 11025.0 * t + 0.7)
+    tp = true_peak_dbtp(y, SR, oversample=4)
+    sample_peak = 20 * np.log10(np.max(np.abs(y)))
+    assert tp >= sample_peak - 0.1
+
+
+def test_soft_limiter_respects_ceiling():
+    y = np.linspace(-2, 2, 1000)
+    out = soft_limiter(y, ceiling_dbfs=-1.0)
+    ceiling = 10 ** (-1.0 / 20.0)
+    assert np.max(np.abs(out)) <= ceiling + 1e-9
+    # below the knee the signal passes through
+    small = soft_limiter(0.1 * np.ones(10), ceiling_dbfs=-1.0)
+    np.testing.assert_allclose(small, 0.1)
+
+
+def test_normalize_to_lufs_hits_target():
+    rng = np.random.default_rng(2)
+    y = 0.01 * rng.standard_normal(10 * SR)
+    y_norm, info = normalize_to_lufs_with_tp(y, SR, target_lufs=-14.0)
+    assert info["final_lufs"] == pytest.approx(-14.0, abs=0.7)
+    assert info["final_true_peak_dbTP"] <= -1.0 + 0.3
+
+
+def test_tpdf_dither_magnitude():
+    y = np.zeros(10000)
+    out = tpdf_dither(y, 16)
+    q = 1.0 / 2**15
+    assert np.max(np.abs(out)) <= q
+    assert np.std(out) > 0
+    np.testing.assert_array_equal(tpdf_dither(y, 32), y)  # unsupported depth = no-op
+
+
+def test_degrade_resample_bandlimits():
+    t = np.arange(2 * SR) / SR
+    y = (0.3 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 15000 * t)).astype(np.float32)
+    y_deg, sr = degrade_resample(y, SR, down_sr=22050)
+    assert sr == SR and len(y_deg) == len(y)
+    spec = np.abs(np.fft.rfft(y_deg))
+    freqs = np.fft.rfftfreq(len(y_deg), 1 / SR)
+    hi = spec[freqs > 12000].max()
+    lo = spec[np.abs(freqs - 440) < 5].max()
+    assert hi < 0.01 * lo  # 15 kHz content removed by the 22.05 kHz round trip
+
+
+def test_degrade_add_noise_snr():
+    rng = np.random.default_rng(3)
+    t = np.arange(2 * SR) / SR
+    y = (0.3 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+    y_n = degrade_add_noise(y, snr_db=30, rng=rng)
+    noise = y_n - y
+    snr = 20 * np.log10(np.sqrt(np.mean(y**2)) / np.sqrt(np.mean(noise**2)))
+    assert snr == pytest.approx(30.0, abs=1.0)
+
+
+def test_degrade_reverb_adds_tail():
+    y = np.zeros(SR, dtype=np.float32)
+    y[1000] = 1.0  # impulse
+    y_rv = degrade_reverb_synthetic(y, SR, rt60=0.6, mix=0.15)
+    assert len(y_rv) == len(y)
+    # energy after the impulse (the tail) must appear
+    assert np.sum(y_rv[2000:] ** 2) > 1e-4
+    # dry part preserved at (1-mix) scale plus wet onset
+    assert y_rv[1000] == pytest.approx(0.85 + 0.15 * 1.0, abs=0.2)
+
+
+def test_pipeline_output_taxonomy(tmp_path, rng):
+    from adx_tpu.dataprep.pipeline import run_pipeline
+    from adx_tpu.io.audio_io import write_wav
+
+    src = tmp_path / "src" / "REAL"
+    n = SR  # 1 s
+    t = np.arange(n) / SR
+    y = 0.2 * np.sin(2 * np.pi * 220 * t) + 0.01 * rng.standard_normal(n)
+    write_wav(src / "song.wav", y.astype(np.float32), SR)
+
+    out = tmp_path / "out"
+    run_pipeline([str(tmp_path / "src")], out, arms=["resample22k", "noise_snr30"])
+
+    for minus in ("minus14", "minus23"):
+        for arm in ("base", "resample22k", "noise_snr30"):
+            path = out / minus / arm / "REAL" / "song.wav"
+            assert path.exists(), path
+    assert (out / "pipeline_log.csv").exists()
+
+    # run labels derived from these paths round-trip through the comparator
+    from adx_tpu.viz.runs_compare import extract_run_label
+
+    assert extract_run_label(str(out / "minus14" / "base" / "REAL" / "song.wav")) == "m14_base"
+    assert (
+        extract_run_label(str(out / "minus23" / "noise_snr30" / "REAL" / "song.wav"))
+        == "m23_noise_snr30"
+    )
