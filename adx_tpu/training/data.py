@@ -1,0 +1,61 @@
+"""Training data pipeline: the dataset-folder convention (folder name =
+generator label, REAL = 0 / everything else = 1 — SURVEY.md dataset
+convention) turned into fixed-shape batches for the sharded train step."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from adx_tpu.io.audio_io import load_audio
+
+
+def scan_dataset(base_path: str | Path) -> List[Tuple[Path, float]]:
+    """(file, label) pairs: REAL → 0.0, any generator folder → 1.0."""
+    base_path = Path(base_path)
+    items: List[Tuple[Path, float]] = []
+    for folder in sorted(p for p in base_path.iterdir() if p.is_dir()):
+        label = 0.0 if folder.name.lower() == "real" else 1.0
+        for f in sorted(list(folder.glob("*.wav")) + list(folder.glob("*.mp3"))):
+            items.append((f, label))
+    return items
+
+
+def batch_iterator(
+    items: List[Tuple[Path, float]],
+    batch_size: int,
+    n_samples: int,
+    sr: int,
+    input_sr: int = 44100,
+    shuffle: bool = True,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[dict]:
+    """Decode → resample to the model rate → fix length → fixed-shape batches.
+
+    Decoding happens on host while the previous batch trains on device (the
+    natural pipeline from Python's eager loop + JAX async dispatch).
+    """
+    from adx_tpu.ops.audio import resample_poly
+
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(len(items))
+        if shuffle:
+            rng.shuffle(order)
+        for lo in range(0, len(order) - batch_size + 1, batch_size):
+            waves = np.zeros((batch_size, n_samples), np.float32)
+            labels = np.zeros((batch_size,), np.float32)
+            for bi, idx in enumerate(order[lo : lo + batch_size]):
+                path, label = items[idx]
+                y, _ = load_audio(path, sr=input_sr, mono=True)
+                if input_sr != sr:
+                    y = resample_poly(y, input_sr, sr)
+                n = min(len(y), n_samples)
+                waves[bi, :n] = y[:n]
+                labels[bi] = label
+            yield {"wave": waves, "label": labels, "epoch": epoch}
+        epoch += 1
