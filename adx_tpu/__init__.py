@@ -32,6 +32,27 @@ src/dsp_band_ops.py:573-653, src/lime_explainer.py:292-301).
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Lazy top-level API (keeps ``import adx_tpu`` light)."""
+    import importlib
+
+    top = {
+        "LocalSonics": ("adx_tpu.predict", "LocalSonics"),
+        "RemoteSonics": ("adx_tpu.predict", "RemoteSonics"),
+        "PerturbationEngine": ("adx_tpu.runtime.engine", "PerturbationEngine"),
+        "FrequencyBandPerturbation": ("adx_tpu.explainers.fbp", "FrequencyBandPerturbation"),
+        "SpectrogramExplainability": ("adx_tpu.explainers.occlusion", "SpectrogramExplainability"),
+        "run_lime_experiment_safe": ("adx_tpu.explainers.lime_explainer", "run_lime_experiment_safe"),
+        "extract_all_features": ("adx_tpu.features.extraction", "extract_all_features"),
+        "run_sonics_predictions": ("adx_tpu.predictions", "run_sonics_predictions"),
+    }
+    if name in top:
+        module, attr = top[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'adx_tpu' has no attribute {name!r}")
+
+
 import os as _os
 
 # Persistent XLA compilation cache: the experiment drivers re-launch python

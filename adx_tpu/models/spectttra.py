@@ -94,18 +94,22 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from adx_tpu.ops.attention import attend
+
         B, N, D = x.shape
         H = self.num_heads
         head_dim = D // H
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
-        # jax.nn.dot_product_attention lowers to fused attention where
-        # available; layout [B, N, H, Dh]
-        out = jax.nn.dot_product_attention(q, k, v)
+        # Pallas flash attention on TPU for long sequences (SpecTTTra-α at
+        # 44.1 kHz attends over ~3.6k tokens; the XLA path materializes the
+        # [B, H, S, S] scores); jax.nn.dot_product_attention elsewhere.
+        out = attend(q, k, v, use_flash=self.use_flash)
         out = out.reshape(B, N, D)
         return nn.Dense(D, dtype=self.dtype, name="proj")(out)
 
@@ -128,12 +132,14 @@ class Block(nn.Module):
     mlp_ratio: float
     qkv_bias: bool = True
     dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
-            self.dim, self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, self.qkv_bias, dtype=self.dtype,
+            use_flash=self.use_flash, name="attn"
         )(y)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
@@ -198,6 +204,7 @@ class SpecTTTra(nn.Module):
 
     cfg: ModelConfig
     dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
@@ -208,7 +215,7 @@ class SpecTTTra(nn.Module):
         for i in range(m.num_layers):
             x = Block(
                 m.embed_dim, m.num_heads, m.mlp_ratio, m.qkv_bias,
-                dtype=self.dtype, name=f"blocks_{i}",
+                dtype=self.dtype, use_flash=self.use_flash, name=f"blocks_{i}",
             )(x)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
 
@@ -223,10 +230,14 @@ class AudioClassifier(nn.Module):
 
     cfg: ModelConfig
     dtype: Any = jnp.float32
+    use_flash: bool = True  # Pallas flash attention (forward-only; training
+                            # builds the model with use_flash=False)
 
     def setup(self):
         self.frontend = MelFrontend(self.cfg, name="frontend")
-        self.encoder = SpecTTTra(self.cfg, dtype=self.dtype, name="encoder")
+        self.encoder = SpecTTTra(
+            self.cfg, dtype=self.dtype, use_flash=self.use_flash, name="encoder"
+        )
         self.head = nn.Dense(self.cfg.num_classes, name="head")
 
     def classify_spec(self, spec: jnp.ndarray) -> jnp.ndarray:

@@ -131,27 +131,37 @@ class PerturbationEngine:
 
         self._gain_rows_probs = _gain_rows_probs
 
-        @functools.partial(jax.jit, static_argnames=("patch_f", "patch_t", "n_out"))
-        def _occlusion_chunk(S, starts, patch_f: int, patch_t: int, occl_value, n_out: int):
-            """Occlusion inner: zero a [patch_f, patch_t] block per lane.
+        @functools.partial(
+            jax.jit, static_argnames=("patch_f", "patch_t", "n_out", "chunk")
+        )
+        def _occlusion_all(S, starts, patch_f: int, patch_t: int, occl_value,
+                           n_out: int, chunk: int):
+            """Occlusion sweep: ALL patches in ONE program.
 
-            S [F, T] (complex for stft, real for mel); starts [C, 2] as
-            (t_start, f_start); → probs [C]. ``occl_value`` arrives as a
-            real scalar and is cast to S.dtype on device (complex host→
-            device transfers are unsupported on some TPU runtimes).
+            ``starts`` is ``[n_chunks * chunk, 2]`` (host-padded); a
+            ``lax.map`` walks chunk-sized groups so per-chunk buffers (the
+            vmapped [chunk, F, T] spectrograms and ISTFT frames) never
+            coexist, while the whole sweep costs a single dispatch — on the
+            remote-tunneled TPU each dispatch costs ~0.2 s, which dominated
+            the 12-dispatch version. ``occl_value`` arrives as a real scalar
+            and is cast to S.dtype on device (complex host→device transfers
+            are unsupported on some TPU runtimes).
             """
             fill = jnp.full((patch_f, patch_t), occl_value).astype(S.dtype)
 
-            def one(st):
-                t0, f0 = st[0], st[1]
-                S_occ = jax.lax.dynamic_update_slice(S, fill, (f0, t0))
-                return S_occ
+            def chunk_fn(st_chunk):
+                def one(st):
+                    t0, f0 = st[0], st[1]
+                    return jax.lax.dynamic_update_slice(S, fill, (f0, t0))
 
-            S_b = jax.vmap(one)(starts)
-            y_b = _synthesize(S_b, n_out)
-            return eng._forward(y_b)
+                S_b = jax.vmap(one)(st_chunk)
+                y_b = _synthesize(S_b, n_out)
+                return eng._forward(y_b)
 
-        self._occlusion_chunk = _occlusion_chunk
+            probs = jax.lax.map(chunk_fn, starts.reshape(-1, chunk, 2))
+            return probs.reshape(-1)
+
+        self._occlusion_all = _occlusion_all
 
         @functools.partial(jax.jit, static_argnames=("patch_f", "patch_t", "n_out"))
         def _keep_patch_chunk(S, starts, patch_f: int, patch_t: int, n_out: int):
@@ -185,13 +195,41 @@ class PerturbationEngine:
 
         self._rise_chunk = _rise_chunk
 
-        @jax.jit
-        def _stem_mix_probs(stems, mask_rows):
-            """LIME inner: stems [S, n] × binary rows [C, S] → probs [C]."""
-            y_b = jnp.einsum("cs,sn->cn", mask_rows, stems)
-            return eng._forward(y_b)
+        @functools.partial(jax.jit, static_argnames=("chunk", "n_out"))
+        def _rise_scan(S, keys, mask_probability, chunk: int, n_out: int):
+            """All full RISE chunks in ONE program: lax.scan carries the
+            on-device ``Σ mask·p`` accumulator across chunks."""
 
-        self._stem_mix_probs = _stem_mix_probs
+            def body(imp_acc, key):
+                u = jax.random.uniform(
+                    key, (chunk, S.shape[-2], S.shape[-1]), dtype=jnp.float32
+                )
+                masks = (u > (1.0 - mask_probability)).astype(jnp.float32)
+                y_b = _synthesize(S[None] * masks, n_out)
+                probs = eng._forward(y_b)
+                return imp_acc + jnp.sum(masks * probs[:, None, None], axis=0), probs
+
+            imp, probs = jax.lax.scan(body, jnp.zeros(S.shape, jnp.float32), keys)
+            return probs.reshape(-1), imp
+
+        self._rise_scan = _rise_scan
+
+        @functools.partial(jax.jit, static_argnames=("chunk",))
+        def _stem_mix_all(stems, mask_rows, chunk: int):
+            """LIME sweep: ALL masked recombinations in ONE program.
+
+            stems [S, n] × rows [n_chunks * chunk, S]; lax.map over
+            chunk-sized row groups (single dispatch, bounded memory).
+            """
+
+            def chunk_fn(rows):
+                y_b = jnp.einsum("cs,sn->cn", rows, stems)
+                return eng._forward(y_b)
+
+            probs = jax.lax.map(chunk_fn, mask_rows.reshape(-1, chunk, mask_rows.shape[-1]))
+            return probs.reshape(-1)
+
+        self._stem_mix_all = _stem_mix_all
 
         self._baseline_fn = jax.jit(lambda y: eng._forward(y))
 
@@ -259,17 +297,14 @@ class PerturbationEngine:
         n_out: int,
     ) -> np.ndarray:
         """Probabilities for every occlusion patch, chunked."""
-        out = np.empty((len(starts),), np.float32)
         occl = jnp.float32(occlusion_value)
         with self.profiler.section("Computing occlusion map"):
-            for lo in range(0, len(starts), self.chunk):
-                part = starts[lo : lo + self.chunk]
-                padded, n = pad_batch(part, self.chunk)
-                probs = self._occlusion_chunk(
-                    S, jnp.asarray(padded), patch_f, patch_t, occl, n_out
-                )
-                out[lo : lo + n] = np.asarray(probs)[:n]
-        self.profiler.count("perturbation_forwards", len(out))
+            padded, n = pad_batch(np.asarray(starts, np.int32), self.chunk)
+            probs = self._occlusion_all(
+                S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, self.chunk
+            )
+            out = np.asarray(probs)[:n]
+        self.profiler.count("perturbation_forwards", n)
         return out
 
     def rise_map(
@@ -283,34 +318,37 @@ class PerturbationEngine:
         """RISE: returns (probs [n_masks], accumulated Σ mask·p map [F, T])."""
         if key is None:
             key = jax.random.key(0)
-        imp = jnp.zeros(S.shape, jnp.float32)
         probs_all = np.empty((n_masks,), np.float32)
         with self.profiler.section("Computing RISE map"):
-            n_chunks = -(-n_masks // self.chunk)
-            for c in range(n_chunks):
-                sub = jax.random.fold_in(key, c)
-                lo = c * self.chunk
-                hi = min(lo + self.chunk, n_masks)
-                # the final partial chunk compiles once at its exact size so
-                # no surplus mask·p contributions pollute the map
-                probs, imp = self._rise_chunk(
-                    S, sub, jnp.float32(mask_probability), imp, hi - lo, n_out
+            n_full = n_masks // self.chunk
+            rem = n_masks % self.chunk
+            keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(jnp.arange(n_full))
+            if n_full:
+                probs, imp = self._rise_scan(
+                    S, keys, jnp.float32(mask_probability), self.chunk, n_out
                 )
-                probs_all[lo:hi] = np.asarray(probs)
+                probs_all[: n_full * self.chunk] = np.asarray(probs)
+            else:
+                imp = jnp.zeros(S.shape, jnp.float32)
+            if rem:
+                # the remainder runs at its exact size so no surplus mask·p
+                # contributions pollute the map
+                sub = jax.random.fold_in(key, n_full)
+                probs, imp = self._rise_chunk(
+                    S, sub, jnp.float32(mask_probability), imp, rem, n_out
+                )
+                probs_all[n_full * self.chunk :] = np.asarray(probs)
         self.profiler.count("perturbation_forwards", n_masks)
         return probs_all, np.asarray(imp)
 
     def stem_mix_probs(self, stems: np.ndarray, mask_rows: np.ndarray) -> np.ndarray:
         """LIME: probabilities for every masked stem recombination, chunked."""
         stems_d = jnp.asarray(stems, jnp.float32)
-        out = np.empty((len(mask_rows),), np.float32)
         with self.profiler.section("Predicting audio"):
-            for lo in range(0, len(mask_rows), self.lime_chunk):
-                part = mask_rows[lo : lo + self.lime_chunk]
-                padded, n = pad_batch(np.asarray(part, np.float32), self.lime_chunk)
-                probs = self._stem_mix_probs(stems_d, jnp.asarray(padded))
-                out[lo : lo + n] = np.asarray(probs)[:n]
-        self.profiler.count("perturbation_forwards", len(out))
+            padded, n = pad_batch(np.asarray(mask_rows, np.float32), self.lime_chunk)
+            probs = self._stem_mix_all(stems_d, jnp.asarray(padded), self.lime_chunk)
+            out = np.asarray(probs)[:n]
+        self.profiler.count("perturbation_forwards", n)
         return out
 
     def keep_patch_audio(

@@ -64,7 +64,8 @@ def make_train_step(
     ``step_fn(state, waves [B, n_samples], labels [B]) -> (state, loss)``
     with B sharded over 'data' and TP params sharded over 'model'.
     """
-    model = AudioClassifier(cfg, dtype=dtype)
+    # flash attention is forward-only; training uses the XLA attention path
+    model = AudioClassifier(cfg, dtype=dtype, use_flash=False)
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
 
     def loss_fn(params, waves, labels):
