@@ -98,6 +98,41 @@ def audio_inventory(paths: List[str], out_csv: Optional[Path] = None):
     return df
 
 
+def plot_inventory(df, out_dir: Path):
+    """Inventory distribution plots (notebook cells 1-4: per-group LUFS /
+    duration / sample-rate histograms)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df = df[df.get("error").isna()] if "error" in df.columns else df
+    if df.empty:
+        return
+    for col, fname in [("lufs", "lufs_by_group.png"), ("duration_s", "duration_by_group.png")]:
+        if col not in df.columns:
+            continue
+        plt.figure(figsize=(10, 6))
+        sns.boxplot(data=df, x="group", y=col)
+        plt.title(f"{col} per group", fontweight="bold")
+        plt.xticks(rotation=45)
+        plt.grid(axis="y", alpha=0.3)
+        plt.tight_layout()
+        plt.savefig(out_dir / fname, dpi=200, bbox_inches="tight")
+        plt.close()
+    if "sr" in df.columns:
+        plt.figure(figsize=(8, 5))
+        df["sr"].value_counts().plot(kind="bar")
+        plt.title("Sample rates", fontweight="bold")
+        plt.tight_layout()
+        plt.savefig(out_dir / "sample_rates.png", dpi=200, bbox_inches="tight")
+        plt.close()
+    print(f"[INFO] Inventory plots → {out_dir}")
+
+
 def process_file(
     fp: Path,
     out_root: Path,

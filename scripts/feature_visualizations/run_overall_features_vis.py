@@ -113,6 +113,44 @@ def merge_features_and_predictions(features_df, preds_df):
     return merged
 
 
+def plot_features_by_model_line_all(
+    merged_df, output_root,
+    features=("rms_wave_mean", "spectral_centroid_mean", "spectral_flatness_mean", "hnr"),
+):
+    """Per-feature line plots vs track index per model, with the prediction
+    trace on a twin panel (reference: line-plot family,
+    run_overall_features_vis.py:415-574)."""
+    import matplotlib.pyplot as plt
+
+    from adx_tpu.viz.feature_vis_common import BOX_FILL_COLORS, setup_professional_style
+
+    setup_professional_style()
+    out_dir = Path(output_root) / "feature_lines_by_model"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for feat in features:
+        if feat not in merged_df.columns:
+            continue
+        fig, axes = plt.subplots(2, 1, figsize=(14, 8), sharex=True)
+        for model in sorted(merged_df["model"].unique()):
+            mdf = merged_df[merged_df["model"] == model].sort_values("track_stem")
+            x = np.arange(len(mdf))
+            color = BOX_FILL_COLORS.get(model)
+            axes[0].plot(x, mdf["prediction_score"].values, marker="o", label=model, color=color)
+            axes[1].plot(x, mdf[feat].values, marker="s", label=model, color=color)
+        axes[0].set_ylabel("P(fake)")
+        axes[0].axhline(0.5, color="red", ls="--", alpha=0.6)
+        axes[1].set_ylabel(feat)
+        axes[1].set_xlabel("track index")
+        for ax in axes:
+            ax.grid(alpha=0.3)
+        axes[0].legend(bbox_to_anchor=(1.02, 1), loc="upper left", fontsize=9)
+        fig.suptitle(f"Prediction and {feat} per model", fontweight="bold")
+        plt.tight_layout()
+        plt.savefig(out_dir / f"{feat}_lines.png", dpi=200, bbox_inches="tight")
+        plt.close()
+    print(f"Line plots → {out_dir}")
+
+
 def main():
     ap = argparse.ArgumentParser(description="Visualize full-track audio features vs model predictions.")
     ap.add_argument("--config", default=str(ROOT / "configs" / "Features_extraction" / "features_vis.yaml"))
@@ -179,6 +217,8 @@ def main():
             merged_df, output_root, target_col="prediction_score",
             confidence_threshold=viz_cfg.get("confidence_threshold", 0.3),
         )
+    if viz_cfg.get("feature_lines", False):
+        plot_features_by_model_line_all(merged_df, output_root)
 
     print(f"\n✅ All visualizations under {output_root}")
 

@@ -13,7 +13,7 @@ ROOT = Path(__file__).resolve().parents[1]
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
-from adx_tpu.dataprep.pipeline import ARMS, audio_inventory, run_pipeline
+from adx_tpu.dataprep.pipeline import ARMS, audio_inventory, plot_inventory, run_pipeline
 
 
 def main():
@@ -28,10 +28,10 @@ def main():
     ap.add_argument("--inventory-only", action="store_true", help="Only write audio_inventory.csv")
     args = ap.parse_args()
 
+    df = audio_inventory(args.inputs, Path(args.out_root) / "audio_inventory.csv")
+    plot_inventory(df, Path(args.out_root) / "inventory_plots")
     if args.inventory_only:
-        audio_inventory(args.inputs, Path(args.out_root) / "audio_inventory.csv")
         return
-    audio_inventory(args.inputs, Path(args.out_root) / "audio_inventory.csv")
     run_pipeline(args.inputs, args.out_root, sr=args.sr, arms=args.arms)
 
 
