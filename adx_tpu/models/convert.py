@@ -151,6 +151,28 @@ def unflatten(flat: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
+def save_params(params, path: str | Path) -> None:
+    """Save a flax param tree as a native orbax checkpoint."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(path).absolute(), jax.device_get(params))
+    ckptr.wait_until_finished()
+
+
+def load_native_checkpoint(path: str | Path):
+    """Load a flax param tree saved by ``save_params`` / the trainer."""
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(Path(path).absolute())
+
+
+def is_native_checkpoint(path: str | Path) -> bool:
+    path = Path(path)
+    return any((path / marker).exists() for marker in ("_METADATA", "manifest.ocdbt", "d"))
+
+
 def load_torch_checkpoint(path: str | Path):
     """Load ``(ModelConfig, params)`` from an HF-style checkpoint directory
     containing ``config.json`` and ``pytorch_model.bin`` / ``model.safetensors``."""

@@ -94,7 +94,7 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: Any = jnp.float32
-    use_flash: bool = True
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -132,7 +132,7 @@ class Block(nn.Module):
     mlp_ratio: float
     qkv_bias: bool = True
     dtype: Any = jnp.float32
-    use_flash: bool = True
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -204,7 +204,7 @@ class SpecTTTra(nn.Module):
 
     cfg: ModelConfig
     dtype: Any = jnp.float32
-    use_flash: bool = True
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
@@ -230,8 +230,11 @@ class AudioClassifier(nn.Module):
 
     cfg: ModelConfig
     dtype: Any = jnp.float32
-    use_flash: bool = True  # Pallas flash attention (forward-only; training
-                            # builds the model with use_flash=False)
+    # Pallas flash attention is available but OFF by default: measured
+    # in-context on v5e it is slower than XLA's fused attention at
+    # SpecTTTra's shapes (head dim 64 under-fills the 128-wide MXU);
+    # full-explain p50 8.2 s with flash vs 6.1 s without. Forward-only.
+    use_flash: bool = False
 
     def setup(self):
         self.frontend = MelFrontend(self.cfg, name="frontend")

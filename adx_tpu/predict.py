@@ -159,10 +159,22 @@ class LocalSonics:
         with seeded random parameters — clearly announced."""
         del device
         if checkpoint_dir is not None and Path(checkpoint_dir).exists():
-            from adx_tpu.models.convert import load_torch_checkpoint
+            from adx_tpu.models.convert import (
+                is_native_checkpoint,
+                load_native_checkpoint,
+                load_torch_checkpoint,
+            )
 
-            cfg, params = load_torch_checkpoint(checkpoint_dir)
-            print(f"📥 Loaded converted checkpoint from {checkpoint_dir}")
+            if is_native_checkpoint(checkpoint_dir):
+                cfg = (
+                    tiny_test_config() if name in ("tiny", "spectttra-tiny")
+                    else resolve_preset(name)
+                )
+                params = load_native_checkpoint(checkpoint_dir)
+                print(f"📥 Loaded native (orbax) checkpoint from {checkpoint_dir}")
+            else:
+                cfg, params = load_torch_checkpoint(checkpoint_dir)
+                print(f"📥 Loaded converted checkpoint from {checkpoint_dir}")
         else:
             if name in ("tiny", "spectttra-tiny"):
                 cfg = tiny_test_config()

@@ -133,6 +133,32 @@ def test_rise_experiment_end_to_end(predictor, dataset, tmp_path):
     assert not (out / "saliency_maps" / "REAL" / "song 0" / "top_windows").exists()
 
 
+def test_occlusion_mel_mode(predictor, dataset, tmp_path):
+    """Mel spectrogram mode: NNLS + Griffin-Lim inversion end-to-end."""
+    expl = make_explainer(
+        predictor, tmp_path, spec_type="mel", n_mels=32, n_iter=2,
+        patch_time_frames=8, stride_time_frames=8,
+        patch_freq_percent=50.0, stride_freq_percent=50.0,
+    )
+    path = next((dataset / "REAL").glob("*.wav"))
+    res = expl._compute_occlusion_map(str(path), baseline_threshold=0.0, verbose=False)
+    assert res.importance_map is not None
+    assert res.importance_map.shape[0] == 32  # mel bins
+    assert np.isfinite(res.importance_map).all()
+
+
+def test_rise_mel_mode(predictor, dataset, tmp_path):
+    expl = make_explainer(
+        predictor, tmp_path, method="rise", spec_type="mel", n_mels=32,
+        n_iter=2, n_masks=4,
+    )
+    path = next((dataset / "REAL").glob("*.wav"))
+    res = expl._compute_rise_map(str(path), baseline_threshold=0.0, verbose=False)
+    assert res.importance_map is not None
+    assert res.importance_map.shape[0] == 32
+    assert 0.0 <= res.importance_map.min() and res.importance_map.max() <= 1.0 + 1e-6
+
+
 def test_baseline_threshold_skips(predictor, dataset, tmp_path):
     expl = make_explainer(predictor, tmp_path)
     out = tmp_path / "outskip"
