@@ -183,8 +183,9 @@ class FrequencyBandPerturbation:
     ) -> Optional[FBDResult]:
         """All bands of one component in a single batched program."""
         eng = self.engine
-        orig_prob = eng.baseline(sig)
-        S, S_db = eng.analyze(sig)
+        # spectrogram + baseline forward fused into one program; S and S_db
+        # stay device-resident (S_db is only pulled to host for the figures)
+        S, S_db, orig_prob = eng.analyze_and_baseline(sig)
 
         probs = eng.fbp_probs(S, sig, self._gains, self.normalize_loudness)
         deltas = [float(orig_prob - p) for p in probs]
@@ -205,7 +206,7 @@ class FrequencyBandPerturbation:
 
         if (self.save_perturbed_audio_only or self.save_reversed_perturbed_audio_only) and audio_root is not None:
             self._export_band_audio(
-                S, sig, deltas, component_name, audio_root, file_name, S_db
+                S, sig, deltas, component_name, audio_root, file_name, np.asarray(S_db)
             )
             print(
                 f"\n[Audio saved only mode] Completed importance computation for "
@@ -215,7 +216,7 @@ class FrequencyBandPerturbation:
 
         return FBDResult(
             importance_map=importance_map,
-            spectrogram_db=S_db,
+            spectrogram_db=np.asarray(S_db),
             baseline_pred=orig_prob,
             y=sig,
             batch_importances=batch_importances,

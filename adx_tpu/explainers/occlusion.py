@@ -128,14 +128,15 @@ class SpectrogramExplainability:
         verbose: bool = True,
     ) -> OcclusionResult:
         y, _ = load_audio(audio_path, sr=self.sr, duration=self.duration, mono=True)
-        S, S_db = self.engine.analyze(y)
-        baseline_pred = self.engine.baseline(y)
+        # spectrogram + baseline fused into one program; S_db pulled to host
+        # lazily (only the figures need it)
+        S, S_db, baseline_pred = self.engine.analyze_and_baseline(y)
         if verbose:
             print(f"    Baseline prediction: {baseline_pred:.4f}")
         if baseline_pred < baseline_threshold:
             if verbose:
                 print(f"    ⏭️  Baseline too low ({baseline_pred:.4f}), skipping...")
-            return OcclusionResult(None, S_db, baseline_pred, y, S, None)
+            return OcclusionResult(None, np.asarray(S_db), baseline_pred, y, S, None)
 
         n_freq, n_time = S_db.shape
         starts, patch_freq, t_patch = occlusion_patch_grid(
@@ -180,21 +181,20 @@ class SpectrogramExplainability:
                 f"    ✅ Completed | Mean importance: {importance_map.mean():.4f}, "
                 f"Max: {importance_map.max():.4f}"
             )
-        return OcclusionResult(importance_map, S_db, baseline_pred, y, S, patch_importances)
+        return OcclusionResult(importance_map, np.asarray(S_db), baseline_pred, y, S, patch_importances)
 
     @timed("Computing RISE map")
     def _compute_rise_map(
         self, audio_path: str, baseline_threshold: float = 0.3, verbose: bool = True
     ) -> RiseResult:
         y, _ = load_audio(audio_path, sr=self.sr, duration=self.duration, mono=True)
-        S, S_db = self.engine.analyze(y)
-        baseline_pred = self.engine.baseline(y)
+        S, S_db, baseline_pred = self.engine.analyze_and_baseline(y)
         if verbose:
             print(f"    Baseline prediction: {baseline_pred:.4f}")
         if baseline_pred < baseline_threshold:
             if verbose:
                 print(f"    ⏭️  Baseline too low ({baseline_pred:.4f}), skipping...")
-            return RiseResult(None, S_db, baseline_pred, y, S)
+            return RiseResult(None, np.asarray(S_db), baseline_pred, y, S)
 
         n_freq, n_time = S_db.shape
         if verbose:
@@ -214,7 +214,7 @@ class SpectrogramExplainability:
                 f"    ✅ Completed | Mean importance: {importance_map.mean():.4f}, "
                 f"Max: {importance_map.max():.4f}"
             )
-        return RiseResult(importance_map, S_db, baseline_pred, y, S)
+        return RiseResult(importance_map, np.asarray(S_db), baseline_pred, y, S)
 
     # -- top-window export --------------------------------------------------
 

@@ -100,6 +100,14 @@ class PerturbationEngine:
 
         self._analyze = _analyze
 
+        @jax.jit
+        def _analyze_baseline(y):
+            S, S_db = _analyze(y)
+            prob = eng._forward(y[None])
+            return S, S_db, prob
+
+        self._analyze_baseline = _analyze_baseline
+
         def _synthesize(S_batch, n_out):
             """Batched spectrogram → audio at the analysis rate."""
             if eng.spec_type == "mel":
@@ -261,12 +269,25 @@ class PerturbationEngine:
     # -- public API ----------------------------------------------------
 
     def analyze(self, y: np.ndarray):
-        """Track → (device spectrogram handle, host S_db). The complex S
-        never leaves the device."""
+        """Track → (device spectrogram handle, S_db device array).
+
+        The complex S never leaves the device, and S_db is returned as a
+        device array too — its 40 MB host transfer costs ~1 s over tunneled
+        runtimes, so callers convert with ``np.asarray`` only when they
+        actually plot/accumulate on host (``.shape`` is free).
+        """
         with self.profiler.section("Computing spectrogram"):
             S, S_db = self._analyze(jnp.asarray(y, jnp.float32))
             S.block_until_ready()
-        return S, np.asarray(S_db)
+        return S, S_db
+
+    def analyze_and_baseline(self, y: np.ndarray):
+        """(S, S_db device arrays, baseline prob) in ONE program/dispatch."""
+        with self.profiler.section("Computing spectrogram"):
+            S, S_db, prob = self._analyze_baseline(jnp.asarray(y, jnp.float32))
+            S.block_until_ready()
+        self.profiler.count("perturbation_forwards", 1)
+        return S, S_db, float(np.asarray(prob)[0])
 
     def baseline(self, y: np.ndarray) -> float:
         with self.profiler.section("Predicting audio"):

@@ -88,8 +88,9 @@ def main():
     def full_explain():
         stage = {}
         t0 = time.time()
-        S, _ = engine.analyze(track)
-        base = engine.baseline(track)
+        # spectrogram + baseline forward fused into one dispatch; S and S_db
+        # stay device-resident
+        S, _S_db, base = engine.analyze_and_baseline(track)
         stage["analyze_baseline"] = time.time() - t0
 
         t0 = time.time()
