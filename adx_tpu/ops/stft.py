@@ -243,6 +243,10 @@ def griffin_lim(
         2j * jnp.pi * jax.random.uniform(key, S_mag.shape, dtype=jnp.float32)
     )
     S_mag = S_mag.astype(jnp.float32)
+    # tie the loop carry's type to S_mag: under shard_map the random init is
+    # replicated while the body output varies per shard, and fori_loop
+    # requires matching varying-manual-axes on the carry
+    phase = phase + jnp.zeros_like(S_mag, dtype=jnp.complex64)
 
     def body(_, carry):
         angles, tprev = carry

@@ -311,6 +311,52 @@ class PerturbationEngine:
 
         self._masked_db = _masked_db
 
+        # ---- multi-chip variants: DP over the perturbation batch --------
+        # (SURVEY.md §2.6: the mask axis shards over the 1-D mesh; the only
+        # collective is the implicit all-gather of per-mask scalars)
+        n_dev = int(predictor.mesh.devices.size)
+        self.n_devices = n_dev
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+
+            mesh = predictor.mesh
+            axis = mesh.axis_names[0]
+
+            def _occ_local(S, starts_local, patch_f, patch_t, occl_value, n_out, chunk):
+                return _occlusion_all(
+                    S, starts_local, patch_f, patch_t, occl_value, n_out, chunk
+                )
+
+            @functools.partial(
+                jax.jit, static_argnames=("patch_f", "patch_t", "n_out", "chunk")
+            )
+            def _occlusion_sharded(S, starts, patch_f, patch_t, occl_value, n_out, chunk):
+                fn = shard_map(
+                    functools.partial(
+                        _occ_local, patch_f=patch_f, patch_t=patch_t,
+                        occl_value=occl_value, n_out=n_out, chunk=chunk,
+                    ),
+                    mesh=mesh,
+                    in_specs=(P(), P(axis, None)),
+                    out_specs=P(axis),
+                )
+                return fn(S, starts)
+
+            self._occlusion_sharded = _occlusion_sharded
+
+            @functools.partial(jax.jit, static_argnames=("chunk",))
+            def _stem_mix_sharded(stems, mask_rows, chunk):
+                fn = shard_map(
+                    functools.partial(_stem_mix_all, chunk=chunk),
+                    mesh=mesh,
+                    in_specs=(P(), P(axis, None)),
+                    out_specs=P(axis),
+                )
+                return fn(stems, mask_rows)
+
+            self._stem_mix_sharded = _stem_mix_sharded
+
     # ------------------------------------------------------------------
 
     def _forward(self, y_batch: jnp.ndarray) -> jnp.ndarray:
@@ -381,10 +427,19 @@ class PerturbationEngine:
         """Probabilities for every occlusion patch, chunked."""
         occl = jnp.float32(occlusion_value)
         with self.profiler.section("Computing occlusion map"):
-            padded, n = pad_batch(np.asarray(starts, np.int32), self.chunk)
-            probs = self._occlusion_all(
-                S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, self.chunk
-            )
+            if self.n_devices > 1:
+                # DP: pad the patch axis to n_devices × chunk and shard it
+                padded, n = pad_batch(
+                    np.asarray(starts, np.int32), self.n_devices * self.chunk
+                )
+                probs = self._occlusion_sharded(
+                    S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, self.chunk
+                )
+            else:
+                padded, n = pad_batch(np.asarray(starts, np.int32), self.chunk)
+                probs = self._occlusion_all(
+                    S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, self.chunk
+                )
             out = np.asarray(probs)[:n]
         self.profiler.count("perturbation_forwards", n)
         return out
@@ -427,8 +482,14 @@ class PerturbationEngine:
         """LIME: probabilities for every masked stem recombination, chunked."""
         stems_d = jnp.asarray(stems, jnp.float32)
         with self.profiler.section("Predicting audio"):
-            padded, n = pad_batch(np.asarray(mask_rows, np.float32), self.lime_chunk)
-            probs = self._stem_mix_all(stems_d, jnp.asarray(padded), self.lime_chunk)
+            if self.n_devices > 1:
+                padded, n = pad_batch(
+                    np.asarray(mask_rows, np.float32), self.n_devices * self.lime_chunk
+                )
+                probs = self._stem_mix_sharded(stems_d, jnp.asarray(padded), self.lime_chunk)
+            else:
+                padded, n = pad_batch(np.asarray(mask_rows, np.float32), self.lime_chunk)
+                probs = self._stem_mix_all(stems_d, jnp.asarray(padded), self.lime_chunk)
             out = np.asarray(probs)[:n]
         self.profiler.count("perturbation_forwards", n)
         return out
