@@ -26,37 +26,50 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, valid_len: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, D]
-    block_q, d = q.shape
-    seq_len = k_ref.shape[1]
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int, valid_len: int, scale: float
+):
+    """One grid step = one (batch·head): K/V are DMA'd into VMEM ONCE and
+    both the q-block and k-block loops run inside the kernel (a grid over
+    q-blocks would refetch the full K/V per q-block — 28× more HBM traffic
+    at SpecTTTra's 3.6k tokens)."""
+    seq_len, d = q_ref.shape[1], q_ref.shape[2]
+    n_qb = seq_len // block_q
     n_kb = seq_len // block_k
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)  # [block_k, D]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_k]
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < valid_len, s, _NEG_INF)
+    def q_body(qb, _):
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * scale
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc, m_new, l_new
+        def body(kb, carry):
+            acc, m_prev, l_prev = carry
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [block_q, block_k]
+            col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, _NEG_INF)
 
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+        m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc, _m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+        o_ref[0, pl.ds(qb * block_q, block_q), :] = (
+            acc / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_qb, q_body, 0)
 
 
 @functools.partial(
@@ -85,19 +98,20 @@ def flash_attention(
     kf = k.reshape(B * H, S, D)
     vf = v.reshape(B * H, S, D)
 
-    grid = (B * H, S // block_q)
+    grid = (B * H,)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, block_k=block_k, valid_len=valid_len, scale=scale
+            _flash_kernel, block_q=block_q, block_k=block_k,
+            valid_len=valid_len, scale=scale,
         ),
         out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, S, D), lambda b: (b, 0, 0)),
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(B, H, S, D)

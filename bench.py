@@ -40,6 +40,15 @@ REPEATS = 3
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Full-explain benchmark (prints one JSON line)")
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="Capture a jax.profiler trace of one measured iteration into DIR",
+    )
+    cli = ap.parse_args()
+
     import jax
 
     from adx_tpu.ops import band_gain_matrix, fft_frequencies, occlusion_patch_grid
@@ -116,6 +125,11 @@ def main():
     t0 = time.time()
     warm = full_explain()
     compile_s = time.time() - t0
+
+    if cli.profile:
+        with jax.profiler.trace(cli.profile):
+            full_explain()
+        print(f"# profiler trace written to {cli.profile}", flush=True)
 
     times = []
     for _ in range(REPEATS):

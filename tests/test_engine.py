@@ -133,5 +133,22 @@ def test_stem_mix_probs_match_manual(engine, predictor, track):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_rise_scan_equals_chunked_remainder_path(engine, track):
+    """The scan path (full chunks) and the exact-size remainder path must
+    produce the same stream: n_masks=chunk*k exercises scan only; adding a
+    remainder must keep the first chunk*k probs identical."""
+    import jax
+
+    S, _ = engine.analyze(track)
+    key = jax.random.key(42)
+    p_full, imp_full = engine.rise_map(S, n_masks=8, mask_probability=0.5,
+                                       n_out=len(track), key=key)
+    p_more, imp_more = engine.rise_map(S, n_masks=10, mask_probability=0.5,
+                                       n_out=len(track), key=key)
+    np.testing.assert_allclose(p_more[:8], p_full, atol=1e-6)
+    # the extra 2 masks only ADD to the accumulated map
+    assert imp_more.sum() >= imp_full.sum() - 1e-3
+
+
 def test_profiler_counts_forwards(engine):
     assert engine.profiler.counters.get("perturbation_forwards", 0) > 0
