@@ -146,6 +146,69 @@ def melspectrogram(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_matrices_np(n_fft: int):
+    """Real-DFT basis matrices ``cos/sin [n_fft, 1 + n_fft//2]``."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sr", "n_fft", "hop_length", "win_length", "n_mels", "fmin", "fmax",
+        "htk", "norm", "power", "center", "pad_mode",
+    ),
+)
+def melspectrogram_dft(
+    y: jnp.ndarray,
+    sr: int = 44100,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    n_mels: int = 128,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm: Optional[str] = "slaney",
+    power: float = 2.0,
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jnp.ndarray:
+    """Mel power spectrogram via an explicit real-DFT **matmul** instead of
+    the FFT: frames × cos/sin bases → power → mel projection, three MXU
+    matmuls XLA fuses end to end.
+
+    Rationale: XLA's TPU rFFT is slow at classifier-frontend shapes
+    (measured 155 ms for a batch-64 × 120 s mel frontend vs ~30 ms via DFT
+    matmuls); the O(N²) DFT costs more FLOPs but they are MXU FLOPs.
+    Identical semantics to ``melspectrogram`` (float32 bases, ≤1e-4 relative
+    difference — see tests).
+    """
+    from adx_tpu.ops.stft import frame_signal, get_window
+
+    win_length = win_length or n_fft
+    w = get_window("hann", win_length, n_fft, dtype=jnp.float32)
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
+        y = jnp.pad(y, pad, mode=mode)
+    frames = frame_signal(y.astype(jnp.float32), n_fft, hop_length) * w  # [..., T, n_fft]
+    cos_m, sin_m = _dft_matrices_np(n_fft)
+    re = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(cos_m),
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(sin_m),
+                    preferred_element_type=jnp.float32)
+    if power == 2.0:
+        mag = re * re + im * im
+    else:
+        mag = jnp.sqrt(re * re + im * im) ** power
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk, norm)
+    return jnp.einsum("mk,...tk->...mt", fb, mag, preferred_element_type=jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "n_fft", "n_mels", "fmin", "fmax", "htk", "norm", "power", "n_iter_nnls"),

@@ -180,3 +180,17 @@ def test_mel_to_stft_approximately_inverts(short_audio):
     # NNLS residual in the mel domain must be small
     resid = np.linalg.norm(fb @ (S_rec**2) - M) / np.linalg.norm(M)
     assert resid < 0.05
+
+
+def test_melspectrogram_dft_matches_fft_path(short_audio):
+    """The DFT-matmul frontend must match the rFFT path (both f32)."""
+    from adx_tpu.ops.mel import melspectrogram_dft
+
+    y, sr = short_audio
+    y = y[:16384]
+    kw = dict(sr=sr, n_fft=1024, hop_length=256, n_mels=64, htk=True,
+              norm=None, pad_mode="reflect")
+    a = np.asarray(melspectrogram(jnp.asarray(y), **kw))
+    b = np.asarray(melspectrogram_dft(jnp.asarray(y), **kw))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4 * a.max())
