@@ -17,7 +17,6 @@ published checkpoints additionally requires converting their weights — see
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,6 @@ src/sonics_api.py:88-132).
 from __future__ import annotations
 
 import functools
-import math
 import random
 import time
 from pathlib import Path

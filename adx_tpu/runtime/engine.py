@@ -317,7 +317,7 @@ class PerturbationEngine:
         n_dev = int(predictor.mesh.devices.size)
         self.n_devices = n_dev
         if n_dev > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
 
             mesh = predictor.mesh

@@ -4,7 +4,7 @@ report + confusion heatmap, ROC), rebuilt on the batched JAX predictor."""
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+from typing import Iterable, Tuple
 
 import matplotlib
 

@@ -31,7 +31,6 @@ from adx_tpu.viz.feature_vis_common import (
     TYPE_MAPPING,
     flatten_feature,
     grouped_feature_boxplots,
-    numeric_feature_cols,
     setup_professional_style,
 )
 

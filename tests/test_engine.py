@@ -11,7 +11,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from adx_tpu.models.config import tiny_test_config
 from adx_tpu.ops import (
     band_gain_matrix,
     fft_frequencies,

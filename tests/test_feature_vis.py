@@ -6,13 +6,11 @@ import json
 import sys
 from pathlib import Path
 
-import numpy as np
 import pandas as pd
 import pytest
 
 from adx_tpu.viz.feature_vis_common import (
     assign_feature_group,
-    build_feature_groups,
     comparison_table_suite,
     correlation_heatmap_suite,
     flatten_feature,

@@ -10,7 +10,6 @@ from adx_tpu.ops import (
     amplitude_to_db,
     band_gain_matrix,
     fft_frequencies,
-    griffin_lim,
     lime_mask_batch,
     mel_filterbank,
     mel_to_stft,

@@ -3,9 +3,6 @@ and plot outputs for all four families."""
 
 import json
 
-import numpy as np
-import pytest
-
 from adx_tpu.viz.runs_compare import (
     extract_run_label,
     get_freq_unit,

@@ -2,7 +2,6 @@
 pipeline, eval helpers."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ checkpoint-style parameter names so ``adx_tpu.models.convert`` can be
 validated end-to-end: torch state dict → flax params → identical outputs.
 """
 
-import math
-
 import torch
 import torch.nn as nn
 
