@@ -151,3 +151,13 @@ def test_magphase():
     np.testing.assert_allclose(np.asarray(mag), np.abs(S), atol=1e-6)
     np.testing.assert_allclose(np.asarray(mag * phase), S, atol=1e-6)
     np.testing.assert_allclose(np.abs(np.asarray(phase)), np.ones((2, 2)), atol=1e-6)
+
+
+@pytest.mark.parametrize("n_fft,hop", [(512, 160)])
+def test_istft_scatter_fallback_path(short_audio, n_fft, hop):
+    """hop not dividing n_fft exercises the gather/scatter OLA fallback."""
+    y, _ = short_audio
+    y = y[:16000]
+    S = stft(jnp.asarray(y), n_fft=n_fft, hop_length=hop)
+    y_rec = np.asarray(istft(S, hop_length=hop, length=len(y)))
+    np.testing.assert_allclose(y_rec[n_fft:-n_fft], y[n_fft:-n_fft], atol=1e-4)
