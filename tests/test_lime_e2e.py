@@ -225,3 +225,47 @@ def test_lime_visualizations(dataset, tmp_path):
                                       max_samples_per_model=1)
     assert (out / "samples" / "REAL" / "t0" / "t0_bar_influences.png").exists()
     assert (out / "samples" / "REAL" / "t0" / "t0_radar_influences.png").exists()
+
+
+def test_lime_segmented_mode(predictor, dataset, tmp_path):
+    """Segmented LIME: per-segment WAV export, per-segment explanations,
+    segment-level checkpoint (reference: src/lime_explainer.py:131-218)."""
+    out = tmp_path / "seg_out"
+    seg_path = out / "segmented" / "segmented_explanations.json"
+    df, _ = run_lime_experiment_safe(
+        predictor=predictor,
+        model_time=1.0,
+        explain=True,
+        max_samples_explain=1,
+        dataset_path=dataset,
+        num_samples_lime=16,
+        models_to_explain=["REAL"],
+        ids_to_explain=[0],
+        checkpoint_dir=tmp_path / "segckpt",
+        explanations_path=str(out / "full_track" / "explanations.json"),
+        features_output_dir_full=str(out / "full_track"),
+        features_output_dir_segmented=str(out / "segmented"),
+        full_track_explanations=False,
+        segmented_explanations=True,
+        segment_duration=0.5,
+        segmented_explanations_path=str(seg_path),
+    )
+    data = json.loads(seg_path.read_text())
+    entry = data["REAL"]["clip_0"]
+    assert entry["type"] == "segment"
+    segs = entry["segments"]
+    assert len(segs) == 2  # 1 s track / 0.5 s segments
+    seg_name = sorted(segs)[0]
+    assert seg_name.startswith("segment_0_")
+    # per-segment WAV exported
+    assert (out / "segmented" / "REAL" / "clip_0" / seg_name / "segment_0.wav").exists()
+    # segment explanations carry component influences
+    seg_expl = segs[seg_name]["explanations"]
+    inner = next(iter(seg_expl.values()))
+    assert set(inner["component_influences"]) == {"vocals0", "drums0", "bass0", "other0"}
+    # segment-level checkpoint recorded
+    from adx_tpu.runtime.checkpoint import LIMEExperimentCheckpoint
+
+    ck = LIMEExperimentCheckpoint(str(tmp_path / "segckpt") + "_segmented")
+    done = ck.load_processed_segments()
+    assert set(done["REAL"]["clip_0"]) == {0, 1}
