@@ -46,6 +46,7 @@ def __getattr__(name):
         "run_lime_experiment_safe": ("adx_tpu.explainers.lime_explainer", "run_lime_experiment_safe"),
         "extract_all_features": ("adx_tpu.features.extraction", "extract_all_features"),
         "run_sonics_predictions": ("adx_tpu.predictions", "run_sonics_predictions"),
+        "explain_track": ("adx_tpu.explain", "explain_track"),
     }
     if name in top:
         module, attr = top[name]

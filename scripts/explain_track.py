@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""One-command full explanation of an audio file (FBP + occlusion + LIME)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from adx_tpu.explain import explain_track
+from adx_tpu.io.results import convert_to_native
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Fully explain one track (FBP + occlusion + LIME)")
+    ap.add_argument("audio", help="Audio file (wav; mp3 with ffmpeg)")
+    ap.add_argument("--model", default="awsaf49/sonics-spectttra-alpha-120s")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--out-dir", default=None, help="Write JSON + figures here")
+    ap.add_argument("--duration", type=float, default=120.0)
+    ap.add_argument("--lime-samples", type=int, default=500)
+    ap.add_argument("--no-figures", action="store_true")
+    args = ap.parse_args()
+
+    from adx_tpu.predict import LocalSonics
+
+    predictor = LocalSonics.from_pretrained(args.model, checkpoint_dir=args.checkpoint_dir)
+    record = explain_track(
+        args.audio,
+        predictor=predictor,
+        duration=args.duration,
+        num_samples_lime=args.lime_samples,
+        out_dir=Path(args.out_dir) if args.out_dir else None,
+        save_figures=not args.no_figures,
+    )
+    print(json.dumps(convert_to_native(record), indent=2, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ SCRIPTS = [
     "scripts/parity_check.py",
     "scripts/convert_spleeter.py",
     "scripts/cleanup_fbp_audio.py",
+    "scripts/explain_track.py",
     "scripts/feature_extraction/run_features_extraction.py",
     "scripts/feature_extraction/run_lime_features.py",
     "scripts/feature_extraction/run_fbp_patch_features.py",
