@@ -451,6 +451,9 @@ class FrequencyBandPerturbation:
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         if results_path is None:
+            # Default casing matches reference src/dsp_band_ops.py:898; the CLI
+            # runner (and the downstream vis loader) use lowercase
+            # "fbp_results.json" and always pass results_path explicitly.
             results_path = output_dir / "FBP_results.json"
         results_path = Path(results_path)
 

@@ -275,6 +275,19 @@ def viz_component_pos_neg_boxplots(features_df, base_output_folder):
     )
 
 
+def viz_feature_groups_by_freq_band(features_df, base_output_folder):
+    """Feature boxplots split by labeled band (reference's
+    viz_feature_groups_by_freq_band family)."""
+    bands = sorted(b for b in features_df["freq_band"].unique() if b != "other")
+    if not bands:
+        return
+    grouped_feature_boxplots(
+        features_df, Path(base_output_folder), split_col="freq_band",
+        split_values=bands, folder_name="feature_groups_by_band",
+        extra_exclude=_META_COLS,
+    )
+
+
 def viz_feature_values_vs_importance_by_freq_band(features_df, base_output_folder,
                                                   features=("rms_wave_mean", "spectral_flatness_mean")):
     """Feature-vs-importance scatters per labeled band."""
@@ -340,6 +353,8 @@ def main():
 
     if viz_cfg.get("pos_neg_boxplots", False):
         viz_component_pos_neg_boxplots(features_df, output_root)
+    if viz_cfg.get("feature_groups_by_band", False):
+        viz_feature_groups_by_freq_band(features_df, output_root)
     if viz_cfg.get("feature_vs_importance", False):
         viz_feature_values_vs_importance_by_freq_band(features_df, output_root)
 

@@ -205,6 +205,22 @@ def viz_component_pos_neg_boxplots(features_df, base_output_folder):
         )
 
 
+def viz_feature_groups_by_component(features_df, base_output_folder):
+    """Feature boxplots split by stem (reference's
+    viz_feature_groups_by_component family)."""
+    if "component_name" not in features_df.columns:
+        return
+    present = set(features_df["component_name"].unique())
+    comps = [c for c in COMPONENTS if c in present]
+    if not comps:
+        return
+    grouped_feature_boxplots(
+        features_df, Path(base_output_folder), split_col="component_name",
+        split_values=comps, folder_name="feature_groups_by_component",
+        extra_exclude=_META_COLS,
+    )
+
+
 def plot_audiolime_predictions_influence_features(features_df, lime_json_path, outputdir,
                                                   features=("rms_wave_mean", "spectral_centroid_mean")):
     """3-row line plots per stem: prediction / influence / feature value vs
@@ -275,6 +291,8 @@ def main():
 
     if viz_cfg.get("pos_neg_boxplots", False):
         viz_component_pos_neg_boxplots(features_df, output_root)
+    if viz_cfg.get("feature_groups_by_component", False):
+        viz_feature_groups_by_component(features_df, output_root)
 
     if explanations_path:
         explanations_path = Path(explanations_path) / "explanations.json"

@@ -209,6 +209,10 @@ def test_fbp_vis_script_functions(tmp_path, rng):
     assert len(fbp_df) == 1
     assert fbp_df["prediction_score"].iloc[0] == pytest.approx(0.4)
 
+    out = tmp_path / "out"
+    mod.viz_feature_groups_by_freq_band(df, out)
+    assert list((out / "feature_groups_by_band").rglob("*.png"))
+
 
 def test_lime_vis_script_functions(tmp_path, rng):
     mod = _load_script("run_LIME_features_vis")
@@ -263,3 +267,5 @@ def test_lime_vis_script_functions(tmp_path, rng):
     assert list((out / "correlation_r_heatmaps").rglob("*_r_vs_lime_influence.png"))
     mod.plot_feature_comparison_table(df, ef, "reversed", out)
     assert list((out / "comparison_tables").rglob("all_features.png"))
+    mod.viz_feature_groups_by_component(df, out)
+    assert list((out / "feature_groups_by_component").rglob("*.png"))
