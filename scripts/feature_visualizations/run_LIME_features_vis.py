@@ -249,13 +249,53 @@ def plot_audiolime_predictions_influence_features(features_df, lime_json_path, o
             axes[2].plot(x, cdf[feat].values, marker="^", color="#2ca02c")
             axes[2].set_ylabel(feat)
             axes[2].set_xlabel("track index")
-            for ax, (lo, hi) in zip(axes, [(None, None)] * 3):
+            for ax in axes:
                 ax.grid(alpha=0.3)
             fig.suptitle(f"{comp}: prediction / influence / {feat}", fontweight="bold")
             plt.tight_layout()
             plt.savefig(out / f"{comp}_{feat}_3rows.png", dpi=200, bbox_inches="tight")
             plt.close()
     print(f"3-row line plots → {out}")
+
+
+def plot_audiolime_3rows_multicolumn(features_df, lime_json_path, outputdir,
+                                     features=("rms_wave_mean", "spectral_centroid_mean")):
+    """Multicolumn variant of the 3-row plots: one figure per feature with a
+    column per stem (reference's multicolumn family,
+    run_LIME_features_vis.py:454-545)."""
+    full_df = _merged(features_df, lime_json_path)
+    if full_df.empty:
+        return
+    out = Path(outputdir) / "pred_influence_feature_lines_multicolumn"
+    out.mkdir(parents=True, exist_ok=True)
+    comps = [c for c in COMPONENTS if c in full_df["component_name"].unique()]
+    if not comps:
+        return
+    for feat in features:
+        if feat not in full_df.columns:
+            continue
+        fig, axes = plt.subplots(3, len(comps), figsize=(5 * len(comps), 10),
+                                 sharex="col", squeeze=False)
+        for j, comp in enumerate(comps):
+            cdf = full_df[full_df["component_name"] == comp].sort_values(["model", "track"])
+            x = np.arange(len(cdf))
+            axes[0][j].plot(x, cdf["prediction_score"].values, marker="o")
+            axes[0][j].axhline(0.5, color="red", ls="--", alpha=0.6)
+            axes[0][j].set_title(comp.replace("0", ""), fontweight="bold")
+            axes[1][j].plot(x, cdf[f"{comp}_influence"].values, marker="s", color="#d62728")
+            axes[1][j].axhline(0.0, color="black", lw=0.8)
+            axes[2][j].plot(x, cdf[feat].values, marker="^", color="#2ca02c")
+            axes[2][j].set_xlabel("track index")
+            for i in range(3):
+                axes[i][j].grid(alpha=0.3)
+        axes[0][0].set_ylabel("P(fake)")
+        axes[1][0].set_ylabel("LIME influence")
+        axes[2][0].set_ylabel(feat)
+        fig.suptitle(f"Prediction / influence / {feat} per stem", fontweight="bold")
+        plt.tight_layout()
+        plt.savefig(out / f"{feat}_3rows_multicolumn.png", dpi=200, bbox_inches="tight")
+        plt.close()
+    print(f"Multicolumn 3-row plots → {out}")
 
 
 def main():
@@ -300,6 +340,8 @@ def main():
             plot_audiolime_predictions_influence_features(
                 features_df, explanations_path, output_root
             )
+        if viz_cfg.get("pred_influence_multicolumn", False):
+            plot_audiolime_3rows_multicolumn(features_df, explanations_path, output_root)
         plot_feature_correlation_r_heatmaps(
             features_df=features_df, lime_json_path=explanations_path,
             comp_version=comp_version, outputdir=output_root,

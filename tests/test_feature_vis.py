@@ -269,3 +269,5 @@ def test_lime_vis_script_functions(tmp_path, rng):
     assert list((out / "comparison_tables").rglob("all_features.png"))
     mod.viz_feature_groups_by_component(df, out)
     assert list((out / "feature_groups_by_component").rglob("*.png"))
+    mod.plot_audiolime_3rows_multicolumn(df, ef, out)
+    assert list((out / "pred_influence_feature_lines_multicolumn").glob("*_3rows_multicolumn.png"))
