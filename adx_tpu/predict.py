@@ -231,6 +231,12 @@ class RemoteSonics:
             duration=f"{self.model_time}s",
             api_name=self.api_name,
         )
+        return self._parse_confidences(result)
+
+    @staticmethod
+    def _parse_confidences(result: dict) -> float:
+        """P(fake) from a Space response (reference: src/sonics_api.py:96-101
+        — the 'Fake' entry of ``confidences``, 0.0 when absent)."""
         return float(
             next(
                 (item["confidence"] for item in result["confidences"] if item["label"] == "Fake"),
