@@ -151,3 +151,41 @@ def test_rise_scan_equals_chunked_remainder_path(engine, track):
 
 def test_profiler_counts_forwards(engine):
     assert engine.profiler.counters.get("perturbation_forwards", 0) > 0
+
+
+def test_mesh_size_invariance(predictor, engine, track):
+    """Sharded sweeps (8-device mesh, the default here) must equal the
+    single-device path: DP over the mask axis is a layout choice, not a
+    numerics choice (SURVEY.md §2.6)."""
+    from adx_tpu.parallel.mesh import perturbation_mesh
+
+    single = LocalSonics.from_pretrained(
+        "tiny", max_batch=4, mesh=perturbation_mesh(jax.devices()[:1])
+    )
+    # same random init on both predictors
+    single.params = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, predictor.params)
+    )
+    eng1 = PerturbationEngine(
+        single, sr=SR, duration=single.cfg.audio.duration,
+        n_fft=256, hop_length=128, win_length=256, spec_type="stft", chunk=4,
+    )
+
+    S, _, base8 = engine.analyze_and_baseline(track)
+    S1, _, base1 = eng1.analyze_and_baseline(track)
+    assert base8 == pytest.approx(base1, abs=1e-5)
+
+    n_freq, n_time = S.shape
+    starts, pf, pt = occlusion_patch_grid(n_freq, n_time, 8, 8, 50.0, 50.0)
+    p8 = np.asarray(engine.occlusion_probs(S, starts, pf, pt, 0.0, len(track)))
+    p1 = np.asarray(eng1.occlusion_probs(S1, starts, pf, pt, 0.0, len(track)))
+    np.testing.assert_allclose(p8, p1, atol=1e-5)
+
+    stems = np.stack([track * w for w in (0.4, 0.3, 0.2, 0.1)]).astype(np.float32)
+    rows = np.array(
+        [[1, 1, 1, 1], [1, 0, 1, 0], [0, 1, 0, 1], [1, 1, 0, 0], [0, 0, 1, 1]],
+        np.float32,
+    )
+    m8 = np.asarray(engine.stem_mix_probs(stems, rows))
+    m1 = np.asarray(eng1.stem_mix_probs(stems, rows))
+    np.testing.assert_allclose(m8, m1, atol=1e-5)
