@@ -57,6 +57,7 @@ class PerturbationEngine:
         n_iter: int = 256,
         chunk: int = 8,
         lime_chunk: int = 64,
+        occlusion_chunk: Optional[int] = None,
         profiler: Optional[TimeAggregator] = None,
     ):
         self.predictor = predictor
@@ -73,6 +74,12 @@ class PerturbationEngine:
         # LIME's stem mixes skip the ISTFT (the memory-heavy stage), so a
         # much larger chunk amortizes per-dispatch overhead
         self.lime_chunk = lime_chunk
+        # Occlusion's STFT delta-ISTFT path only materializes the patch's
+        # delta columns per batch element, so it tolerates a much larger
+        # chunk than full-resynthesis sweeps (RISE); measured on v5e, the
+        # committed 90-patch sweep runs 0.75 s at chunk=8 vs 0.46 s at 96.
+        # None → auto-sized per sweep from the patch's time extent.
+        self.occlusion_chunk = occlusion_chunk
         self.profiler = profiler or TimeAggregator()
         self.n_samples = int(round(sr * duration))
         self._mask_sharding = batch_sharding(predictor.mesh, 3)
@@ -427,18 +434,31 @@ class PerturbationEngine:
         """Probabilities for every occlusion patch, chunked."""
         occl = jnp.float32(occlusion_value)
         with self.profiler.section("Computing occlusion map"):
+            ck = self.occlusion_chunk
+            if ck is None:
+                if self.spec_type == "stft":
+                    # per-element footprint ∝ patch_t delta columns; budget
+                    # 96 × 1024 columns (measured safe on one v5e chip)
+                    ck = max(self.chunk, min(96, (96 * 1024) // max(patch_t, 1) // 8 * 8))
+                    # no point padding past the actual per-device patch count
+                    per_dev = -(-len(starts) // self.n_devices)
+                    ck = min(ck, max(-(-per_dev // 8) * 8, self.chunk))
+                else:
+                    # mel mode resynthesizes the FULL spectrogram per element
+                    # (Griffin-Lim) — keep the conservative generic chunk
+                    ck = self.chunk
             if self.n_devices > 1:
                 # DP: pad the patch axis to n_devices × chunk and shard it
                 padded, n = pad_batch(
-                    np.asarray(starts, np.int32), self.n_devices * self.chunk
+                    np.asarray(starts, np.int32), self.n_devices * ck
                 )
                 probs = self._occlusion_sharded(
-                    S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, self.chunk
+                    S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, ck
                 )
             else:
-                padded, n = pad_batch(np.asarray(starts, np.int32), self.chunk)
+                padded, n = pad_batch(np.asarray(starts, np.int32), ck)
                 probs = self._occlusion_all(
-                    S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, self.chunk
+                    S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, ck
                 )
             out = np.asarray(probs)[:n]
         self.profiler.count("perturbation_forwards", n)

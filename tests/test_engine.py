@@ -189,3 +189,21 @@ def test_mesh_size_invariance(predictor, engine, track):
     m8 = np.asarray(engine.stem_mix_probs(stems, rows))
     m1 = np.asarray(eng1.stem_mix_probs(stems, rows))
     np.testing.assert_allclose(m8, m1, atol=1e-5)
+
+
+def test_occlusion_chunk_invariance(predictor, engine, track):
+    """Explicit occlusion_chunk settings change performance only, never
+    results (the final chunk is zero-padded, padded rows are discarded)."""
+    S, _, _ = engine.analyze_and_baseline(track)
+    n_freq, n_time = S.shape
+    starts, pf, pt = occlusion_patch_grid(n_freq, n_time, 8, 8, 50.0, 50.0)
+    ref = np.asarray(engine.occlusion_probs(S, starts, pf, pt, 0.0, len(track)))
+    for ck in (1, 5, 96):
+        eng = PerturbationEngine(
+            predictor, sr=SR, duration=predictor.cfg.audio.duration,
+            n_fft=256, hop_length=128, win_length=256, spec_type="stft",
+            chunk=4, occlusion_chunk=ck,
+        )
+        S2, _, _ = eng.analyze_and_baseline(track)
+        got = np.asarray(eng.occlusion_probs(S2, starts, pf, pt, 0.0, len(track)))
+        np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=f"occlusion_chunk={ck}")
