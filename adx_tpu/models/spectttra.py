@@ -58,6 +58,10 @@ class MelFrontend(nn.Module):
     # (155 ms vs ~30 ms per batch-64 frontend); numerically ≤1e-4 relative
     # of the FFT path (both f32)
     use_dft: bool = True
+    # matmul compute dtype — follows the classifier's (bf16 in bf16 mode;
+    # dB/norm math stays f32 regardless). Measured neutral on the full
+    # explain bench (the encoder dominates), kept for dtype consistency.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, wave: jnp.ndarray) -> jnp.ndarray:
@@ -65,6 +69,7 @@ class MelFrontend(nn.Module):
 
         a = self.cfg.audio
         mel_fn = melspectrogram_dft if self.use_dft else melspectrogram
+        extra = {"compute_dtype": self.dtype} if self.use_dft else {}
         M = mel_fn(
             wave.astype(jnp.float32),
             sr=a.sample_rate,
@@ -78,6 +83,7 @@ class MelFrontend(nn.Module):
             norm=None,
             power=a.power,
             pad_mode="reflect",
+            **extra,
         )
         # AmplitudeToDB(stype='power', top_db): ref=1, clamp relative to the
         # per-instance max over the whole spectrogram.
@@ -244,7 +250,7 @@ class AudioClassifier(nn.Module):
     use_flash: bool = False
 
     def setup(self):
-        self.frontend = MelFrontend(self.cfg, name="frontend")
+        self.frontend = MelFrontend(self.cfg, dtype=self.dtype, name="frontend")
         self.encoder = SpecTTTra(
             self.cfg, dtype=self.dtype, use_flash=self.use_flash, name="encoder"
         )

@@ -159,7 +159,7 @@ def _dft_matrices_np(n_fft: int):
     jax.jit,
     static_argnames=(
         "sr", "n_fft", "hop_length", "win_length", "n_mels", "fmin", "fmax",
-        "htk", "norm", "power", "center", "pad_mode",
+        "htk", "norm", "power", "center", "pad_mode", "compute_dtype",
     ),
 )
 def melspectrogram_dft(
@@ -176,6 +176,7 @@ def melspectrogram_dft(
     power: float = 2.0,
     center: bool = True,
     pad_mode: str = "constant",
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Mel power spectrogram via an explicit real-DFT **matmul** instead of
     the FFT: frames × cos/sin bases → power → mel projection, three MXU
@@ -186,6 +187,11 @@ def melspectrogram_dft(
     matmuls); the O(N²) DFT costs more FLOPs but they are MXU FLOPs.
     Identical semantics to ``melspectrogram`` (float32 bases, ≤1e-4 relative
     difference — see tests).
+
+    ``compute_dtype=bfloat16`` runs the matmul *inputs* in bf16 (f32
+    accumulation via ``preferred_element_type``), ≲0.5 dB error on energy-
+    carrying log-mel bins; the power/dB math stays f32. In-context impact on
+    the full-explain bench is neutral (the encoder dominates).
     """
     from adx_tpu.ops.stft import frame_signal, get_window
 
@@ -196,17 +202,19 @@ def melspectrogram_dft(
         mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
         y = jnp.pad(y, pad, mode=mode)
     frames = frame_signal(y.astype(jnp.float32), n_fft, hop_length) * w  # [..., T, n_fft]
+    frames = frames.astype(compute_dtype)
     cos_m, sin_m = _dft_matrices_np(n_fft)
-    re = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(cos_m),
+    re = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(cos_m, compute_dtype),
                     preferred_element_type=jnp.float32)
-    im = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(sin_m),
+    im = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(sin_m, compute_dtype),
                     preferred_element_type=jnp.float32)
     if power == 2.0:
         mag = re * re + im * im
     else:
         mag = jnp.sqrt(re * re + im * im) ** power
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk, norm)
-    return jnp.einsum("mk,...tk->...mt", fb, mag, preferred_element_type=jnp.float32)
+    return jnp.einsum("mk,...tk->...mt", fb.astype(compute_dtype), mag.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(

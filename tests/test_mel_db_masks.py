@@ -193,3 +193,25 @@ def test_melspectrogram_dft_matches_fft_path(short_audio):
     b = np.asarray(melspectrogram_dft(jnp.asarray(y), **kw))
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4 * a.max())
+
+
+def test_melspectrogram_dft_bf16_close():
+    """bf16-input DFT matmuls (f32 accumulation) stay within a fraction of a
+    dB of the f32 path — the accuracy contract for bf16 classifier mode."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from adx_tpu.ops.db import power_to_db
+
+    mel_mod = importlib.import_module("adx_tpu.ops.mel")
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((2, 8000)).astype(np.float32)
+    kw = dict(sr=8000, n_fft=256, hop_length=128, n_mels=64, htk=True, norm=None)
+    M32 = np.asarray(mel_mod.melspectrogram_dft(y, **kw))
+    M16 = np.asarray(mel_mod.melspectrogram_dft(y, compute_dtype=jnp.bfloat16, **kw))
+    db32 = np.asarray(power_to_db(jnp.asarray(M32), ref=1.0, top_db=None))
+    db16 = np.asarray(power_to_db(jnp.asarray(np.maximum(M16, 1e-10)), ref=1.0, top_db=None))
+    # compare where the f32 bin carries energy (tiny bins are noise-floor)
+    mask = db32 > db32.max() - 60
+    assert np.abs(db16 - db32)[mask].max() < 0.5
