@@ -42,3 +42,26 @@ def test_explain_track_full_record(tmp_path, rng):
     assert saved["baseline_pred"] == pytest.approx(record["baseline_pred"], abs=1e-9)
     assert (out / "song_x_occlusion_saliency.png").exists()
     assert (out / "song_x_bar_influences.png").exists()
+
+
+def test_explain_track_shorter_than_duration(tmp_path, rng):
+    """A file shorter than the requested analysis duration must still yield
+    a complete record (the reference happily analyzes partial tracks)."""
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    full = predictor.cfg.audio.duration
+    n = int(SR * full * 0.4)  # 40% of the analysis window
+    t = np.arange(n) / SR
+    y = (0.3 * np.sin(2 * np.pi * 250 * t) + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    path = tmp_path / "short.wav"
+    write_wav(path, y, SR)
+
+    record = explain_track(
+        path, predictor=predictor, sr=SR, duration=full,
+        n_fft=256, hop_length=128, win_length=256,
+        patch_time_frames=4, stride_time_frames=4,
+        patch_freq_percent=50.0, stride_freq_percent=50.0,
+        num_samples_lime=8, save_figures=False,
+    )
+    assert 0.0 <= record["baseline_pred"] <= 1.0
+    assert record["occlusion"]["n_patches"] > 0
+    assert np.isfinite([b["importance"] for b in record["fbp"]["bands"]]).all()
