@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--no-figures", action="store_true")
     args = ap.parse_args()
 
+    if not Path(args.audio).is_file():
+        # fail before the predictor build — model construction + compile can
+        # take minutes on a cold TPU
+        ap.error(f"audio file not found: {args.audio}")
+
     from adx_tpu.predict import LocalSonics
 
     predictor = LocalSonics.from_pretrained(args.model, checkpoint_dir=args.checkpoint_dir)
