@@ -160,3 +160,33 @@ def test_extract_all_features_schema():
     assert feats["intonation_pattern"] == {
         "pitch_variability": feats["intonation_pattern"]["pitch_variability"]
     }
+
+
+def test_pyin_tracks_vibrato():
+    """Viterbi smoothing must FOLLOW a slowly-modulated f0, not snap to one
+    pitch state: a 220 Hz tone with ±5% vibrato at 5 Hz should produce a
+    contour whose extremes bracket the modulation."""
+    t = np.arange(2 * SR) / SR
+    f_inst = 220.0 * (1.0 + 0.05 * np.sin(2 * np.pi * 5.0 * t))
+    phase = 2 * np.pi * np.cumsum(f_inst) / SR
+    y = np.sin(phase).astype(np.float32)
+    f0, voiced, _ = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"), sr=SR)
+    v = f0[voiced]
+    assert len(v) > 20
+    assert np.nanmedian(v) == pytest.approx(220.0, rel=0.03)
+    # the contour must actually swing through the vibrato range
+    assert np.nanpercentile(v, 95) > 220.0 * 1.02
+    assert np.nanpercentile(v, 5) < 220.0 * 0.98
+
+
+def test_pyin_octave_robustness():
+    """A tone rich in odd harmonics (square-ish) must not be halved/doubled:
+    CMNDF + the beta threshold prior should keep the fundamental."""
+    t = np.arange(SR) / SR
+    f0_true = 196.0  # G3
+    y = np.zeros_like(t, dtype=np.float32)
+    for k, a in [(1, 1.0), (3, 0.5), (5, 0.25)]:
+        y += a * np.sin(2 * np.pi * k * f0_true * t).astype(np.float32)
+    f0, voiced, _ = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"), sr=SR)
+    est = np.nanmedian(f0[voiced])
+    assert abs(est - f0_true) / f0_true < 0.03, est
