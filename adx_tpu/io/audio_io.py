@@ -28,11 +28,12 @@ from adx_tpu.ops.audio import resample_poly, to_mono
 _PCM_SCALE = {np.dtype(np.int16): 32768.0, np.dtype(np.int32): 2147483648.0}
 
 
-def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
-    """Read a WAV file → (float32 samples [n] or [n, ch], sample_rate)."""
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Read a WAV file (path or binary file-like) →
+    (float32 samples [n] or [n, ch], sample_rate)."""
     from scipy.io import wavfile
 
-    sr, data = wavfile.read(str(path))
+    sr, data = wavfile.read(path if hasattr(path, "read") else str(path))
     if data.dtype in _PCM_SCALE:
         data = data.astype(np.float32) / _PCM_SCALE[data.dtype]
     elif data.dtype == np.uint8:

@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Serve SpecTTTra predictions over HTTP (the Space-parity endpoint)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="HTTP inference server: POST /predict with a WAV body, GET /health"
+    )
+    ap.add_argument("--model", default="awsaf49/sonics-spectttra-alpha-120s")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8756)
+    ap.add_argument("--max-batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from adx_tpu.serving import serve
+
+    serve(
+        model=args.model,
+        checkpoint_dir=args.checkpoint_dir,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+    )
+
+
+if __name__ == "__main__":
+    main()

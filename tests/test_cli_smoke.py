@@ -22,6 +22,7 @@ SCRIPTS = [
     "scripts/convert_spleeter.py",
     "scripts/cleanup_fbp_audio.py",
     "scripts/explain_track.py",
+    "scripts/serve_sonics.py",
     "scripts/feature_extraction/run_features_extraction.py",
     "scripts/feature_extraction/run_lime_features.py",
     "scripts/feature_extraction/run_fbp_patch_features.py",

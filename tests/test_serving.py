@@ -1,0 +1,91 @@
+"""HTTP inference server tests: health, predict round-trip (envelope matches
+the reference client's expectations), and malformed-input handling."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from adx_tpu.predict import LocalSonics
+from adx_tpu.serving import make_server
+
+SR = 8000
+
+
+@pytest.fixture(scope="module")
+def server():
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    srv = make_server(predictor, host="127.0.0.1", port=0, model_name="tiny")
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", predictor
+    srv.shutdown()
+    srv.server_close()
+
+
+def _wav_bytes(y, sr):
+    from adx_tpu.io.audio_io import write_wav
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+        name = tmp.name
+    try:
+        write_wav(name, y, sr)
+        with open(name, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(name)
+
+
+def test_health(server):
+    url, _ = server
+    with urllib.request.urlopen(f"{url}/health", timeout=30) as r:
+        payload = json.loads(r.read())
+    assert payload["status"] == "ok"
+    assert payload["model"] == "tiny"
+
+
+def test_predict_roundtrip_matches_local(server):
+    url, predictor = server
+    rng = np.random.default_rng(0)
+    n = predictor.cfg.audio.n_samples
+    y = (0.4 * np.sin(2 * np.pi * 440 * np.arange(n) / SR)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    req = urllib.request.Request(
+        f"{url}/predict", data=_wav_bytes(y, SR),
+        headers={"Content-Type": "audio/wav"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        payload = json.loads(r.read())
+    # the envelope the reference's RemoteSonnics parses
+    labels = {c["label"]: c["confidence"] for c in payload["confidences"]}
+    assert set(labels) == {"Fake", "Real"}
+    assert labels["Fake"] + labels["Real"] == pytest.approx(1.0, abs=1e-6)
+    assert payload["prediction"] == pytest.approx(labels["Fake"])
+    # 16-bit PCM quantization on the wire → compare against the same
+    # quantized wave locally
+    y_q = np.round(np.clip(y, -1, 1) * 32767).astype(np.int16) / 32768.0
+    local = predictor.predict(y_q.astype(np.float32), SR)
+    assert payload["prediction"] == pytest.approx(local, abs=1e-4)
+
+
+def test_predict_rejects_garbage(server):
+    url, _ = server
+    req = urllib.request.Request(
+        f"{url}/predict", data=b"not a wav at all",
+        headers={"Content-Type": "audio/wav"}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert "could not decode" in json.loads(ei.value.read())["error"]
+
+
+def test_unknown_route_404(server):
+    url, _ = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{url}/nope", timeout=30)
+    assert ei.value.code == 404
