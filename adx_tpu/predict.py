@@ -217,12 +217,17 @@ class RemoteSonics:
         return min(self.initial_delay * (2**attempt) + random.uniform(0, 1), self.max_delay)
 
     def _call_space(self, wav_path: str) -> float:
+        # plain-HTTP endpoints (e.g. adx_tpu.serving's server) speak the
+        # same confidences envelope without the gradio handshake
+        if self.space.startswith(("http://", "https://")):
+            return self._call_http(wav_path)
         try:
             from gradio_client import Client, handle_file  # optional dep
         except ImportError as e:
             raise RuntimeError(
                 "RemoteSonics requires the gradio_client package (not "
-                "installed in this environment). Use LocalSonics instead."
+                "installed in this environment). Use LocalSonics instead, "
+                "or point `space` at an http(s):// adx_tpu serving endpoint."
             ) from e
         client = Client(self.space)
         result = client.predict(
@@ -232,6 +237,20 @@ class RemoteSonics:
             api_name=self.api_name,
         )
         return self._parse_confidences(result)
+
+    def _call_http(self, wav_path: str) -> float:
+        """POST the WAV to ``{space}/predict`` (adx_tpu.serving envelope)."""
+        import json as _json
+        import urllib.request
+
+        with open(wav_path, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(
+            f"{self.space.rstrip('/')}/predict", data=body,
+            headers={"Content-Type": "audio/wav"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return self._parse_confidences(_json.loads(r.read()))
 
     @staticmethod
     def _parse_confidences(result: dict) -> float:

@@ -89,3 +89,30 @@ def test_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{url}/nope", timeout=30)
     assert ei.value.code == 404
+
+
+def test_remote_client_against_own_server(server, tmp_path):
+    """Full remote loop without gradio: RemoteSonics pointed at the adx_tpu
+    HTTP server must reproduce the local prediction (16-bit wire quantized)."""
+    from adx_tpu.io.audio_io import write_wav
+    from adx_tpu.predict import RemoteSonics
+
+    url, predictor = server
+    rng = np.random.default_rng(5)
+    n = predictor.cfg.audio.n_samples
+    y = (0.3 * np.sin(2 * np.pi * 330 * np.arange(n) / SR)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    path = tmp_path / "remote.wav"
+    write_wav(path, y, SR)
+
+    client = RemoteSonics(url)
+    remote = client.predict_from_file(path)
+    y_q = np.round(np.clip(y, -1, 1) * 32767).astype(np.int16) / 32768.0
+    local = predictor.predict(y_q.astype(np.float32), SR)
+    assert remote == pytest.approx(local, abs=1e-4)
+
+    # HTTPError from the server must surface as non-retryable garbage-input
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"definitely not wav")
+    with pytest.raises(Exception):
+        RemoteSonics(url, max_retries=2, initial_delay=0.0).predict_from_file(bad)
