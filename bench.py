@@ -47,6 +47,11 @@ def main():
         "--profile", metavar="DIR", default=None,
         help="Capture a jax.profiler trace of one measured iteration into DIR",
     )
+    ap.add_argument(
+        "--dtype", choices=("bf16", "f32"), default="bf16",
+        help="Classifier compute dtype: bf16 = production serving mode "
+        "(default), f32 = the fidelity mode parity_check.py uses",
+    )
     cli = ap.parse_args()
 
     import jax
@@ -58,7 +63,8 @@ def main():
 
     t_setup = time.time()
     predictor = LocalSonics.from_pretrained(
-        "spectttra-alpha-120s", max_batch=8, dtype=jax.numpy.bfloat16
+        "spectttra-alpha-120s", max_batch=8,
+        dtype=jax.numpy.bfloat16 if cli.dtype == "bf16" else jax.numpy.float32,
     )
     engine = PerturbationEngine(
         predictor, sr=SR, duration=DURATION, n_fft=N_FFT, hop_length=HOP,
