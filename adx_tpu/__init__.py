@@ -47,6 +47,8 @@ def __getattr__(name):
         "extract_all_features": ("adx_tpu.features.extraction", "extract_all_features"),
         "run_sonics_predictions": ("adx_tpu.predictions", "run_sonics_predictions"),
         "explain_track": ("adx_tpu.explain", "explain_track"),
+        "make_server": ("adx_tpu.serving", "make_server"),
+        "serve": ("adx_tpu.serving", "serve"),
     }
     if name in top:
         module, attr = top[name]
