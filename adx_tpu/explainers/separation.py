@@ -52,40 +52,62 @@ STEM_NAMES = {
 
 
 class SpleeterUNet(nn.Module):
-    """One stem's magnitude-mask U-Net (Spleeter architecture).
+    """One stem's magnitude-mask U-Net (Spleeter ``apply_unet`` graph).
 
-    Input  ``[B, T, F, C]`` magnitude (F = 1024 kept bins, C = channels);
-    output an unnormalized mask logit of the same shape. 6 conv encoder
-    stages (16→512 filters, 5×5, stride 2, BN + LeakyReLU) and 6 deconv
-    decoder stages with skip connections (ReLU, dropout on the first 3),
-    final 1×1 dilated conv + sigmoid.
+    Input  ``[B, T, F, C]`` magnitude (F = 1024 kept bins, C = channels;
+    the published Spleeter checkpoints are stereo, C = 2); output the
+    sigmoid mask of the same shape. Faithful to Spleeter's graph quirks:
+
+    * skip connections concatenate the **pre-BN** conv outputs, in
+      ``[skip, decoder]`` order;
+    * the bottleneck feeds ``conv6`` (pre-BN) into the first deconv —
+      the 6th encoder BN exists in the checkpoint but is dead;
+    * decoder stages are ConvTranspose → ReLU → BN → Dropout(first 3);
+    * a final BN after the last deconv, then a 4×4 **dilation-2** conv
+      (sigmoid) produces the mask;
+    * Keras BatchNormalization semantics: ``epsilon = 1e-3``;
+    * ``transpose_kernel=True`` so ConvTranspose matches Keras'
+      gradient-of-conv semantics and the HWOI checkpoint kernel layout.
+
+    Verified against a TF mirror forward in tests/test_separation_unet.py
+    (reference separation entry: src/lime_explainer.py:386-392).
     """
 
-    channels: int = 1
+    channels: int = 2
     deterministic: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         filters = [16, 32, 64, 128, 256, 512]
-        skips: List[jnp.ndarray] = []
+        convs: List[jnp.ndarray] = []
         h = x
         for i, f in enumerate(filters):
-            h = nn.Conv(f, (5, 5), strides=(2, 2), padding="SAME", name=f"conv{i}")(h)
-            h = nn.BatchNorm(use_running_average=True, name=f"bn{i}")(h)
-            skips.append(h)
-            h = nn.leaky_relu(h, 0.2)
+            c = nn.Conv(f, (5, 5), strides=(2, 2), padding="SAME", name=f"conv{i}")(h)
+            convs.append(c)
+            b = nn.BatchNorm(use_running_average=True, epsilon=1e-3, name=f"bn{i}")(c)
+            h = nn.leaky_relu(b, 0.2)
 
+        h = convs[-1]  # Spleeter feeds conv6 pre-BN into the decoder
         for i, f in enumerate(reversed(filters[:-1])):
-            h = nn.ConvTranspose(f, (5, 5), strides=(2, 2), padding="SAME", name=f"up{i}")(h)
+            h = nn.ConvTranspose(
+                f, (5, 5), strides=(2, 2), padding="SAME",
+                transpose_kernel=True, name=f"up{i}",
+            )(h)
             h = nn.relu(h)
+            h = nn.BatchNorm(use_running_average=True, epsilon=1e-3, name=f"upbn{i}")(h)
             if i < 3:
                 h = nn.Dropout(0.5, deterministic=self.deterministic)(h)
-            h = nn.BatchNorm(use_running_average=True, name=f"upbn{i}")(h)
-            h = jnp.concatenate([h, skips[len(filters) - 2 - i]], axis=-1)
+            h = jnp.concatenate([convs[len(filters) - 2 - i], h], axis=-1)
 
-        h = nn.ConvTranspose(1, (5, 5), strides=(2, 2), padding="SAME", name="up_final")(h)
+        h = nn.ConvTranspose(
+            1, (5, 5), strides=(2, 2), padding="SAME",
+            transpose_kernel=True, name="up_final",
+        )(h)
         h = nn.relu(h)
-        mask = nn.Conv(self.channels, (4, 4), padding="SAME", name="logit")(h)
+        h = nn.BatchNorm(use_running_average=True, epsilon=1e-3, name="bn_final")(h)
+        mask = nn.Conv(
+            self.channels, (4, 4), padding="SAME", kernel_dilation=(2, 2), name="logit"
+        )(h)
         return nn.sigmoid(mask)
 
 
@@ -96,30 +118,55 @@ def unet_separate(
     model_name: str = "spleeter:4stems",
     separation_exponent: float = 2.0,
 ) -> Dict[str, np.ndarray]:
-    """Separate with converted Spleeter weights (Wiener-style ratio masks)."""
+    """Separate with converted Spleeter weights (Wiener-style ratio masks).
+
+    The published checkpoints are stereo (C=2): a mono mixture is
+    duplicated across channels (what Spleeter's own waveform adapter does
+    for mono input) and the two predicted mask channels are averaged.
+
+    The whole chain (STFT → vmapped per-stem U-Net → extended Wiener
+    masks → batched ISTFT) is ONE jitted program: all stems go through a
+    single vmapped forward, and no complex array ever leaves the device
+    (the axon tunnel cannot transfer complex64).
+    """
     names = STEM_NAMES[model_name]
-    y = jnp.asarray(audio, jnp.float32)
+    first = params_per_stem[names[0]]
+    n_ch = int(first["params"]["logit"]["bias"].shape[-1])
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[params_per_stem[n] for n in names],
+    )
+    waves = _unet_separate_device(
+        jnp.asarray(audio, jnp.float32), stacked, n_ch,
+        float(separation_exponent), int(np.shape(audio)[-1]),
+    )
+    return {f"{n}0": np.asarray(w) for n, w in zip(names, waves)}
+
+
+@functools.partial(jax.jit, static_argnames=("n_ch", "n_out"))
+def _unet_separate_device(y, stacked_params, n_ch, separation_exponent, n_out):
     S = stft(y, n_fft=_SEP_N_FFT, hop_length=_SEP_HOP)
     mag, phase = magphase(S)
     T = mag.shape[-1]
     pad_t = (-T) % 512
     x = jnp.pad(mag[: _SEP_N_FFT // 4, :], ((0, 0), (0, pad_t)))  # keep 1024 bins
-    x = x.T[None, :, :, None]  # [1, T', 1024, 1]
+    x = jnp.repeat(x.T[None, :, :, None], n_ch, axis=-1)  # [1, T', 1024, C]
 
-    unet = SpleeterUNet()
-    masks = []
-    for name in names:
-        m = unet.apply(params_per_stem[name], x)
-        masks.append(m[0, :, :, 0].T[:, :T])  # [1024, T]
-    masks = jnp.stack(masks) ** separation_exponent
-    denom = jnp.sum(masks, axis=0, keepdims=True) + 1e-10
-    ratio = masks / denom
+    unet = SpleeterUNet(channels=n_ch)
+    m = jax.vmap(lambda p: unet.apply(p, x))(stacked_params)  # [S, 1, T', 1024, C]
+    masks = jnp.mean(m[:, 0], axis=-1).transpose(0, 2, 1)[:, :, :T]  # [S, 1024, T]
+    masks = masks ** separation_exponent
+    # Spleeter's extended Wiener masks: eps/n in the numerator keeps the
+    # masks summing to exactly 1 even where every net output underflows.
+    eps = 1e-10
+    n_stems = masks.shape[0]
+    denom = jnp.sum(masks, axis=0, keepdims=True) + eps
+    ratio = (masks + eps / n_stems) / denom
     full = jnp.concatenate(
-        [ratio, jnp.zeros((len(names), mag.shape[0] - _SEP_N_FFT // 4, T))], axis=1
+        [ratio, jnp.zeros((n_stems, mag.shape[0] - _SEP_N_FFT // 4, T))], axis=1
     )
     stems_S = full * mag[None] * phase[None]
-    waves = istft(stems_S, hop_length=_SEP_HOP, n_fft=_SEP_N_FFT, length=y.shape[-1])
-    return {f"{n}0": np.asarray(w) for n, w in zip(names, waves)}
+    return istft(stems_S, hop_length=_SEP_HOP, n_fft=_SEP_N_FFT, length=n_out)
 
 
 # ---------------------------------------------------------------------------

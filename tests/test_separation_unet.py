@@ -1,0 +1,200 @@
+"""Spleeter U-Net path, end-to-end against a TensorFlow mirror.
+
+Builds the exact Spleeter ``apply_unet`` graph with raw tf.nn ops and
+random weights (sequential Keras variable naming, 2 stems), saves a real
+TF1 name-based checkpoint, converts it with ``scripts/convert_spleeter.py``
+machinery, and asserts the flax ``SpleeterUNet`` forward matches the TF
+forward. Reference separation entry: src/lime_explainer.py:386-392.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+tf = pytest.importorskip("tensorflow")
+
+from convert_spleeter import map_tf_variables  # noqa: E402
+
+from adx_tpu.explainers.separation import (  # noqa: E402
+    SpleeterUNet,
+    load_spleeter_params,
+    separate,
+    unet_separate,
+)
+
+_FILTERS = [16, 32, 64, 128, 256, 512]
+_CH = 2  # published Spleeter checkpoints are stereo
+
+
+def _tf_name(kind: str, g: int) -> str:
+    return kind if g == 0 else f"{kind}_{g}"
+
+
+def _make_stem_variables(rng, s: int, channels: int = _CH) -> dict:
+    """Random weights for stem index ``s`` under global Keras numbering."""
+    v = {}
+
+    def conv_var(g, kh, kw, cin, cout):
+        name = _tf_name("conv2d", g)
+        v[f"{name}/kernel"] = rng.standard_normal((kh, kw, cin, cout)).astype(np.float32) * 0.08
+        v[f"{name}/bias"] = rng.standard_normal((cout,)).astype(np.float32) * 0.05
+
+    def bn_var(g, c):
+        name = _tf_name("batch_normalization", g)
+        v[f"{name}/gamma"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        v[f"{name}/beta"] = rng.standard_normal(c).astype(np.float32) * 0.05
+        v[f"{name}/moving_mean"] = rng.standard_normal(c).astype(np.float32) * 0.05
+        v[f"{name}/moving_variance"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    def deconv_var(g, cout, cin):
+        name = _tf_name("conv2d_transpose", g)
+        # TF Conv2DTranspose kernels are HWOI
+        v[f"{name}/kernel"] = rng.standard_normal((5, 5, cout, cin)).astype(np.float32) * 0.08
+        v[f"{name}/bias"] = rng.standard_normal((cout,)).astype(np.float32) * 0.05
+
+    cins = [channels] + _FILTERS[:-1]
+    for j, (cin, f) in enumerate(zip(cins, _FILTERS)):
+        conv_var(s * 7 + j, 5, 5, cin, f)
+        bn_var(s * 12 + j, f)
+    dec = [256, 128, 64, 32, 16]
+    dec_cin = [512] + [2 * f for f in dec[:-1]]  # concat doubles channels
+    for i, (cout, cin) in enumerate(zip(dec, dec_cin)):
+        deconv_var(s * 6 + i, cout, cin)
+        bn_var(s * 12 + 6 + i, cout)
+    deconv_var(s * 6 + 5, 1, 2 * 16)
+    bn_var(s * 12 + 11, 1)
+    conv_var(s * 7 + 6, 4, 4, 1, channels)
+    return v
+
+
+def _tf_stem_forward(v: dict, s: int, x: np.ndarray) -> np.ndarray:
+    """Spleeter apply_unet inference graph with raw tf.nn ops."""
+
+    def conv(h, j, strides=2, dil=1):
+        name = _tf_name("conv2d", s * 7 + j)
+        h = tf.nn.conv2d(h, v[f"{name}/kernel"], strides=strides,
+                         padding="SAME", dilations=dil)
+        return h + v[f"{name}/bias"]
+
+    def bn(h, j):
+        name = _tf_name("batch_normalization", s * 12 + j)
+        return tf.nn.batch_normalization(
+            h, v[f"{name}/moving_mean"], v[f"{name}/moving_variance"],
+            v[f"{name}/beta"], v[f"{name}/gamma"], 1e-3,
+        )
+
+    def deconv(h, j, cout):
+        name = _tf_name("conv2d_transpose", s * 6 + j)
+        out_shape = (h.shape[0], h.shape[1] * 2, h.shape[2] * 2, cout)
+        h = tf.nn.conv2d_transpose(h, v[f"{name}/kernel"], output_shape=out_shape,
+                                   strides=2, padding="SAME")
+        return h + v[f"{name}/bias"]
+
+    h = tf.constant(x)
+    convs = []
+    for j in range(6):
+        c = conv(h, j)
+        convs.append(c)
+        h = tf.nn.leaky_relu(bn(c, j), 0.2)
+    h = convs[-1]  # conv6 pre-BN feeds the decoder
+    for i, cout in enumerate([256, 128, 64, 32, 16]):
+        h = tf.nn.relu(deconv(h, i, cout))
+        h = bn(h, 6 + i)
+        # dropout layers are identity at inference
+        h = tf.concat([convs[4 - i], h], axis=-1)
+    h = tf.nn.relu(deconv(h, 5, 1))
+    h = bn(h, 11)
+    return tf.sigmoid(conv(h, 6, strides=1, dil=2)).numpy()
+
+
+def _nest(flat: dict) -> dict:
+    tree = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+@pytest.fixture(scope="module")
+def two_stem_vars():
+    rng = np.random.default_rng(7)
+    v = {}
+    for s in range(2):
+        v.update(_make_stem_variables(rng, s))
+    return v
+
+
+def test_flax_matches_tf_forward(two_stem_vars):
+    x = np.random.default_rng(1).standard_normal((1, 64, 64, _CH)).astype(np.float32)
+    x = np.abs(x)
+    per_stem = map_tf_variables(two_stem_vars, ["vocals", "accompaniment"])
+    unet = SpleeterUNet(channels=_CH)
+    for s, stem in enumerate(["vocals", "accompaniment"]):
+        want = _tf_stem_forward(two_stem_vars, s, x)
+        got = np.asarray(unet.apply(_nest(per_stem[stem]), x))
+        assert want.shape == got.shape == x.shape
+        assert np.abs(want - got).max() < 1e-4, f"stem {stem}"
+
+
+def test_checkpoint_roundtrip(two_stem_vars, tmp_path):
+    from tensorflow.python.training import py_checkpoint_reader
+
+    variables = {name: tf.Variable(value) for name, value in two_stem_vars.items()}
+    saver = tf.compat.v1.train.Saver(var_list=variables)
+    prefix = saver.save(None, str(tmp_path / "model"))
+    reader = py_checkpoint_reader.NewCheckpointReader(prefix)
+    loaded = {n: reader.get_tensor(n) for n in reader.get_variable_to_shape_map()}
+    assert set(loaded) == set(two_stem_vars)
+    per_stem = map_tf_variables(loaded, ["vocals", "accompaniment"])
+    direct = map_tf_variables(two_stem_vars, ["vocals", "accompaniment"])
+    for stem in per_stem:
+        assert per_stem[stem].keys() == direct[stem].keys()
+        expected = 7 * 2 + 12 * 4 + 6 * 2
+        assert len(per_stem[stem]) == expected
+        for k in per_stem[stem]:
+            np.testing.assert_array_equal(per_stem[stem][k], direct[stem][k])
+
+
+def test_unet_separate_and_dispatch(two_stem_vars, tmp_path, monkeypatch):
+    """npz save → load_spleeter_params → unet_separate on real audio shapes."""
+    per_stem = map_tf_variables(two_stem_vars, ["vocals", "accompaniment"])
+    for stem, flat in per_stem.items():
+        np.savez(tmp_path / f"2stems_{stem}.npz", **flat)
+
+    params = load_spleeter_params(tmp_path, "spleeter:2stems")
+    assert params is not None and set(params) == {"vocals", "accompaniment"}
+
+    sr = 44100
+    t = np.arange(sr // 2) / sr  # 0.5 s
+    y = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 80 * t)).astype(np.float32)
+    stems = unet_separate(y, sr, params, "spleeter:2stems")
+    assert set(stems) == {"vocals0", "accompaniment0"}
+    for w in stems.values():
+        assert w.shape == y.shape and np.isfinite(w).all()
+
+    # ratio masks sum to 1 on the kept 1024 bins, 0 above → the stem sum
+    # equals the mixture with bins ≥1024 zeroed
+    import jax.numpy as jnp
+
+    from adx_tpu.ops.stft import istft, stft
+
+    S = stft(jnp.asarray(y), n_fft=4096, hop_length=1024)
+    S_kept = S.at[1024:, :].set(0.0)
+    lowpassed = np.asarray(istft(S_kept, hop_length=1024, n_fft=4096, length=len(y)))
+    total = sum(stems.values())
+    assert np.abs(total - lowpassed).max() < 1e-3
+
+    # separate() dispatches to the UNet path when weights are present
+    monkeypatch.setenv("ADX_SPLEETER_WEIGHTS", str(tmp_path))
+    stems2 = separate(y, sr, "spleeter:2stems")
+    assert set(stems2) == {"vocals0", "accompaniment0"}
+    np.testing.assert_allclose(stems2["vocals0"], stems["vocals0"], atol=1e-6)
