@@ -132,14 +132,35 @@ class LocalSonics:
         verbose: bool = True,
         **kwargs,
     ) -> List[float]:
-        probs = []
-        for idx, path in enumerate(audio_paths):
-            if verbose:
-                print(f"   Predicting {idx+1}/{len(audio_paths)}: {Path(path).name}")
-            prob = self.predict_from_file(path, sr=sr, duration=duration)
-            probs.append(prob)
-            if verbose:
-                print(f"      → Fake prob: {prob:.4f}")
+        """Batched dataset sweep (reference surface: src/sonics_api.py:289-317,
+        which predicts file-by-file).
+
+        Files are loaded host-side in ``max_batch`` groups, zero-padded to
+        the group's longest waveform, and classified with ONE chunked
+        forward per group — ⌈N / max_batch⌉ dispatches total instead of N.
+        Zero-padding is prediction-neutral: the model path fixes every
+        input to ``n_samples`` anyway, and the polyphase resampler is
+        linear, so trailing zeros match the single-file path exactly.
+        """
+        probs: List[float] = []
+        paths = list(audio_paths)
+        for lo in range(0, len(paths), self.max_batch):
+            group = paths[lo : lo + self.max_batch]
+            waves = []
+            for idx, path in enumerate(group, start=lo):
+                if verbose:
+                    print(f"   Predicting {idx+1}/{len(paths)}: {Path(path).name}")
+                y, _ = load_audio(path, sr=sr, duration=duration, mono=True)
+                waves.append(np.asarray(y, np.float32))
+            n_max = max(w.shape[-1] for w in waves)
+            batch = np.zeros((len(waves), n_max), np.float32)
+            for i, w in enumerate(waves):
+                batch[i, : w.shape[-1]] = w
+            group_probs = self.predict_batch(batch, sr)
+            for p in group_probs:
+                probs.append(float(p))
+                if verbose:
+                    print(f"      → Fake prob: {float(p):.4f}")
         return probs
 
     # -- constructors ------------------------------------------------------

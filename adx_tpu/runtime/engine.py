@@ -59,6 +59,7 @@ class PerturbationEngine:
         lime_chunk: int = 64,
         occlusion_chunk: Optional[int] = None,
         profiler: Optional[TimeAggregator] = None,
+        rise_synth_dtype: str = "bfloat16",
     ):
         self.predictor = predictor
         self.sr = sr
@@ -80,6 +81,11 @@ class PerturbationEngine:
         # committed 90-patch sweep runs 0.75 s at chunk=8 vs 0.46 s at 96.
         # None → auto-sized per sweep from the patch's time extent.
         self.occlusion_chunk = occlusion_chunk
+        # RISE resynthesis dtype: its dense Bernoulli masks force a full
+        # batched ISTFT per mask; in bfloat16 it runs as inverse-rDFT
+        # matmuls on the MXU (ops/stft.py::istft_matmul). "float32" keeps
+        # the exact FFT path for fidelity runs.
+        self.rise_synth_dtype = rise_synth_dtype
         self.profiler = profiler or TimeAggregator()
         self.n_samples = int(round(sr * duration))
         self._mask_sharding = batch_sharding(predictor.mesh, 3)
@@ -246,6 +252,22 @@ class PerturbationEngine:
 
         self._keep_patch_chunk = _keep_patch_chunk
 
+        def _rise_synth(S, masks, n_out):
+            """Masked resynthesis for RISE. STFT mode defaults to the
+            bfloat16 inverse-rDFT matmul (MXU) — the dense masks force a
+            full ISTFT per mask, and on TPU the matmul formulation beats
+            the VPU-bound batched FFT. float32 keeps the FFT path."""
+            if eng.spec_type != "mel" and eng.rise_synth_dtype != "float32":
+                from adx_tpu.ops.stft import istft_matmul
+
+                return istft_matmul(
+                    jnp.real(S)[None] * masks, jnp.imag(S)[None] * masks,
+                    hop_length=eng.hop_length, win_length=eng.win_length,
+                    n_fft=eng.n_fft, length=n_out,
+                    compute_dtype=jnp.dtype(eng.rise_synth_dtype),
+                )
+            return _synthesize(S[None] * masks, n_out)
+
         @functools.partial(jax.jit, static_argnames=("n_in_chunk", "n_out"))
         def _rise_chunk(S, key, mask_probability, imp_acc, n_in_chunk: int, n_out: int):
             """RISE inner: Bernoulli masks generated in-kernel, probs and the
@@ -254,8 +276,7 @@ class PerturbationEngine:
                 key, (n_in_chunk, S.shape[-2], S.shape[-1]), dtype=jnp.float32
             )
             masks = (u > (1.0 - mask_probability)).astype(jnp.float32)
-            S_b = S[None] * masks
-            y_b = _synthesize(S_b, n_out)
+            y_b = _rise_synth(S, masks, n_out)
             probs = eng._forward(y_b)
             imp_acc = imp_acc + jnp.sum(masks * probs[:, None, None], axis=0)
             return probs, imp_acc
@@ -272,7 +293,7 @@ class PerturbationEngine:
                     key, (chunk, S.shape[-2], S.shape[-1]), dtype=jnp.float32
                 )
                 masks = (u > (1.0 - mask_probability)).astype(jnp.float32)
-                y_b = _synthesize(S[None] * masks, n_out)
+                y_b = _rise_synth(S, masks, n_out)
                 probs = eng._forward(y_b)
                 return imp_acc + jnp.sum(masks * probs[:, None, None], axis=0), probs
 

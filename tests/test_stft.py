@@ -161,3 +161,29 @@ def test_istft_scatter_fallback_path(short_audio, n_fft, hop):
     S = stft(jnp.asarray(y), n_fft=n_fft, hop_length=hop)
     y_rec = np.asarray(istft(S, hop_length=hop, length=len(y)))
     np.testing.assert_allclose(y_rec[n_fft:-n_fft], y[n_fft:-n_fft], atol=1e-4)
+
+
+def test_istft_matmul_matches_fft_istft(short_audio):
+    """inverse-rDFT matmul ISTFT == FFT ISTFT (f32 path), close in bf16."""
+    y, _ = short_audio
+    y = y[:16000]
+    S = stft(jnp.asarray(y), n_fft=512, hop_length=128)
+    Sr, Si = jnp.real(S), jnp.imag(S)
+    want = np.asarray(istft(S, hop_length=128, length=len(y)))
+    got32 = np.asarray(
+        stft_mod.istft_matmul(Sr, Si, hop_length=128, length=len(y),
+                              compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got32, want, atol=2e-5)
+    got16 = np.asarray(
+        stft_mod.istft_matmul(Sr, Si, hop_length=128, length=len(y),
+                              compute_dtype=jnp.bfloat16)
+    )
+    scale = np.abs(y).max()
+    assert np.abs(got16 - want).max() < 0.02 * scale
+    # batched input broadcasts like istft
+    Sb = jnp.stack([Sr, 0.5 * Sr]), jnp.stack([Si, 0.5 * Si])
+    out = stft_mod.istft_matmul(Sb[0], Sb[1], hop_length=128, length=len(y),
+                                compute_dtype=jnp.float32)
+    assert out.shape == (2, len(y))
+    np.testing.assert_allclose(np.asarray(out[0]), want, atol=2e-5)
