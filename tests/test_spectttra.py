@@ -131,3 +131,33 @@ def test_config_from_hf_roundtrip():
 def test_convert_reports_unmapped():
     with pytest.raises(ValueError, match="Unmapped"):
         convert_torch_state_dict({"totally.unknown.weight": np.zeros((2, 2))})
+
+
+@pytest.mark.parametrize("preset", ["spectttra-alpha-120s", "spectttra-gamma-5s"])
+def test_torch_conversion_parity_full_size(preset):
+    """Production-shape conversion parity (VERDICT r1 #9): layout/PE/size
+    bugs only visible at real scale (alpha-120s: 3573 tokens, 12 layers;
+    gamma-5s exercises t_clip=5/f_clip=3 tokenizers)."""
+    import torch
+
+    from adx_tpu.models.config import resolve_preset
+    from tests.torch_mirror import TorchAudioClassifierNoFrontend
+
+    cfg = resolve_preset(preset)
+    torch.manual_seed(7)
+    tmodel = TorchAudioClassifierNoFrontend(cfg).eval()
+
+    a = cfg.audio
+    spec = np.random.default_rng(9).standard_normal(
+        (1, a.n_mels, a.n_frames)
+    ).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(spec)).numpy()
+
+    params = {"params": unflatten(convert_torch_state_dict(tmodel.state_dict()))}
+    got = np.asarray(
+        AudioClassifier(cfg).apply(
+            params, jnp.asarray(spec), method=AudioClassifier.classify_spec
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
