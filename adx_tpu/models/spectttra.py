@@ -85,21 +85,29 @@ class MelFrontend(nn.Module):
             pad_mode="reflect",
             **extra,
         )
-        # AmplitudeToDB(stype='power', top_db): ref=1, clamp relative to the
-        # per-instance max over the whole spectrogram.
-        S_db = power_to_db(M, ref=1.0, top_db=None)
-        mx = jnp.max(S_db, axis=(-2, -1), keepdims=True)
-        S_db = jnp.maximum(S_db, mx - a.top_db)
-        if a.norm == "mean_std":
-            mu = jnp.mean(S_db, axis=(-2, -1), keepdims=True)
-            sd = jnp.std(S_db, axis=(-2, -1), keepdims=True)
-            S_db = (S_db - mu) / (sd + 1e-6)
-        elif a.norm == "min_max":
-            mn = jnp.min(S_db, axis=(-2, -1), keepdims=True)
-            S_db = (S_db - mn) / (jnp.max(S_db, axis=(-2, -1), keepdims=True) - mn + 1e-6)
-        elif a.norm != "none":
-            raise ValueError(f"Unknown spec norm: {a.norm!r}")
-        return S_db
+        return normalize_log_mel(M, a)
+
+
+def normalize_log_mel(M: jnp.ndarray, a) -> jnp.ndarray:
+    """Mel POWER spectrogram → the classifier's normalized input.
+
+    AmplitudeToDB(stype='power', top_db): ref=1, clamp relative to the
+    per-instance max over the whole spectrogram, then per-instance norm.
+    Shared by the waveform frontend and the LIME frontend hoist (which
+    builds mel power directly from the stem cross-spectral Gram)."""
+    S_db = power_to_db(M, ref=1.0, top_db=None)
+    mx = jnp.max(S_db, axis=(-2, -1), keepdims=True)
+    S_db = jnp.maximum(S_db, mx - a.top_db)
+    if a.norm == "mean_std":
+        mu = jnp.mean(S_db, axis=(-2, -1), keepdims=True)
+        sd = jnp.std(S_db, axis=(-2, -1), keepdims=True)
+        S_db = (S_db - mu) / (sd + 1e-6)
+    elif a.norm == "min_max":
+        mn = jnp.min(S_db, axis=(-2, -1), keepdims=True)
+        S_db = (S_db - mn) / (jnp.max(S_db, axis=(-2, -1), keepdims=True) - mn + 1e-6)
+    elif a.norm != "none":
+        raise ValueError(f"Unknown spec norm: {a.norm!r}")
+    return S_db
 
 
 class Attention(nn.Module):

@@ -158,6 +158,44 @@ def _dft_matrices_np(n_fft: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "n_fft", "hop_length", "win_length", "center", "pad_mode", "compute_dtype",
+    ),
+)
+def stft_dft_realimag(
+    y: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    center: bool = True,
+    pad_mode: str = "constant",
+    compute_dtype=jnp.float32,
+):
+    """Framed real-DFT as two matmuls; returns ``(re, im)`` ``[..., T, K]``.
+
+    The MXU-friendly STFT core shared by ``melspectrogram_dft`` and the
+    LIME frontend hoist (the real/imag layout also avoids complex arrays,
+    which some TPU runtimes cannot transfer). Accumulates in f32."""
+    from adx_tpu.ops.stft import frame_signal, get_window
+
+    win_length = win_length or n_fft
+    w = get_window("hann", win_length, n_fft, dtype=jnp.float32)
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
+        y = jnp.pad(y, pad, mode=mode)
+    frames = frame_signal(y.astype(jnp.float32), n_fft, hop_length) * w  # [..., T, n_fft]
+    frames = frames.astype(compute_dtype)
+    cos_m, sin_m = _dft_matrices_np(n_fft)
+    re = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(cos_m, compute_dtype),
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(sin_m, compute_dtype),
+                    preferred_element_type=jnp.float32)
+    return re, im
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "sr", "n_fft", "hop_length", "win_length", "n_mels", "fmin", "fmax",
         "htk", "norm", "power", "center", "pad_mode", "compute_dtype",
     ),
@@ -193,21 +231,10 @@ def melspectrogram_dft(
     carrying log-mel bins; the power/dB math stays f32. In-context impact on
     the full-explain bench is neutral (the encoder dominates).
     """
-    from adx_tpu.ops.stft import frame_signal, get_window
-
-    win_length = win_length or n_fft
-    w = get_window("hann", win_length, n_fft, dtype=jnp.float32)
-    if center:
-        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
-        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
-        y = jnp.pad(y, pad, mode=mode)
-    frames = frame_signal(y.astype(jnp.float32), n_fft, hop_length) * w  # [..., T, n_fft]
-    frames = frames.astype(compute_dtype)
-    cos_m, sin_m = _dft_matrices_np(n_fft)
-    re = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(cos_m, compute_dtype),
-                    preferred_element_type=jnp.float32)
-    im = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(sin_m, compute_dtype),
-                    preferred_element_type=jnp.float32)
+    re, im = stft_dft_realimag(
+        y, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        center=center, pad_mode=pad_mode, compute_dtype=compute_dtype,
+    )
     if power == 2.0:
         mag = re * re + im * im
     else:

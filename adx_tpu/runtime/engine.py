@@ -306,22 +306,49 @@ class PerturbationEngine:
         def _stem_mix_all(stems, mask_rows, chunk: int):
             """LIME sweep: ALL masked recombinations in ONE program.
 
-            Resampling is linear, so the S stems are resampled to the model
-            rate ONCE and recombinations mix at model rate — instead of
-            resampling each of the N≈500 mixes (2.75× less mixing traffic at
-            44.1→16 kHz and no per-mix resample).
+            Every linear stage is hoisted out of the per-mix loop:
+
+            * resampling (linear): the S stems are resampled to the model
+              rate ONCE; recombinations mix at model rate;
+            * the ENTIRE spectral frontend (DFT + mel, both linear):
+              ``|Σ_s w_s S_s|² = Σ_{s,z} w_s w_z (r_s r_z + i_s i_z)``, so
+              the mel projection of each stem-pair cross-spectrum
+              (``Gmel[s,z] = mel(r_s·r_z + i_s·i_z)``) is computed ONCE and
+              each mix's mel power spectrogram is an S²-term recombination
+              — per mix only dB/normalization + the encoder remain.
+
+            Exact reordering of the same f32 math (mel is linear in power);
+            tiny negative cancellation residues are clamped before the dB.
             """
+            from adx_tpu.models.spectttra import AudioClassifier, normalize_log_mel
             from adx_tpu.ops.audio import fix_length, resample_poly_device
+            from adx_tpu.ops.mel import mel_filterbank, stft_dft_realimag
 
             p = eng.predictor
-            sr_model = p.cfg.audio.sample_rate
-            if eng.sr != sr_model:
-                stems = resample_poly_device(stems, sr_model, eng.sr)
-            stems = fix_length(stems, p.cfg.audio.n_samples)
+            a = p.cfg.audio
+            if eng.sr != a.sample_rate:
+                stems = resample_poly_device(stems, a.sample_rate, eng.sr)
+            stems = fix_length(stems, a.n_samples)
+
+            re_s, im_s = stft_dft_realimag(
+                stems, n_fft=a.n_fft, hop_length=a.hop_length,
+                win_length=a.win_length, pad_mode="reflect",
+            )  # [S, T, K]
+            fb = mel_filterbank(
+                a.sample_rate, a.n_fft, a.n_mels, a.f_min, a.f_max,
+                htk=True, norm=None,
+            )
+            cross = re_s[:, None] * re_s[None, :] + im_s[:, None] * im_s[None, :]
+            Gmel = jnp.einsum("mk,sztk->szmt", fb, cross)  # [S, S, mels, T]
 
             def chunk_fn(rows):
-                w = jnp.einsum("cs,sn->cn", rows, stems)
-                return jax.nn.sigmoid(p.model.apply(p.params, w))
+                ww = rows[:, :, None] * rows[:, None, :]  # [C, S, S]
+                M = jnp.einsum("csz,szmt->cmt", ww, Gmel)
+                spec = normalize_log_mel(jnp.maximum(M, 0.0), a)
+                logits = p.model.apply(
+                    p.params, spec, method=AudioClassifier.classify_spec
+                )
+                return jax.nn.sigmoid(logits)
 
             probs = jax.lax.map(chunk_fn, mask_rows.reshape(-1, chunk, mask_rows.shape[-1]))
             return probs.reshape(-1)

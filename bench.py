@@ -48,6 +48,10 @@ def main():
         help="Capture a jax.profiler trace of one measured iteration into DIR",
     )
     ap.add_argument(
+        "--lime-chunk", type=int, default=64,
+        help="LIME stem-mix chunk size (per-dispatch batch)",
+    )
+    ap.add_argument(
         "--dtype", choices=("bf16", "f32"), default="bf16",
         help="Classifier compute dtype: bf16 = production serving mode "
         "(default), f32 = the fidelity mode parity_check.py uses",
@@ -68,7 +72,7 @@ def main():
     )
     engine = PerturbationEngine(
         predictor, sr=SR, duration=DURATION, n_fft=N_FFT, hop_length=HOP,
-        win_length=WIN, spec_type="stft", chunk=8, lime_chunk=64,
+        win_length=WIN, spec_type="stft", chunk=8, lime_chunk=cli.lime_chunk,
     )
 
     n = int(SR * DURATION)
@@ -147,6 +151,32 @@ def main():
     n_forwards = 1 + len(FBP_BANDS) + warm["n_patches"] + LIME_SAMPLES
     forwards_per_sec = n_forwards / p50
 
+    # ---- MFU / roofline (VERDICT r1 #10) --------------------------------
+    # Analytic per-forward encoder FLOPs (model forwards only — the
+    # dominant compute; resynthesis/frontend excluded, so MFU is a floor):
+    # per layer 2·(4·S·d² + S²·d + S·d·d_ff·... ) with FLOPs = 2·MACs.
+    cfg = predictor.cfg
+    S_tok = cfg.n_tokens
+    d = cfg.model.embed_dim
+    d_ff = int(cfg.model.embed_dim * cfg.model.mlp_ratio)
+    L = cfg.model.num_layers
+    macs_per_layer = 4 * S_tok * d * d + 2 * S_tok * S_tok * d + 2 * S_tok * d * d_ff
+    flops_fwd = 2 * macs_per_layer * L  # one un-batched forward
+    peak_tflops = 197.0  # TPU v5e bf16 peak (MXU)
+    total_model_tflops = n_forwards * flops_fwd / 1e12
+    mfu_pct = 100.0 * total_model_tflops / (p50 * peak_tflops)
+    stage_forwards = {
+        "analyze_baseline": 1,
+        "fbp": len(FBP_BANDS),
+        "occlusion": warm["n_patches"],
+        "lime": LIME_SAMPLES,
+    }
+    stage_mfu = {
+        k: round(100.0 * nf * flops_fwd / 1e12 / (stages[k] * peak_tflops), 1)
+        for k, nf in stage_forwards.items()
+        if stages.get(k)
+    }
+
     print(
         json.dumps(
             {
@@ -163,6 +193,10 @@ def main():
                     "warmup_compile_s": round(compile_s, 1),
                     "setup_s": round(setup_s, 1),
                     "runs": [round(x, 3) for x in times],
+                    "mfu_pct": round(mfu_pct, 1),
+                    "stage_mfu_pct": stage_mfu,
+                    "model_tflops_per_forward": round(flops_fwd / 1e12, 4),
+                    "peak_tflops_bf16_assumed": peak_tflops,
                 },
             }
         )
