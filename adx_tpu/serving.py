@@ -16,8 +16,12 @@ Routes
   Response: ``{"prediction": p_fake, "predicted_class": ...,
   "confidences": [{"label": "Fake", ...}, {"label": "Real", ...}]}``
 
-Requests are serialized through a lock: the TPU forward itself is batched
-per call, and one device grant serves one program at a time anyway.
+Concurrency: by default requests are serialized through a lock (one device
+grant serves one program at a time anyway). With ``batch_window_ms > 0`` a
+``MicroBatcher`` coalesces concurrent requests instead: arrivals within the
+window (or up to the compiled ``max_batch``) are zero-padded to a common
+length and answered by ONE chunked forward — the serving-side analogue of
+the engine's perturbation batching.
 """
 
 from __future__ import annotations
@@ -25,11 +29,91 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
+from collections import defaultdict
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+import numpy as np
 
-def _make_handler(predictor, lock: threading.Lock, model_name: str):
+
+class MicroBatcher:
+    """Coalesce concurrent ``predict`` calls into batched forwards.
+
+    A collector thread drains the queue: it waits ``window_ms`` after the
+    first arrival (or until ``max_batch`` requests are pending), groups by
+    sample rate, zero-pads each group to its longest waveform and issues
+    one ``predict_batch`` per group. Zero-padding is prediction-neutral
+    (the model path fixes inputs to ``n_samples``; the resampler is
+    linear), so results match unbatched ``predict`` exactly.
+    """
+
+    def __init__(self, predictor, window_ms: float = 10.0, max_batch: Optional[int] = None):
+        self.predictor = predictor
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch or predictor.max_batch
+        self.n_batches = 0
+        self.n_requests = 0
+        self._queue: list = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True, name="microbatcher")
+        self._thread.start()
+
+    def submit(self, wave, sr: int, timeout: Optional[float] = None) -> float:
+        """Blocking predict through the batching window."""
+        fut: Future = Future()
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.append((np.asarray(wave, np.float32), int(sr), fut))
+            self._cv.notify()
+        return fut.result(timeout=timeout)
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=5.0)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                deadline = time.monotonic() + self.window
+                while len(self._queue) < self.max_batch and not self._closed:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            by_sr = defaultdict(list)
+            for wave, sr, fut in batch:
+                by_sr[sr].append((wave, fut))
+            for sr, items in by_sr.items():
+                try:
+                    n_max = max(w.shape[-1] for w, _ in items)
+                    arr = np.zeros((len(items), n_max), np.float32)
+                    for i, (w, _) in enumerate(items):
+                        arr[i, : w.shape[-1]] = w
+                    probs = self.predictor.predict_batch(arr, sr)
+                    self.n_batches += 1
+                    self.n_requests += len(items)
+                    for (_, fut), p in zip(items, probs):
+                        fut.set_result(float(p))
+                except Exception as e:  # noqa: BLE001 — propagate to callers
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+
+
+def _make_handler(predictor, lock: threading.Lock, model_name: str,
+                  batcher: Optional[MicroBatcher] = None):
     class Handler(BaseHTTPRequestHandler):
         server_version = "adx_tpu"
 
@@ -47,14 +131,19 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str):
                 return
             import jax
 
-            self._send(
-                200,
-                {
-                    "status": "ok",
-                    "model": model_name,
-                    "device": str(jax.devices()[0]),
-                },
-            )
+            payload = {
+                "status": "ok",
+                "model": model_name,
+                "device": str(jax.devices()[0]),
+            }
+            if batcher is not None:
+                payload["batching"] = {
+                    "window_ms": batcher.window * 1000.0,
+                    "max_batch": batcher.max_batch,
+                    "requests": batcher.n_requests,
+                    "batches": batcher.n_batches,
+                }
+            self._send(200, payload)
 
         def do_POST(self):  # noqa: N802 — http.server API
             path, _, query = self.path.partition("?")
@@ -79,8 +168,11 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str):
                 self._send(400, {"error": f"could not decode WAV body: {e}"})
                 return
             try:
-                with lock:
-                    p_fake = float(predictor.predict(wave, sr))
+                if batcher is not None:
+                    p_fake = batcher.submit(wave, sr)
+                else:
+                    with lock:
+                        p_fake = float(predictor.predict(wave, sr))
             except Exception as e:  # noqa: BLE001 — surface compute errors
                 self._send(500, {"error": f"prediction failed: {e}"})
                 return
@@ -107,10 +199,29 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8756,
     model_name: str = "spectttra",
+    batch_window_ms: float = 0.0,
 ) -> ThreadingHTTPServer:
-    """Build (but don't start) the HTTP server; call ``serve_forever()``."""
-    handler = _make_handler(predictor, threading.Lock(), model_name)
-    return ThreadingHTTPServer((host, port), handler)
+    """Build (but don't start) the HTTP server; call ``serve_forever()``.
+
+    ``batch_window_ms > 0`` enables the micro-batching window: concurrent
+    requests coalesce into one chunked forward (see ``MicroBatcher``).
+    The batcher is exposed as ``server.batcher`` (``None`` when disabled)
+    and shut down by ``server.server_close()``.
+    """
+    batcher = MicroBatcher(predictor, batch_window_ms) if batch_window_ms > 0 else None
+    handler = _make_handler(predictor, threading.Lock(), model_name, batcher)
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.batcher = batcher
+
+    orig_close = srv.server_close
+
+    def close_all():
+        if batcher is not None:
+            batcher.close()
+        orig_close()
+
+    srv.server_close = close_all
+    return srv
 
 
 def serve(
@@ -119,6 +230,7 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8756,
     max_batch: int = 8,
+    batch_window_ms: float = 0.0,
 ):
     """Load the predictor and serve until interrupted."""
     from adx_tpu.predict import LocalSonics
@@ -133,8 +245,12 @@ def serve(
         np.zeros(predictor.cfg.audio.n_samples, np.float32),
         predictor.cfg.audio.sample_rate,
     )
-    srv = make_server(predictor, host=host, port=port, model_name=model)
-    print(f"serving {model} on http://{host}:{port}  (POST /predict, GET /health)")
+    srv = make_server(
+        predictor, host=host, port=port, model_name=model,
+        batch_window_ms=batch_window_ms,
+    )
+    mode = f"batching window {batch_window_ms} ms" if batch_window_ms > 0 else "serialized"
+    print(f"serving {model} on http://{host}:{port}  (POST /predict, GET /health; {mode})")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8756)
     ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument(
+        "--batch-window-ms", type=float, default=0.0,
+        help="coalesce concurrent requests arriving within this window "
+        "into one batched forward (0 = serialized, the default)",
+    )
     args = ap.parse_args()
 
     from adx_tpu.serving import serve
@@ -31,6 +36,7 @@ def main():
         host=args.host,
         port=args.port,
         max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
     )
 
 

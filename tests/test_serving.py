@@ -116,3 +116,110 @@ def test_remote_client_against_own_server(server, tmp_path):
     bad.write_bytes(b"definitely not wav")
     with pytest.raises(Exception):
         RemoteSonics(url, max_retries=2, initial_delay=0.0).predict_from_file(bad)
+
+
+# ---------------------------------------------------------------------------
+# Micro-batching window
+# ---------------------------------------------------------------------------
+
+
+def test_microbatcher_coalesces_and_matches_serial():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from adx_tpu.serving import MicroBatcher
+
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    n = predictor.cfg.audio.n_samples
+    rng = np.random.default_rng(3)
+    waves = [
+        (0.3 * np.sin(2 * np.pi * (200 + 40 * i) * np.arange(n) / SR)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        for i in range(8)
+    ]
+    serial = [predictor.predict(w, SR) for w in waves]
+
+    calls = []
+    orig = predictor.predict_batch
+
+    def counting(arr, sr):
+        calls.append(arr.shape[0])
+        return orig(arr, sr)
+
+    predictor.predict_batch = counting
+    try:
+        batcher = MicroBatcher(predictor, window_ms=200.0)
+        with ThreadPoolExecutor(8) as pool:
+            got = list(pool.map(lambda w: batcher.submit(w, SR), waves))
+        batcher.close()
+    finally:
+        predictor.predict_batch = orig
+
+    np.testing.assert_allclose(got, serial, atol=1e-6)
+    # all 8 concurrent requests arrived within the window -> few batches,
+    # strictly fewer dispatches than requests
+    assert sum(calls) == 8
+    assert len(calls) < 8
+    assert batcher.n_requests == 8 and batcher.n_batches == len(calls)
+
+
+def test_microbatcher_groups_by_sample_rate():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from adx_tpu.serving import MicroBatcher
+
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    n = predictor.cfg.audio.n_samples
+    w1 = (0.3 * np.sin(2 * np.pi * 330 * np.arange(n) / SR)).astype(np.float32)
+    w2 = (0.3 * np.sin(2 * np.pi * 330 * np.arange(2 * n) / (2 * SR))).astype(np.float32)
+    want = [predictor.predict(w1, SR), predictor.predict(w2, 2 * SR)]
+
+    batcher = MicroBatcher(predictor, window_ms=100.0)
+    try:
+        with ThreadPoolExecutor(2) as pool:
+            f1 = pool.submit(batcher.submit, w1, SR)
+            f2 = pool.submit(batcher.submit, w2, 2 * SR)
+            got = [f1.result(timeout=60), f2.result(timeout=60)]
+    finally:
+        batcher.close()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_server_with_batching_window():
+    import urllib.error
+    from concurrent.futures import ThreadPoolExecutor
+
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    srv = make_server(predictor, host="127.0.0.1", port=0, model_name="tiny",
+                      batch_window_ms=150.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        n = predictor.cfg.audio.n_samples
+        rng = np.random.default_rng(5)
+        waves = [
+            (0.3 * np.sin(2 * np.pi * (220 + 60 * i) * np.arange(n) / SR)
+             + 0.02 * rng.standard_normal(n)).astype(np.float32)
+            for i in range(4)
+        ]
+        want = [predictor.predict(w, SR) for w in waves]
+
+        def post(w):
+            req = urllib.request.Request(
+                f"{url}/predict", data=_wav_bytes(w, SR),
+                headers={"Content-Type": "audio/wav"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())["prediction"]
+
+        with ThreadPoolExecutor(4) as pool:
+            got = list(pool.map(post, waves))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+        with urllib.request.urlopen(f"{url}/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["batching"]["requests"] == 4
+        assert health["batching"]["batches"] < 4
+    finally:
+        srv.shutdown()
+        srv.server_close()
