@@ -37,15 +37,19 @@ def _flash_kernel(
     n_kb = seq_len // block_k
 
     def q_body(qb, _):
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * scale
+        # keep the matmul INPUTS in the stored dtype (bf16): v5e runs f32
+        # MXU matmuls ~8× slower; accumulation stays f32 via
+        # preferred_element_type (measured: the all-f32 kernel was 332 ms
+        # per batch-64 encoder vs XLA's 199 ms)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
 
         def body(kb, carry):
             acc, m_prev, l_prev = carry
-            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [block_q, block_k]
+            ) * scale  # [block_q, block_k] f32
             col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < valid_len, s, _NEG_INF)
 
@@ -55,7 +59,8 @@ def _flash_kernel(
             alpha = jnp.exp(m_prev - m_new)
             l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             return acc, m_new, l_new
 
@@ -116,17 +121,41 @@ def flash_attention(
     return out.reshape(B, H, S, D)
 
 
+def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Plain-XLA attention over ``[B, N, H, D]`` with compute-dtype probs.
+
+    The softmax logits accumulate in f32, but the probability tensor is
+    stored back in the inputs' dtype before the AV matmul. In bf16 mode
+    this halves the dominant HBM traffic of the encoder: profiling the
+    batch-64 SpecTTTra-α forward showed the ``[B, H, S, S]`` f32 probs
+    cost 73 GB (111 ms of 165 ms) per forward when left to
+    ``jax.nn.dot_product_attention``. f32 inputs keep full-precision probs
+    (fidelity mode unchanged).
+    """
+    D = q.shape[-1]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / float(np.sqrt(D)))
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    # NOTE (measured on v5e): forcing the [B,H,S,S] probs buffer to bf16
+    # with an optimization_barrier makes things WORSE (253 ms vs 199 ms
+    # per batch-64) — the barrier splits QK+softmax into two passes that
+    # re-read the f32 logits. Left to itself XLA keeps one f32 probs
+    # buffer between the QK+softmax and AV fusions.
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, use_flash: bool = True):
     """Attention dispatch for ``[B, N, H, D]`` tensors (flax layout).
 
     Uses the Pallas flash kernel on TPU for long sequences; falls back to
-    ``jax.nn.dot_product_attention`` elsewhere (CPU tests, short inputs,
-    training — the kernel is forward-only).
+    ``xla_attention`` elsewhere (CPU tests, short inputs, training — the
+    kernel is forward-only).
     """
     B, N, H, D = q.shape
     on_tpu = jax.default_backend() == "tpu"
     if not (use_flash and on_tpu and N >= 512):
-        return jax.nn.dot_product_attention(q, k, v)
+        return xla_attention(q, k, v)
 
     block = 128
     S = -(-N // block) * block
