@@ -146,20 +146,30 @@ class LocalSonics:
         paths = list(audio_paths)
         for lo in range(0, len(paths), self.max_batch):
             group = paths[lo : lo + self.max_batch]
-            waves = []
+            waves: List[Optional[np.ndarray]] = []
             for idx, path in enumerate(group, start=lo):
                 if verbose:
                     print(f"   Predicting {idx+1}/{len(paths)}: {Path(path).name}")
-                y, _ = load_audio(path, sr=sr, duration=duration, mono=True)
-                waves.append(np.asarray(y, np.float32))
-            n_max = max(w.shape[-1] for w in waves)
-            batch = np.zeros((len(waves), n_max), np.float32)
-            for i, w in enumerate(waves):
-                batch[i, : w.shape[-1]] = w
-            group_probs = self.predict_batch(batch, sr)
+                try:
+                    y, _ = load_audio(path, sr=sr, duration=duration, mono=True)
+                    waves.append(np.asarray(y, np.float32))
+                except Exception as e:  # noqa: BLE001 — degrade per file
+                    # e.g. mp3 without ffmpeg in the image: skip the file
+                    # (NaN marker) instead of killing the dataset sweep
+                    print(f"   [Warning] skipping {Path(path).name}: {e}")
+                    waves.append(None)
+            loaded = [w for w in waves if w is not None]
+            group_probs = np.full((len(waves),), np.nan, np.float32)
+            if loaded:
+                n_max = max(w.shape[-1] for w in loaded)
+                batch = np.zeros((len(loaded), n_max), np.float32)
+                for i, w in enumerate(loaded):
+                    batch[i, : w.shape[-1]] = w
+                ok = self.predict_batch(batch, sr)
+                group_probs[[i for i, w in enumerate(waves) if w is not None]] = ok
             for p in group_probs:
                 probs.append(float(p))
-                if verbose:
+                if verbose and np.isfinite(p):
                     print(f"      → Fake prob: {float(p):.4f}")
         return probs
 

@@ -6,6 +6,7 @@ prediction, predicted_class, track_source}}}."""
 from __future__ import annotations
 
 import json
+import math
 from pathlib import Path
 
 from adx_tpu.io.results import safe_stem
@@ -34,7 +35,11 @@ def run_sonics_predictions(
         probs = predict_batch_from_files(predictor, all_audio, verbose=True, sr=sample_rate)
 
         folder_results = {}
+        skipped = []
         for audio_file, model_prob in zip(all_audio, probs):
+            if not math.isfinite(model_prob):
+                skipped.append(audio_file.name)
+                continue
             safe_name = safe_stem(audio_file)
             folder_results[safe_name] = {
                 "file_path": str(audio_file),
@@ -44,6 +49,9 @@ def run_sonics_predictions(
                 "predicted_class": "Fake" if model_prob > threshold else "Real",
                 "track_source": "Real" if folder.name.lower() == "real" else "Fake",
             }
+        if skipped:
+            print(f"   [Warning] {len(skipped)} undecodable file(s) skipped in "
+                  f"{class_name}: {', '.join(skipped)}")
         results[class_name] = folder_results
 
     output_path = Path(explanations_path)

@@ -111,3 +111,41 @@ def test_predict_batch_from_files_mixed_lengths(predictor, dataset, tmp_path):
     got = predictor.predict_batch_from_files(paths, sr=SR, verbose=False)
     want = [predictor.predict_from_file(p, sr=SR) for p in paths]
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dataset_sweep_degrades_on_undecodable_files(predictor, dataset, tmp_path, capsys):
+    """mp3 without ffmpeg (or any undecodable file) is skipped with a
+    warning; the sweep completes and predictions.json carries only the
+    decodable tracks (reference convention globs *.mp3 too —
+    src/lime_explainer.py:525-531)."""
+    import shutil
+
+    root = tmp_path / "MixedData"
+    for f in dataset.rglob("*.wav"):
+        dest = root / f.parent.name / f.name
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f, dest)
+    bad = root / "SUNO" / "broken song.mp3"
+    bad.write_bytes(b"\xff\xfb\x90\x00 not really an mp3")
+
+    out = tmp_path / "predictions.json"
+    results = run_sonics_predictions(
+        predictor, dataset_path=root, explanations_path=str(out), sample_rate=SR
+    )
+    printed = capsys.readouterr().out
+    assert "skipping broken song.mp3" in printed
+    assert "undecodable file(s) skipped" in printed
+    assert len(results["SUNO"]) == 3  # the 3 wavs, mp3 dropped
+    assert all(np.isfinite(v["prediction"]) for v in results["SUNO"].values())
+
+
+def test_load_audio_mp3_error_names_ffmpeg(tmp_path):
+    from adx_tpu.io.audio_io import load_audio
+
+    bad = tmp_path / "x.mp3"
+    bad.write_bytes(b"\x00\x01")
+    import shutil as _sh
+    if _sh.which("ffmpeg"):
+        pytest.skip("ffmpeg present; gate not exercised")
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        load_audio(bad, sr=SR)
