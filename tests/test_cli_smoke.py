@@ -20,6 +20,7 @@ SCRIPTS = [
     "scripts/train_spectttra.py",
     "scripts/parity_check.py",
     "scripts/convert_spleeter.py",
+    "scripts/compare_librosa_golden.py",
     "scripts/cleanup_fbp_audio.py",
     "scripts/explain_track.py",
     "scripts/serve_sonics.py",
