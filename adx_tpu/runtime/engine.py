@@ -212,6 +212,15 @@ class PerturbationEngine:
             # OLA spill tail is discarded), then zero-padded to n_out
             L_valid = min(hop * (T - 1), n_out)
 
+            # per-patch inverse DFT as f32 matmuls — XLA's TPU irfft runs on
+            # the VPU and dominated the per-patch cost (same trick as RISE's
+            # istft_matmul, kept in f32 here: occlusion maps are the
+            # headline fidelity artifact)
+            from adx_tpu.ops.stft import _inverse_rdft_matrices
+
+            Cr_np, Ci_np = _inverse_rdft_matrices(n_fft)
+            Cr, Ci = jnp.asarray(Cr_np), jnp.asarray(Ci_np)
+
             def chunk_fn(st_chunk):
                 def one(st):
                     t0, f0 = st[0], st[1]
@@ -219,7 +228,9 @@ class PerturbationEngine:
                     delta_cols = jax.lax.dynamic_update_slice(
                         jnp.zeros((S.shape[0], patch_t), S.dtype), fill - block, (f0, 0)
                     )
-                    dframes = jnp.fft.irfft(delta_cols.T, n=n_fft, axis=-1)
+                    dframes = (
+                        jnp.real(delta_cols).T @ Cr + jnp.imag(delta_cols).T @ Ci
+                    )
                     dseg = _overlap_add(dframes.astype(jnp.float32) * w, hop)
                     env_seg = jax.lax.dynamic_slice(env, (t0 * hop,), (seg_len,))
                     dseg = jnp.where(env_seg > _TINY, dseg / jnp.where(env_seg > _TINY, env_seg, 1.0), dseg)
@@ -283,24 +294,45 @@ class PerturbationEngine:
 
         self._rise_chunk = _rise_chunk
 
-        @functools.partial(jax.jit, static_argnames=("chunk", "n_out"))
-        def _rise_scan(S, keys, mask_probability, chunk: int, n_out: int):
+        def _rise_scan_body(S, base_key, chunk_ids, weights, mask_probability,
+                            chunk: int, n_out: int):
             """All full RISE chunks in ONE program: lax.scan carries the
-            on-device ``Σ mask·p`` accumulator across chunks."""
+            on-device ``Σ mask·p`` accumulator across chunks.
 
-            def body(imp_acc, key):
+            Chunk ``c``'s masks come from ``fold_in(base_key, c)`` — a pure
+            function of the GLOBAL chunk id, so the sharded variant (ids
+            split over the mesh) draws the exact same masks as the
+            single-device scan regardless of mesh size. ``weights`` zero out
+            padding chunks' map contributions."""
+
+            def body(imp_acc, iw):
+                cid, wgt = iw
+                key = jax.random.fold_in(base_key, cid)
                 u = jax.random.uniform(
                     key, (chunk, S.shape[-2], S.shape[-1]), dtype=jnp.float32
                 )
                 masks = (u > (1.0 - mask_probability)).astype(jnp.float32)
                 y_b = _rise_synth(S, masks, n_out)
                 probs = eng._forward(y_b)
-                return imp_acc + jnp.sum(masks * probs[:, None, None], axis=0), probs
+                imp_acc = imp_acc + wgt * jnp.sum(masks * probs[:, None, None], axis=0)
+                return imp_acc, probs
 
-            imp, probs = jax.lax.scan(body, jnp.zeros(S.shape, jnp.float32), keys)
+            imp0 = jnp.zeros(S.shape, jnp.float32)
+            if jax.typeof(chunk_ids).vma:  # inside shard_map: carry must be
+                imp0 = jax.lax.pcast(       # device-varying like the inputs
+                    imp0, tuple(jax.typeof(chunk_ids).vma), to="varying"
+                )
+            imp, probs = jax.lax.scan(body, imp0, (chunk_ids, weights))
             return probs.reshape(-1), imp
 
+        @functools.partial(jax.jit, static_argnames=("chunk", "n_out"))
+        def _rise_scan(S, base_key, chunk_ids, weights, mask_probability,
+                       chunk: int, n_out: int):
+            return _rise_scan_body(S, base_key, chunk_ids, weights,
+                                   mask_probability, chunk, n_out)
+
         self._rise_scan = _rise_scan
+        self._rise_scan_body = _rise_scan_body
 
         @functools.partial(jax.jit, static_argnames=("chunk",))
         def _stem_mix_all(stems, mask_rows, chunk: int):
@@ -411,6 +443,30 @@ class PerturbationEngine:
                 return fn(stems, mask_rows)
 
             self._stem_mix_sharded = _stem_mix_sharded
+
+            @functools.partial(jax.jit, static_argnames=("chunk", "n_out"))
+            def _rise_sharded(S, base_key, chunk_ids, weights, mask_probability,
+                              chunk, n_out):
+                """RISE DP: chunk ids shard over the mesh (contiguous, so
+                the prob order matches the single-device scan); each device
+                accumulates its partial Σ mask·p map and a psum merges them
+                — the only collectives are that psum and the implicit probs
+                all-gather."""
+
+                def local(S, base_key, ids, wgts, mp):
+                    probs, imp = _rise_scan_body(
+                        S, base_key, ids, wgts, mp, chunk, n_out
+                    )
+                    return probs, jax.lax.psum(imp, axis)
+
+                fn = shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P(), P(axis), P(axis), P()),
+                    out_specs=(P(axis), P()),
+                )
+                return fn(S, base_key, chunk_ids, weights, mask_probability)
+
+            self._rise_sharded = _rise_sharded
 
     # ------------------------------------------------------------------
 
@@ -527,12 +583,27 @@ class PerturbationEngine:
         with self.profiler.section("Computing RISE map"):
             n_full = n_masks // self.chunk
             rem = n_masks % self.chunk
-            keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(jnp.arange(n_full))
             if n_full:
-                probs, imp = self._rise_scan(
-                    S, keys, jnp.float32(mask_probability), self.chunk, n_out
-                )
-                probs_all[: n_full * self.chunk] = np.asarray(probs)
+                if self.n_devices > 1:
+                    # pad the chunk count to the mesh; padding chunks carry
+                    # weight 0 so the map is untouched, and chunk ids are
+                    # global so the masks match the 1-device scan exactly
+                    n_pad = -(-n_full // self.n_devices) * self.n_devices
+                    ids = jnp.arange(n_pad, dtype=jnp.int32)
+                    wgts = jnp.asarray(
+                        (np.arange(n_pad) < n_full).astype(np.float32)
+                    )
+                    probs, imp = self._rise_sharded(
+                        S, key, ids, wgts, jnp.float32(mask_probability),
+                        self.chunk, n_out,
+                    )
+                else:
+                    ids = jnp.arange(n_full, dtype=jnp.int32)
+                    probs, imp = self._rise_scan(
+                        S, key, ids, jnp.ones((n_full,), jnp.float32),
+                        jnp.float32(mask_probability), self.chunk, n_out,
+                    )
+                probs_all[: n_full * self.chunk] = np.asarray(probs)[: n_full * self.chunk]
             else:
                 imp = jnp.zeros(S.shape, jnp.float32)
             if rem:

@@ -207,3 +207,34 @@ def test_occlusion_chunk_invariance(predictor, engine, track):
         S2, _, _ = eng.analyze_and_baseline(track)
         got = np.asarray(eng.occlusion_probs(S2, starts, pf, pt, 0.0, len(track)))
         np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=f"occlusion_chunk={ck}")
+
+
+def test_rise_mesh_size_invariance(predictor, engine, track):
+    """Sharded RISE (keys split over the mesh, psum'd map) reproduces the
+    1-device scan exactly: chunk ids are global, padding chunks weigh 0."""
+    import jax
+
+    from adx_tpu.parallel.mesh import perturbation_mesh
+    from adx_tpu.predict import LocalSonics
+    from adx_tpu.runtime.engine import PerturbationEngine
+
+    params = jax.device_get(predictor.params)
+    single = LocalSonics(
+        predictor.cfg, params,
+        mesh=perturbation_mesh(jax.devices()[:1]), max_batch=4,
+    )
+    eng1 = PerturbationEngine(
+        single, sr=SR, duration=predictor.cfg.audio.duration,
+        n_fft=256, hop_length=128, win_length=256, spec_type="stft", chunk=4,
+    )
+    assert engine.n_devices > 1 and eng1.n_devices == 1
+
+    key = jax.random.key(7)
+    S, _ = engine.analyze(track)
+    S1, _ = eng1.analyze(track)
+    p8, i8 = engine.rise_map(S, n_masks=10, mask_probability=0.5,
+                             n_out=len(track), key=key)
+    p1, i1 = eng1.rise_map(S1, n_masks=10, mask_probability=0.5,
+                           n_out=len(track), key=key)
+    np.testing.assert_allclose(p8, p1, atol=1e-5)
+    np.testing.assert_allclose(i8, i1, atol=1e-4)
