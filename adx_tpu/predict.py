@@ -29,6 +29,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from adx_tpu.io.audio_io import load_audio
+
+
+def enable_fidelity_mode() -> None:
+    """True-f32 matmuls everywhere (cross-backend parity mode).
+
+    On TPU, f32 dots default to FAST precision (single bf16 multiply
+    passes); measured at SpecTTTra-α scale this moves raw probabilities by
+    up to ~0.06 vs CPU f32 at random init. With HIGHEST precision the
+    TPU-vs-CPU gap is ≤ 8.8e-4 — inside the 1e-3 parity gate. Costs ~3×
+    matmul time; use for parity_check / fidelity runs, not serving.
+    """
+    jax.config.update("jax_default_matmul_precision", "highest")
 from adx_tpu.models.config import ModelConfig, resolve_preset, tiny_test_config
 from adx_tpu.models.spectttra import AudioClassifier, init_params
 from adx_tpu.ops.audio import fix_length, resample_poly_device

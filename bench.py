@@ -54,11 +54,18 @@ def main():
     ap.add_argument(
         "--dtype", choices=("bf16", "f32"), default="bf16",
         help="Classifier compute dtype: bf16 = production serving mode "
-        "(default), f32 = the fidelity mode parity_check.py uses",
+        "(default), f32 = the fidelity mode parity_check.py uses "
+        "(also forces HIGHEST matmul precision: TPU f32 dots are "
+        "bf16-pass FAST by default and drift ~0.06 from CPU f32)",
     )
     cli = ap.parse_args()
 
     import jax
+
+    if cli.dtype == "f32":
+        from adx_tpu.predict import enable_fidelity_mode
+
+        enable_fidelity_mode()
 
     from adx_tpu.ops import band_gain_matrix, fft_frequencies, occlusion_patch_grid
     from adx_tpu.ops.masks import lime_mask_batch

@@ -12,6 +12,12 @@ Compares, where present in both trees:
 
 Prints a per-family summary and exits non-zero if any compared value
 exceeds tolerance.
+
+IMPORTANT: runs being compared across backends must be produced with
+``adx_tpu.predict.enable_fidelity_mode()`` (HIGHEST matmul precision).
+TPU f32 dots default to FAST (bf16 multiply passes) and drift up to ~0.06
+in raw probabilities vs CPU f32; with fidelity mode the measured TPU-vs-CPU
+gap at SpecTTTra-α/120 s scale is ≤ 8.8e-4 — inside the 1e-3 gate.
 """
 
 from __future__ import annotations
