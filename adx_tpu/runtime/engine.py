@@ -60,6 +60,7 @@ class PerturbationEngine:
         occlusion_chunk: Optional[int] = None,
         profiler: Optional[TimeAggregator] = None,
         rise_synth_dtype: str = "bfloat16",
+        occlusion_frontend_hoist: bool = True,
     ):
         self.predictor = predictor
         self.sr = sr
@@ -81,6 +82,10 @@ class PerturbationEngine:
         # committed 90-patch sweep runs 0.75 s at chunk=8 vs 0.46 s at 96.
         # None → auto-sized per sweep from the patch's time extent.
         self.occlusion_chunk = occlusion_chunk
+        # STFT-mode occlusion: hoist base resample + base mel out of the
+        # per-patch loop (windowed delta resample + column splice); the
+        # full wave path remains behind occlusion_frontend_hoist=False
+        self.occlusion_frontend_hoist = occlusion_frontend_hoist
         # RISE resynthesis dtype: its dense Bernoulli masks force a full
         # batched ISTFT per mask; in bfloat16 it runs as inverse-rDFT
         # matmuls on the MXU (ops/stft.py::istft_matmul). "float32" keeps
@@ -221,19 +226,34 @@ class PerturbationEngine:
             Cr_np, Ci_np = _inverse_rdft_matrices(n_fft)
             Cr, Ci = jnp.asarray(Cr_np), jnp.asarray(Ci_np)
 
+            def delta_segment(t0, f0):
+                """Analysis-rate waveform delta of one occluded patch:
+                nonzero only on ``seg_len`` samples at ``t0·hop`` (y_pad
+                coordinates)."""
+                block = jax.lax.dynamic_slice(S, (f0, t0), (patch_f, patch_t))
+                delta_cols = jax.lax.dynamic_update_slice(
+                    jnp.zeros((S.shape[0], patch_t), S.dtype), fill - block, (f0, 0)
+                )
+                dframes = (
+                    jnp.real(delta_cols).T @ Cr + jnp.imag(delta_cols).T @ Ci
+                )
+                dseg = _overlap_add(dframes.astype(jnp.float32) * w, hop)
+                env_seg = jax.lax.dynamic_slice(env, (t0 * hop,), (seg_len,))
+                return jnp.where(
+                    env_seg > _TINY, dseg / jnp.where(env_seg > _TINY, env_seg, 1.0), dseg
+                )
+
+            if eng.occlusion_frontend_hoist:
+                probs = _occlusion_hoisted(
+                    delta_segment, starts, chunk, n_out=n_out, L_valid=L_valid,
+                    seg_len=seg_len, n_fft_a=n_fft, hop_a=hop, y_pad=y_pad,
+                )
+                return probs.reshape(-1)
+
             def chunk_fn(st_chunk):
                 def one(st):
                     t0, f0 = st[0], st[1]
-                    block = jax.lax.dynamic_slice(S, (f0, t0), (patch_f, patch_t))
-                    delta_cols = jax.lax.dynamic_update_slice(
-                        jnp.zeros((S.shape[0], patch_t), S.dtype), fill - block, (f0, 0)
-                    )
-                    dframes = (
-                        jnp.real(delta_cols).T @ Cr + jnp.imag(delta_cols).T @ Ci
-                    )
-                    dseg = _overlap_add(dframes.astype(jnp.float32) * w, hop)
-                    env_seg = jax.lax.dynamic_slice(env, (t0 * hop,), (seg_len,))
-                    dseg = jnp.where(env_seg > _TINY, dseg / jnp.where(env_seg > _TINY, env_seg, 1.0), dseg)
+                    dseg = delta_segment(t0, f0)
                     base_seg = jax.lax.dynamic_slice(y_pad, (t0 * hop,), (seg_len,))
                     return jax.lax.dynamic_update_slice(y_pad, base_seg + dseg, (t0 * hop,))
 
@@ -244,6 +264,133 @@ class PerturbationEngine:
 
             probs = jax.lax.map(chunk_fn, starts.reshape(-1, chunk, 2))
             return probs.reshape(-1)
+
+        def _occlusion_hoisted(delta_segment, starts, chunk, *, n_out,
+                               L_valid, seg_len, n_fft_a, hop_a, y_pad):
+            """Occlusion sweep with the WHOLE model frontend hoisted out of
+            the per-patch loop (traced inside ``_occlusion_all``).
+
+            Every per-patch stage after the delta segment is linear and
+            time-local, so it runs on windows instead of the full track:
+
+            1. the patch's waveform delta (analysis rate, ``seg_len``
+               samples) is resampled ALONE on a ``down``-aligned window —
+               the polyphase conv is translation-invariant on multiples of
+               ``down``, so the windowed outputs equal the full-length
+               resample restricted to the window, exactly;
+            2. the resampled delta splices into the PRECOMPUTED base
+               model-rate wave (one full resample per sweep, not per patch);
+            3. only the model-STFT columns the window touches are
+               recomputed (DFT matmul on ~W_out/hop frames) and spliced
+               into the PRECOMPUTED base mel power spectrogram;
+            4. per patch, only dB/normalization + the encoder remain.
+
+            Numerics match the full path to f32 reorder noise; equivalence
+            is pinned by tests (same-rate and resampled configs).
+            """
+            import math
+
+            from adx_tpu.models.spectttra import AudioClassifier, normalize_log_mel
+            from adx_tpu.ops.audio import fix_length, resample_poly_device
+            from adx_tpu.ops.mel import (
+                _dft_matrices_np, mel_filterbank, melspectrogram_dft,
+            )
+            from adx_tpu.ops.stft import frame_signal, get_window
+
+            p = eng.predictor
+            am = p.cfg.audio
+            mdtype = p.model.dtype
+            sr_a, sr_m = int(eng.sr), int(am.sample_rate)
+            g = math.gcd(sr_m, sr_a)
+            up, down = sr_m // g, sr_a // g
+            same_rate = sr_a == sr_m
+            n_samp = int(am.n_samples)
+            res_len = n_out if same_rate else -(-n_out * up // down)
+
+            # ---- once per sweep: base wave, base mel power ---------------
+            y_full = y_pad[n_fft_a // 2 : n_fft_a // 2 + L_valid]
+            if L_valid < n_out:
+                y_full = jnp.pad(y_full, (0, n_out - L_valid))
+            w_base = y_full if same_rate else resample_poly_device(y_full, sr_m, sr_a)
+            w_base = fix_length(w_base, n_samp)
+            M_base = melspectrogram_dft(
+                w_base, sr=sr_m, n_fft=am.n_fft, hop_length=am.hop_length,
+                win_length=am.win_length, n_mels=am.n_mels, fmin=am.f_min,
+                fmax=am.f_max, htk=True, norm=None, power=am.power,
+                pad_mode="reflect", compute_dtype=mdtype,
+            )
+            T_m = M_base.shape[-1]
+            n_fft_m, hop_m = int(am.n_fft), int(am.hop_length)
+
+            # ---- static window geometry ----------------------------------
+            # left margin (multiple of `down`) so window starts stay ≥ 0
+            Lm = ((n_fft_a // 2) // down + 2) * down
+            Lm_m = Lm * up // down
+            W_in = -(-(seg_len + 3 * down) // down) * down
+            W_out = W_in * up // down
+            margin_r = W_out + max(0, res_len - n_samp) + up
+            wb_ext = jnp.pad(w_base, (Lm_m, margin_r))
+
+            n_tau = min(T_m, W_out // hop_m + n_fft_m // hop_m + 3)
+            win_m = get_window("hann", am.win_length, n_fft_m)
+            cos_m, sin_m = _dft_matrices_np(n_fft_m)
+            cos_d = jnp.asarray(cos_m).astype(mdtype)
+            sin_d = jnp.asarray(sin_m).astype(mdtype)
+            fb = mel_filterbank(sr_m, n_fft_m, am.n_mels, am.f_min, am.f_max,
+                                htk=True, norm=None)
+
+            def one(st):
+                t0, f0 = st[0], st[1]
+                off = t0 * hop_a
+                dseg = delta_segment(t0, f0)
+                # clip to the istft(length=n_out) valid region
+                idx_full = off - n_fft_a // 2 + jnp.arange(seg_len)
+                dseg = dseg * ((idx_full >= 0) & (idx_full < L_valid))
+
+                d0e = off - n_fft_a // 2 + Lm          # ext coords (≥ down)
+                w_start = (d0e // down - 1) * down      # down-aligned, ≥ 0
+                delta_win = jax.lax.dynamic_update_slice(
+                    jnp.zeros((W_in,), jnp.float32), dseg, (d0e - w_start,)
+                )
+                r_delta = (
+                    delta_win if same_rate
+                    else resample_poly_device(delta_win, sr_m, sr_a)
+                )[:W_out]
+                s_ext = (w_start // down) * up          # ext model coords
+                gidx = s_ext - Lm_m + jnp.arange(W_out)  # global model coords
+                r_delta = r_delta * ((gidx >= 0) & (gidx < res_len))
+                base_seg = jax.lax.dynamic_slice(wb_ext, (s_ext,), (W_out,))
+                w_mix_ext = jax.lax.dynamic_update_slice(
+                    wb_ext, base_seg + r_delta, (s_ext,)
+                )
+                w_mix = w_mix_ext[Lm_m : Lm_m + n_samp]
+
+                # recompute only the touched model-STFT columns
+                w_mix_pad = jnp.pad(w_mix, (n_fft_m // 2, n_fft_m // 2), mode="reflect")
+                tau_min = (s_ext - Lm_m - n_fft_m // 2) // hop_m
+                tau0 = jnp.clip(tau_min, 0, T_m - n_tau)
+                seg_w = jax.lax.dynamic_slice(
+                    w_mix_pad, (tau0 * hop_m,), ((n_tau - 1) * hop_m + n_fft_m,)
+                )
+                frames = (frame_signal(seg_w, n_fft_m, hop_m) * win_m).astype(mdtype)
+                re = jnp.einsum("tn,nk->tk", frames, cos_d,
+                                preferred_element_type=jnp.float32)
+                im = jnp.einsum("tn,nk->tk", frames, sin_d,
+                                preferred_element_type=jnp.float32)
+                powr = re * re + im * im
+                cols = jnp.einsum("mk,tk->mt", fb.astype(mdtype), powr.astype(mdtype),
+                                  preferred_element_type=jnp.float32)
+                return jax.lax.dynamic_update_slice(M_base, cols, (0, tau0))
+
+            def chunk_fn(st_chunk):
+                M_b = jax.vmap(one)(st_chunk)
+                spec = normalize_log_mel(M_b, am)
+                logits = p.model.apply(
+                    p.params, spec, method=AudioClassifier.classify_spec
+                )
+                return jax.nn.sigmoid(logits)
+
+            return jax.lax.map(chunk_fn, starts.reshape(-1, chunk, 2))
 
         self._occlusion_all = _occlusion_all
 

@@ -238,3 +238,34 @@ def test_rise_mesh_size_invariance(predictor, engine, track):
                            n_out=len(track), key=key)
     np.testing.assert_allclose(p8, p1, atol=1e-5)
     np.testing.assert_allclose(i8, i1, atol=1e-4)
+
+
+@pytest.mark.parametrize("sr_analysis", [SR, 12000])
+def test_occlusion_hoist_matches_wave_path(predictor, track, sr_analysis):
+    """The frontend-hoisted occlusion (windowed delta resample + mel column
+    splice) equals the full resynth+forward path — same-rate AND the
+    up/down = 2/3 resampled config (aligned-window polyphase exactness)."""
+    import jax
+
+    from adx_tpu.ops.masks import occlusion_patch_grid
+    from adx_tpu.runtime.engine import PerturbationEngine
+
+    if sr_analysis == SR:
+        y = track
+    else:
+        n = int(predictor.cfg.audio.duration * sr_analysis)
+        t = np.arange(n) / sr_analysis
+        y = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.1 * np.random.default_rng(0).standard_normal(n)).astype(np.float32)
+
+    kw = dict(sr=sr_analysis, duration=predictor.cfg.audio.duration,
+              n_fft=256, hop_length=128, win_length=256, spec_type="stft", chunk=4)
+    eng_h = PerturbationEngine(predictor, occlusion_frontend_hoist=True, **kw)
+    eng_w = PerturbationEngine(predictor, occlusion_frontend_hoist=False, **kw)
+
+    S, _ = eng_h.analyze(y)
+    starts, pf, pt = occlusion_patch_grid(S.shape[-2], S.shape[-1], 8, 6, 40.0, 30.0)
+    # include the first patch (t0=0, start-edge clipping) and last rows
+    p_h = eng_h.occlusion_probs(S, starts, pf, pt, 0.0, len(y))
+    p_w = eng_w.occlusion_probs(S, starts, pf, pt, 0.0, len(y))
+    np.testing.assert_allclose(p_h, p_w, atol=2e-5)
