@@ -27,6 +27,7 @@ from adx_tpu.io.audio_io import load_audio, write_wav
 from adx_tpu.io.results import append_update_results
 from adx_tpu.ops.masks import band_gain_matrix, band_transition_width, smooth_band_keep_mask
 from adx_tpu.ops.mel import fft_frequencies
+from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.runtime.checkpoint import ExperimentCheckpoint
 from adx_tpu.runtime.engine import PerturbationEngine
 from adx_tpu.runtime.profiler import TimeAggregator, timed
@@ -446,6 +447,8 @@ class FrequencyBandPerturbation:
         models_to_process: Optional[list] = None,
         max_samples_per_model: Optional[int] = None,
         results_path: Optional[str | Path] = None,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ) -> pd.DataFrame:
         base_path = Path(base_path)
         output_dir = Path(output_dir)
@@ -485,6 +488,11 @@ class FrequencyBandPerturbation:
                 audio_files = sorted(list(folder.glob("*.mp3")) + list(folder.glob("*.wav")))
                 if max_samples_per_model:
                     audio_files = audio_files[:max_samples_per_model]
+                if num_shards > 1:
+                    # track-level DP across hosts (SURVEY §2.6(c)): each host
+                    # takes a disjoint round-robin slice of the capped list
+                    audio_files = host_shard(audio_files, shard_index, num_shards)
+                    print(f"   Shard {shard_index}/{num_shards}: {len(audio_files)} files")
                 print(f"   Found {len(audio_files)} files")
 
                 for idx, audio_file in enumerate(audio_files, 1):

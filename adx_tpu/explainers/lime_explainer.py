@@ -23,6 +23,7 @@ from adx_tpu.io.results import (
     load_existing_explanations,
     safe_stem,
 )
+from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.predict import predict_batch_from_files
 from adx_tpu.runtime.checkpoint import LIMEExperimentCheckpoint
 from adx_tpu.runtime.engine import PerturbationEngine
@@ -297,6 +298,8 @@ def run_lime_experiment_safe(
     save_separated_audio_only: Optional[bool] = None,
     save_reversed_separated_audio_only: Optional[bool] = None,
     separation_model: str = "spleeter:4stems",
+    shard_index: int = 0,
+    num_shards: int = 1,
 ):
     """Run the LIME experiment for fake song detection."""
     checkpoint = None
@@ -327,6 +330,11 @@ def run_lime_experiment_safe(
             continue
         print(f"\n🔊 Processing folder: {folder.name}")
         all_audio = sorted(list(folder.glob("*.mp3")) + list(folder.glob("*.wav")))[:max_samples_explain]
+        if num_shards > 1:
+            # track-level DP across hosts (SURVEY §2.6(c)); with sharding,
+            # ids_to_explain indexes this host's slice
+            all_audio = host_shard(all_audio, shard_index, num_shards)
+            print(f"   Shard {shard_index}/{num_shards}: {len(all_audio)} files")
         if not all_audio:
             print("   No audio files found, skipping...")
             continue

@@ -27,6 +27,7 @@ import pandas as pd
 from adx_tpu.io.audio_io import load_audio, write_wav
 from adx_tpu.io.results import append_update_results
 from adx_tpu.ops.masks import occlusion_patch_grid
+from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.runtime.checkpoint import SpectrogramCheckpoint
 from adx_tpu.runtime.engine import PerturbationEngine
 from adx_tpu.runtime.profiler import TimeAggregator, timed
@@ -450,6 +451,8 @@ class SpectrogramExplainability:
         baseline_threshold: float = 0.3,
         resume: bool = True,
         results_path: Optional[str | Path] = None,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ) -> pd.DataFrame:
         base_path = Path(base_path)
         output_dir = Path(output_dir)
@@ -488,6 +491,10 @@ class SpectrogramExplainability:
                 audio_files = sorted(list(folder.glob("*.mp3")) + list(folder.glob("*.wav")))
                 if max_samples_per_model:
                     audio_files = audio_files[:max_samples_per_model]
+                if num_shards > 1:
+                    # track-level DP across hosts (SURVEY §2.6(c))
+                    audio_files = host_shard(audio_files, shard_index, num_shards)
+                    print(f"   Shard {shard_index}/{num_shards}: {len(audio_files)} files")
                 print(f"   Found {len(audio_files)} files")
 
                 for idx, audio_file in enumerate(audio_files, 1):

@@ -13,6 +13,7 @@ import numpy as np
 from adx_tpu.features.extraction import extract_all_features
 from adx_tpu.io.audio_io import load_audio, write_wav
 from adx_tpu.io.results import append_update_features, safe_stem, to_native_dict
+from adx_tpu.parallel.host_shard import host_shard
 
 
 def extract_all_features_separately(
@@ -134,6 +135,8 @@ def run_features_extraction(
     segmented_features: bool = False,
     segment_duration: float = 5.0,
     sample_rate: int = 44100,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ):
     merged_segmented_features: Dict[str, dict] = {}
 
@@ -142,6 +145,11 @@ def run_features_extraction(
             continue
         print(f"\n🔊 Processing folder: {folder.name}")
         all_audio = sorted(list(folder.glob("*.mp3")) + list(folder.glob("*.wav")))[:max_samples]
+        if num_shards > 1:
+            # track-level DP across hosts (SURVEY §2.6(c)); with sharding,
+            # ids_to_get_features indexes this host's slice
+            all_audio = host_shard(all_audio, shard_index, num_shards)
+            print(f"   Shard {shard_index}/{num_shards}: {len(all_audio)} files")
         if not all_audio:
             print("   No audio files found, skipping...")
             continue

@@ -10,6 +10,7 @@ import math
 from pathlib import Path
 
 from adx_tpu.io.results import safe_stem
+from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.predict import predict_batch_from_files
 
 
@@ -19,6 +20,8 @@ def run_sonics_predictions(
     explanations_path="predictions.json",
     sample_rate: int = 44100,
     threshold: float = 0.5,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ):
     results = {}
     dataset_path = Path(dataset_path)
@@ -28,6 +31,11 @@ def run_sonics_predictions(
             continue
         class_name = folder.name
         all_audio = list(folder.glob("*.mp3")) + list(folder.glob("*.wav"))
+        if num_shards > 1:
+            # track-level DP across hosts (SURVEY §2.6(c)): shard the sorted
+            # list so every host sees the same order (predictions.json is
+            # keyed by stem, so output order is immaterial)
+            all_audio = host_shard(sorted(all_audio), shard_index, num_shards)
         if not all_audio:
             continue
 

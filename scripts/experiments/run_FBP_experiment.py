@@ -23,6 +23,7 @@ if str(ROOT) not in sys.path:
 
 from adx_tpu.explainers.fbp import FrequencyBandPerturbation
 from adx_tpu.io.config import build_predictor, load_yaml, save_experiment_config
+from adx_tpu.parallel.host_shard import add_shard_args, shard_spec_from_args
 
 
 def load_results_from_json(json_path: Path) -> pd.DataFrame:
@@ -85,7 +86,9 @@ def main():
         "--save-fbp-audio", choices=["none", "separated", "reversed"], default="none",
         help="Save WAV with frequency band perturbations.",
     )
+    add_shard_args(ap)
     args = ap.parse_args()
+    shard_index, num_shards = shard_spec_from_args(args)
 
     config = load_yaml(Path(args.config))
     dataset_cfg = config.get("dataset", {})
@@ -177,6 +180,8 @@ def main():
             models_to_process=dataset_cfg.get("models_to_process"),
             max_samples_per_model=dataset_cfg.get("max_samples_per_model"),
             results_path=output_dir / "fbp_results.json",
+            shard_index=shard_index,
+            num_shards=num_shards,
         )
     except KeyboardInterrupt:
         print("\n\n⚠️  Experiment interrupted (Ctrl+C)")

@@ -20,6 +20,7 @@ if str(ROOT) not in sys.path:
 
 from adx_tpu.explainers.lime_explainer import run_lime_experiment_safe
 from adx_tpu.io.config import build_predictor, load_yaml, save_experiment_config
+from adx_tpu.parallel.host_shard import add_shard_args, shard_spec_from_args
 from adx_tpu.io.results import load_existing_explanations
 from adx_tpu.viz.lime_viz import (
     visualize_explanations,
@@ -41,7 +42,9 @@ def main():
         "--save-visualizations-only", action="store_true",
         help="Skip explanation generation; regenerate visualizations from existing explanations.",
     )
+    add_shard_args(ap)
     args = ap.parse_args()
+    shard_index, num_shards = shard_spec_from_args(args)
 
     config = load_yaml(Path(args.config))
     dataset_cfg = config.get("dataset", {})
@@ -108,6 +111,8 @@ def main():
                 save_separated_audio_only=args.save_separated_audio == "separated",
                 save_reversed_separated_audio_only=args.save_separated_audio == "reversed",
                 separation_model=lime_cfg.get("separation_model", "spleeter:4stems"),
+                shard_index=shard_index,
+                num_shards=num_shards,
             )
         except KeyboardInterrupt:
             print("\n\n⚠️  Experiment interrupted (Ctrl+C)")

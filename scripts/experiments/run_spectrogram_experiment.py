@@ -18,6 +18,7 @@ if str(ROOT) not in sys.path:
 
 from adx_tpu.explainers.occlusion import SpectrogramExplainability
 from adx_tpu.io.config import build_predictor, load_yaml, save_experiment_config
+from adx_tpu.parallel.host_shard import add_shard_args, shard_spec_from_args
 from adx_tpu.viz.saliency import visualize_aggregate_results
 
 
@@ -30,7 +31,9 @@ def main():
     ap.add_argument("--no-checkpoint", action="store_true", help="Disable checkpointing")
     ap.add_argument("--resume", action="store_true", help="Resume from checkpoint")
     ap.add_argument("--visualize-only", action="store_true", help="Only generate aggregate visualizations")
+    add_shard_args(ap)
     args = ap.parse_args()
+    shard_index, num_shards = shard_spec_from_args(args)
 
     config = load_yaml(Path(args.config))
     dataset_cfg = config.get("dataset", {})
@@ -122,6 +125,8 @@ def main():
             baseline_threshold=baseline_threshold,
             resume=args.resume or (not args.no_checkpoint),
             results_path=output_dir / f"spectrogram_results_{method}.json",
+            shard_index=shard_index,
+            num_shards=num_shards,
         )
     except KeyboardInterrupt:
         print("\n\n⚠️  Experiment interrupted (Ctrl+C)")

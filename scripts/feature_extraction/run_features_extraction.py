@@ -14,12 +14,15 @@ if str(ROOT) not in sys.path:
 
 from adx_tpu.features.calculate import run_features_extraction
 from adx_tpu.io.config import load_yaml, save_experiment_config
+from adx_tpu.parallel.host_shard import add_shard_args, shard_spec_from_args
 
 
 def main():
     ap = argparse.ArgumentParser(description="Extract features for audio dataset")
     ap.add_argument("--config", default=str(ROOT / "configs/Features_extraction" / "features_configs.yaml"))
+    add_shard_args(ap)
     args = ap.parse_args()
+    shard_index, num_shards = shard_spec_from_args(args)
 
     config = load_yaml(Path(args.config))
     dataset_cfg = config.get("dataset", {})
@@ -60,6 +63,8 @@ def main():
             segmented_features=feat_cfg.get("extract_segmented_features", False),
             segment_duration=feat_cfg.get("segment_duration", 10.0),
             sample_rate=sample_rate,
+            shard_index=shard_index,
+            num_shards=num_shards,
         )
     except KeyboardInterrupt:
         print("\n\n⚠️  Experiment interrupted (Ctrl+C)")

@@ -13,13 +13,16 @@ if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
 from adx_tpu.io.config import build_predictor, load_yaml, save_experiment_config
+from adx_tpu.parallel.host_shard import add_shard_args, shard_spec_from_args
 from adx_tpu.predictions import run_sonics_predictions
 
 
 def main():
     ap = argparse.ArgumentParser(description="Run SONICS predictions for fake song detection")
     ap.add_argument("--config", default=str(ROOT / "configs/SONICS_predictions" / "sonics_config.yaml"))
+    add_shard_args(ap)
     args = ap.parse_args()
+    shard_index, num_shards = shard_spec_from_args(args)
 
     config = load_yaml(Path(args.config))
     dataset_cfg = config.get("dataset", {})
@@ -50,6 +53,8 @@ def main():
             explanations_path=str(explanations_path),
             sample_rate=dataset_cfg.get("sample_rate", 44100),
             threshold=0.5,
+            shard_index=shard_index,
+            num_shards=num_shards,
         )
     except KeyboardInterrupt:
         print("\n\n⚠️  Experiment interrupted (Ctrl+C)")
