@@ -15,6 +15,11 @@ Routes
   optional ``?sr=`` overrides the container rate for raw streams.
   Response: ``{"prediction": p_fake, "predicted_class": ...,
   "confidences": [{"label": "Fake", ...}, {"label": "Real", ...}]}``
+* ``POST /explain`` (when enabled) → body = a WAV file; runs the full
+  FBP + occlusion + AudioLIME explanation (``adx_tpu.explain.explain_track``)
+  and returns its JSON record (baseline prediction, per-band FBP
+  importances, occlusion stats + top patches, LIME stem influences).
+  The perturbation engine is built once and reused across requests.
 
 Concurrency: by default requests are serialized through a lock (one device
 grant serves one program at a time anyway). With ``batch_window_ms > 0`` a
@@ -112,8 +117,62 @@ class MicroBatcher:
                             fut.set_exception(e)
 
 
+class ExplainService:
+    """Serving-side wrapper around ``explain_track``: one lazily-built
+    ``PerturbationEngine`` shared by all ``/explain`` requests (so the
+    sweep programs compile once), request WAVs staged through a temp file
+    (the same decode path ``explain_track`` uses from the CLI)."""
+
+    def __init__(self, predictor, **explain_kwargs):
+        self.predictor = predictor
+        self.kwargs = explain_kwargs
+        self._engine = None
+        self._lock = threading.Lock()
+
+    def _get_engine(self):
+        if self._engine is None:
+            from adx_tpu.runtime.engine import PerturbationEngine
+
+            k = self.kwargs
+            self._engine = PerturbationEngine(
+                self.predictor,
+                sr=int(k.get("sr", 44100)),
+                duration=float(k.get("duration", 120.0)),
+                n_fft=int(k.get("n_fft", 2048)),
+                hop_length=int(k.get("hop_length", 512)),
+                win_length=int(k.get("win_length", 2048)),
+                spec_type="stft",
+            )
+        return self._engine
+
+    def explain(self, wave, sr: int) -> dict:
+        import os
+        import tempfile
+
+        from adx_tpu.explain import explain_track
+        from adx_tpu.io.audio_io import write_wav
+        from adx_tpu.io.results import convert_to_native
+
+        with self._lock:
+            engine = self._get_engine()
+            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+                name = tmp.name
+            try:
+                write_wav(name, np.asarray(wave, np.float32), int(sr))
+                record = explain_track(
+                    name, predictor=self.predictor, engine=engine,
+                    out_dir=None, save_figures=False, **self.kwargs,
+                )
+            finally:
+                os.unlink(name)
+        record["track_stem"] = ""  # temp-file name is meaningless to the client
+        record.pop("file_path", None)
+        return convert_to_native(record)
+
+
 def _make_handler(predictor, lock: threading.Lock, model_name: str,
-                  batcher: Optional[MicroBatcher] = None):
+                  batcher: Optional[MicroBatcher] = None,
+                  explain_service: Optional[ExplainService] = None):
     class Handler(BaseHTTPRequestHandler):
         server_version = "adx_tpu"
 
@@ -147,7 +206,11 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
 
         def do_POST(self):  # noqa: N802 — http.server API
             path, _, query = self.path.partition("?")
-            if path != "/predict":
+            if path == "/explain" and explain_service is None:
+                self._send(404, {"error": "explanation endpoint not enabled; "
+                                          "start the server with explain support"})
+                return
+            if path not in ("/predict", "/explain"):
                 self._send(404, {"error": f"unknown path {self.path!r}"})
                 return
             try:
@@ -166,6 +229,14 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
                     wave = wave.mean(axis=-1)
             except Exception as e:  # noqa: BLE001 — malformed client input
                 self._send(400, {"error": f"could not decode WAV body: {e}"})
+                return
+            if path == "/explain":
+                try:
+                    record = explain_service.explain(wave, sr)
+                except Exception as e:  # noqa: BLE001 — surface compute errors
+                    self._send(500, {"error": f"explanation failed: {e}"})
+                    return
+                self._send(200, record)
                 return
             try:
                 if batcher is not None:
@@ -200,6 +271,7 @@ def make_server(
     port: int = 8756,
     model_name: str = "spectttra",
     batch_window_ms: float = 0.0,
+    explain_kwargs: Optional[dict] = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; call ``serve_forever()``.
 
@@ -207,11 +279,20 @@ def make_server(
     requests coalesce into one chunked forward (see ``MicroBatcher``).
     The batcher is exposed as ``server.batcher`` (``None`` when disabled)
     and shut down by ``server.server_close()``.
+
+    ``explain_kwargs`` (a dict, possibly empty) enables ``POST /explain``
+    with those ``explain_track`` keyword overrides (sr/duration/n_fft/
+    patch grid/num_samples_lime/…); ``None`` leaves the endpoint off.
     """
     batcher = MicroBatcher(predictor, batch_window_ms) if batch_window_ms > 0 else None
-    handler = _make_handler(predictor, threading.Lock(), model_name, batcher)
+    explain_service = (
+        ExplainService(predictor, **explain_kwargs) if explain_kwargs is not None else None
+    )
+    handler = _make_handler(predictor, threading.Lock(), model_name, batcher,
+                            explain_service)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.batcher = batcher
+    srv.explain_service = explain_service
 
     orig_close = srv.server_close
 
@@ -231,6 +312,7 @@ def serve(
     port: int = 8756,
     max_batch: int = 8,
     batch_window_ms: float = 0.0,
+    explain: bool = False,
 ):
     """Load the predictor and serve until interrupted."""
     from adx_tpu.predict import LocalSonics
@@ -248,9 +330,11 @@ def serve(
     srv = make_server(
         predictor, host=host, port=port, model_name=model,
         batch_window_ms=batch_window_ms,
+        explain_kwargs={} if explain else None,
     )
     mode = f"batching window {batch_window_ms} ms" if batch_window_ms > 0 else "serialized"
-    print(f"serving {model} on http://{host}:{port}  (POST /predict, GET /health; {mode})")
+    routes = "POST /predict" + (", POST /explain" if explain else "") + ", GET /health"
+    print(f"serving {model} on http://{host}:{port}  ({routes}; {mode})")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -26,6 +26,11 @@ def main():
         help="coalesce concurrent requests arriving within this window "
         "into one batched forward (0 = serialized, the default)",
     )
+    ap.add_argument(
+        "--explain", action="store_true",
+        help="also serve POST /explain: full FBP+occlusion+LIME explanation "
+        "of the posted WAV (first request pays the sweep compiles)",
+    )
     args = ap.parse_args()
 
     from adx_tpu.serving import serve
@@ -37,6 +42,7 @@ def main():
         port=args.port,
         max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms,
+        explain=args.explain,
     )
 
 

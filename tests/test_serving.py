@@ -223,3 +223,64 @@ def test_server_with_batching_window():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_explain_endpoint_disabled_by_default(server):
+    url, _ = server
+    import urllib.error
+
+    req = urllib.request.Request(
+        f"{url}/explain", data=_wav_bytes(np.zeros(SR // 2, np.float32), SR),
+        headers={"Content-Type": "audio/wav"}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 404
+    assert "not enabled" in json.loads(exc.value.read())["error"]
+
+
+def test_explain_endpoint_full_record():
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    srv = make_server(
+        predictor, host="127.0.0.1", port=0, model_name="tiny",
+        explain_kwargs=dict(
+            sr=SR, duration=predictor.cfg.audio.duration,
+            n_fft=256, hop_length=128, win_length=256,
+            patch_time_frames=8, stride_time_frames=8,
+            patch_freq_percent=50.0, stride_freq_percent=50.0,
+            num_samples_lime=16,
+        ),
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        n = SR // 2
+        t = np.arange(n) / SR
+        rng = np.random.default_rng(11)
+        y = (0.3 * np.sin(2 * np.pi * 300 * t)
+             + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        req = urllib.request.Request(
+            f"{url}/explain", data=_wav_bytes(y, SR),
+            headers={"Content-Type": "audio/wav"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            record = json.loads(r.read())
+        assert 0.0 <= record["baseline_pred"] <= 1.0
+        assert len(record["fbp"]["bands"]) == 6
+        assert record["occlusion"]["n_patches"] > 0
+        assert set(record["lime"]["component_influences"]) == {
+            "vocals0", "drums0", "bass0", "other0",
+        }
+        # the engine is reused across requests (one service instance)
+        assert srv.explain_service._engine is not None
+        with urllib.request.urlopen(req2 := urllib.request.Request(
+            f"{url}/explain", data=_wav_bytes(y, SR),
+            headers={"Content-Type": "audio/wav"}, method="POST",
+        ), timeout=600) as r:
+            record2 = json.loads(r.read())
+        assert record2["baseline_pred"] == pytest.approx(record["baseline_pred"], abs=1e-6)
+        del req2
+    finally:
+        srv.shutdown()
+        srv.server_close()
