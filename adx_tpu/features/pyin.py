@@ -96,11 +96,13 @@ def pyin(
     trough_mask[:, 1:-1] = is_trough
     trough_mask &= in_range[None, :]
 
-    # threshold distribution (beta pdf over [0, 1])
-    from scipy.stats import beta as beta_dist
+    # threshold distribution (beta pdf over [0, 1]); betainc IS the
+    # regularized beta CDF (scipy.special imports ~10× faster than
+    # scipy.stats, which costs seconds on first use)
+    from scipy.special import betainc
 
     thresholds = np.linspace(0, 1, n_thresholds + 1)[1:]
-    beta_cdf = beta_dist.cdf(np.linspace(0, 1, n_thresholds + 1), *beta_parameters)
+    beta_cdf = betainc(*beta_parameters, np.linspace(0, 1, n_thresholds + 1))
     beta_w = np.diff(beta_cdf)  # weight per threshold bin
 
     # pitch-bin grid
@@ -172,17 +174,24 @@ def pyin(
     log_switch = np.log(switch_prob)
     log_tri = np.log(tri_w)
 
-    def banded_max(delta_row):
-        """max over s' of delta[s'] + log_tri[s - s'] for each s (banded)."""
-        out = np.full(M, -np.inf)
-        for k, off in enumerate(offsets):
-            if off >= 0:
-                seg = delta_row[: M - off] + log_tri[k]
-                out[off:] = np.maximum(out[off:], seg)
-            else:
-                seg = delta_row[-off:] + log_tri[k]
-                out[: M + off] = np.maximum(out[: M + off], seg)
-        return out
+    # One banded max+argmax per source row per frame. out[s] =
+    # max_{|s'-s|<=K} delta[s'] + log_tri[s'-s], computed as a single
+    # [M, 2K+1] matrix argmax over sliding windows of a -inf-padded delta
+    # (window element k holds delta[s-K+k], i.e. offset s'-s = k-K, whose
+    # transition weight is log_tri[k] by symmetry of the triangular kernel).
+    # Replaces a 2(2K+1)-iteration Python slice loop per frame (K≈100,
+    # the dominant pyin cost: 6.3 s of 7.5 s compute on a 30 s track).
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    K = max_step
+    s_idx = np.arange(M)
+
+    def banded_step(delta_row):
+        padded = np.full(M + 2 * K, -np.inf)
+        padded[K : K + M] = delta_row
+        scores = sliding_window_view(padded, 2 * K + 1) + log_tri[None, :]
+        k_best = np.argmax(scores, axis=1)
+        return scores[s_idx, k_best], (s_idx - K + k_best).astype(np.int32)
 
     delta_v = np.full(M, np.log(1.0 / (2 * M))) + log_obs_v[0]
     delta_u = np.full(M, np.log(1.0 / (2 * M))) + log_obs_u[0]
@@ -192,8 +201,8 @@ def pyin(
     from_v = np.zeros((T, M), dtype=bool)
 
     for t in range(1, T):
-        bm_v = banded_max(delta_v)
-        bm_u = banded_max(delta_u)
+        bm_v, arg_v = banded_step(delta_v)
+        bm_u, arg_u = banded_step(delta_u)
         # voiced[t] from voiced (stay) or unvoiced (switch)
         cand_vv = bm_v + log_stay
         cand_uv = bm_u + log_switch
@@ -207,25 +216,6 @@ def pyin(
         new_u = np.where(take_v, cand_vu, cand_uu) + log_obs_u[t]
         from_v[t] = take_v
 
-        # argmax within the band for backtracking (recomputed per source)
-        def banded_argmax(delta_row):
-            best = np.full(M, -np.inf)
-            arg = np.zeros(M, dtype=np.int32)
-            for k, off in enumerate(offsets):
-                if off >= 0:
-                    seg = delta_row[: M - off] + log_tri[k]
-                    upd = seg > best[off:]
-                    best[off:][upd] = seg[upd]
-                    arg[off:][upd] = (np.arange(M - off))[upd]
-                else:
-                    seg = delta_row[-off:] + log_tri[k]
-                    upd = seg > best[: M + off]
-                    best[: M + off][upd] = seg[upd]
-                    arg[: M + off][upd] = (np.arange(-off, M))[upd]
-            return arg
-
-        arg_v = banded_argmax(delta_v)
-        arg_u = banded_argmax(delta_u)
         back_v[t] = np.where(take_u, arg_u, arg_v)
         back_u[t] = np.where(take_v, arg_v, arg_u)
         delta_v, delta_u = new_v, new_u

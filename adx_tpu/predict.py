@@ -222,7 +222,20 @@ class LocalSonics:
                 cfg = tiny_test_config()
             else:
                 cfg = resolve_preset(name)
-            params = init_params(cfg, jax.random.key(seed))
+            # random init runs the full forward trace once; on the TPU that
+            # is a ~2 min remote compile of the 120 s program, on the host
+            # CPU backend ~12 s (measured) — and the threefry PRNG makes the
+            # values backend-independent. Params are device_put onto the
+            # mesh by the constructor either way.
+            try:
+                init_dev = jax.devices("cpu")[0]
+            except RuntimeError:
+                init_dev = None
+            if init_dev is not None and jax.default_backend() != "cpu":
+                with jax.default_device(init_dev):
+                    params = init_params(cfg, jax.random.key(seed))
+            else:
+                params = init_params(cfg, jax.random.key(seed))
             print(
                 f"⚠️  No checkpoint weights for {name!r}; using seeded random "
                 f"parameters (architecture preset {cfg.name}). Convert the HF "
