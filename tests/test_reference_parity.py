@@ -31,7 +31,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _load_reference_defs(path: Path, names):
+def _load_reference_defs(path: Path, names, extra=None):
     """Exec only the named top-level defs/assignments from a reference file."""
     src = path.read_text()
     ns = {
@@ -41,6 +41,7 @@ def _load_reference_defs(path: Path, names):
         "Tuple": Tuple,
         "Optional": Optional,
     }
+    ns.update(extra or {})
     for node in ast.parse(src).body:
         hit = (
             isinstance(node, ast.FunctionDef) and node.name in names
@@ -157,3 +158,150 @@ def test_patch_grid_parity(n_freq, n_time, t_patch, t_stride, f_pct, f_stride_pc
     assert starts.shape == want.shape
     np.testing.assert_array_equal(starts, want)
     assert len(starts) == ns["t_patches"] * ns["f_patches"]
+
+
+# ---- explanations-JSON merge: BYTE parity with the reference writer ---------
+
+REF_SCRIPTS = Path("/root/reference/scripts")
+
+
+@pytest.fixture(scope="module")
+def ref_lime():
+    import json as _json
+
+    return _load_reference_defs(
+        REF_SRC / "lime_explainer.py",
+        ["append_update_explanations", "convert_to_native", "to_native_dict"],
+        extra={"json": _json, "Path": Path},
+    )
+
+
+def _merge_sequence():
+    """A merge history covering every branch of the policy: fresh model,
+    non-empty entry that must survive, empty entry that must be replaced,
+    segment-grain merges, numpy scalars needing native conversion."""
+    step1 = {
+        "SUNO": {
+            "t0": {"type": "full_track",
+                   "explanations": {"component_influences": {"vocals0": np.float32(0.25)}}},
+            "t1": {"type": "full_track",
+                   "explanations": {"component_influences": {}}},
+            "t2": {"type": "segment",
+                   "segments": {"0": {"explanations": {"component_influences": {"bass0": 0.1}}}}},
+        }
+    }
+    step2 = {
+        "SUNO": {
+            # t0 non-empty exists → must NOT overwrite
+            "t0": {"type": "full_track",
+                   "explanations": {"component_influences": {"vocals0": -9.0}}},
+            # t1 empty exists → must overwrite
+            "t1": {"type": "full_track",
+                   "explanations": {"component_influences": {"drums0": np.float64(0.5)}}},
+            # t2: new segment id merges in, existing one survives
+            "t2": {"type": "segment",
+                   "segments": {"0": {"explanations": {"component_influences": {"bass0": -1.0}}},
+                                "1": {"explanations": {"component_influences": {"other0": 0.3}}}}},
+        },
+        "REAL": {"r0": {"type": "full_track",
+                        "explanations": {"component_influences": {"vocals0": 0.0}}}},
+    }
+    return [step1, step2]
+
+
+def test_append_update_explanations_byte_parity(ref_lime, tmp_path):
+    from adx_tpu.io.results import append_update_explanations
+
+    ref_path = tmp_path / "ref" / "explanations.json"
+    our_path = tmp_path / "ours" / "explanations.json"
+    for step in _merge_sequence():
+        ref_lime["append_update_explanations"](step, ref_path)
+        append_update_explanations(step, our_path)
+    assert ref_path.read_bytes() == our_path.read_bytes()
+    merged = __import__("json").loads(our_path.read_text())
+    assert merged["SUNO"]["t0"]["explanations"]["component_influences"] == {"vocals0": 0.25}
+    assert merged["SUNO"]["t1"]["explanations"]["component_influences"] == {"drums0": 0.5}
+    assert set(merged["SUNO"]["t2"]["segments"]) == {"0", "1"}
+
+
+def test_convert_to_native_parity(ref_lime):
+    from adx_tpu.io.results import convert_to_native, to_native_dict
+
+    nested = {
+        "a": np.float32(1.5),
+        "b": [np.int64(3), np.asarray([1.0, 2.0]), {"c": np.float64(0.25)}],
+        "e": None,
+    }
+    want = ref_lime["convert_to_native"](nested)
+    got = convert_to_native(nested)
+    assert got == want
+    # deliberate hardening over the reference: it leaves tuples (and the
+    # numpy scalars inside them) untouched, which would crash json.dump;
+    # ours converts them to JSON lists
+    assert convert_to_native({"d": ("x", np.int32(7))}) == {"d": ["x", 7]}
+    ref_tup = ref_lime["convert_to_native"]({"d": ("x", np.int32(7))})
+    assert isinstance(ref_tup["d"], tuple)
+    flat = {"x": np.float32(2.0), "y": "s", "z": 3}
+    assert to_native_dict(flat) == ref_lime["to_native_dict"](flat)
+
+
+# ---- run-label taxonomy: parity with the runs-comparison scripts ------------
+
+def test_extract_run_label_parity():
+    from adx_tpu.viz.runs_compare import extract_run_label
+
+    paths = []
+    for lufs in ("minus14", "minus23", ""):
+        for arm in ("base", "mp3_192", "noise_snr30", "resample22k", "reverb_room", ""):
+            parts = [p for p in ("runs", lufs, arm, "SUNO") if p]
+            paths.append("/".join(parts) + "/track_01.json")
+    paths += [
+        "MINUS14/Base/x.json",                      # case-insensitivity
+        "minus14/minus23/base/x.json",              # both LUFS tags present
+        "minus23/mp3_192/base_mix/x.json",          # two arm substrings
+        "plain/folder/file.json",                   # no tags → parent name
+        "file_with_a_very_long_stem_name_here.json",  # '.' parent → stem[:20]
+        "minus14/unknown_arm/x.json",               # LUFS tag, no arm
+    ]
+    # all four reference scripts carry the same copy; hold each to parity
+    for script in (
+        "compare_predictions_across_runs.py",
+        "compare_fbp_results_across_runs.py",
+        "compare_occlusion_results_across_runs.py",
+        "compare_audiolime_results_across_runs.py",
+    ):
+        ns = _load_reference_defs(
+            REF_SCRIPTS / "runs_comparision" / script, ["extract_run_label"],
+            extra={"Path": Path},
+        )
+        for p in paths:
+            assert ns["extract_run_label"](p) == extract_run_label(p), (script, p)
+
+
+# ---- jitter family: numeric parity on a shared f0 track ---------------------
+
+def test_jitter_extended_parity():
+    from adx_tpu.features.extraction import compute_jitter, compute_jitter_extended
+
+    ns = _load_reference_defs(
+        REF_SRC / "feature_extraction.py", ["compute_jitter", "compute_jitter_extended"]
+    )
+    rng = np.random.default_rng(0)
+    f0 = 220.0 * (1.0 + 0.02 * rng.standard_normal(400))
+    f0[::17] = np.nan  # unvoiced gaps
+    want = ns["compute_jitter_extended"](None, 22050, f0=f0.copy())
+    got = compute_jitter_extended(None, 22050, f0=f0.copy())
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-9, err_msg=k)
+    np.testing.assert_allclose(
+        compute_jitter(None, 22050, f0=f0.copy()),
+        ns["compute_jitter"](None, 22050, f0=f0.copy()),
+        rtol=1e-9,
+    )
+    # degenerate: fewer than 2 voiced frames
+    short = np.array([np.nan, 180.0, np.nan])
+    want_s = ns["compute_jitter_extended"](None, 22050, f0=short.copy())
+    got_s = compute_jitter_extended(None, 22050, f0=short.copy())
+    assert set(want_s) == set(got_s)
+    assert all(np.isnan(v) for v in got_s.values())
