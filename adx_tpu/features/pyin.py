@@ -25,29 +25,47 @@ import numpy as np
 
 
 def _frame(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
-    n_frames = 1 + (len(y) - frame_length) // hop_length
-    idx = np.arange(frame_length)[None, :] + hop_length * np.arange(n_frames)[:, None]
-    return y[idx]
+    # strided view (no copy): consumers either make their own contiguous
+    # copy (FFT) or stream it once (cumsum)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return sliding_window_view(y, frame_length)[::hop_length]
 
 
 def _difference_function(frames: np.ndarray, max_tau: int) -> np.ndarray:
     """YIN difference function d[t, τ] for τ in [0, max_tau) via FFT
-    autocorrelation. ``frames`` is [T, frame_length]; window W = max_tau."""
+    autocorrelation. ``frames`` is [T, frame_length]; window W = max_tau.
+
+    FFTs go through scipy.fft, which keeps float32 (numpy upcasts to
+    float64 — 2× the bandwidth for no benefit at CMNDF's ~1e-3 working
+    precision) and accepts non-power-of-two fast lengths (3·2^k etc.),
+    both measured wins on the 10k-frame 120 s workload."""
+    from scipy.fft import irfft, next_fast_len, rfft
+
     T, N = frames.shape
     W = max_tau
+    frames = np.ascontiguousarray(frames, dtype=np.float32)
     # r[τ] = Σ_{j=0}^{W-1} x[j] x[j+τ] — correlate the first-W window
     # against the full frame (correlation theorem; no wraparound for τ < W)
-    n_fft = int(2 ** np.ceil(np.log2(N + W)))
-    F_full = np.fft.rfft(frames, n_fft, axis=1)
-    F_win = np.fft.rfft(frames[:, :W], n_fft, axis=1)
-    acf = np.fft.irfft(F_full * np.conj(F_win), n_fft, axis=1)[:, :W]
-    # energy terms: e0 = Σ_{j<W} x²; e_tau = Σ_{τ<=j<τ+W} x²
-    csum = np.cumsum(frames**2, axis=1)
+    n_fft = next_fast_len(N + W, real=True)
+    F_full = rfft(frames, n_fft, axis=1)
+    F_win = rfft(frames[:, :W], n_fft, axis=1)
+    np.conjugate(F_win, out=F_win)
+    np.multiply(F_full, F_win, out=F_full)
+    acf = irfft(F_full, n_fft, axis=1)[:, :W]
+    # energy terms: e0 = Σ_{j<W} x²; e_tau = Σ_{τ<=j<τ+W} x² — accumulate
+    # in float64 (the running sum spans 2048 squares), difference back to
+    # float32 (d's working precision; the CMNDF is a ratio of d values)
+    csum = np.cumsum(frames.astype(np.float64) ** 2, axis=1)
     csum = np.concatenate([np.zeros((T, 1)), csum], axis=1)
-    e_tau = csum[:, W : W + W] - csum[:, 0:W]  # Σ_{j=τ}^{τ+W-1}
-    e0 = csum[:, [W]]
-    d = e0 + e_tau - 2.0 * acf
-    return np.maximum(d, 0.0)
+    e_tau = (csum[:, W : W + W] - csum[:, 0:W]).astype(np.float32)
+    e0 = csum[:, [W]].astype(np.float32)
+    # d = e0 + e_tau - 2·acf, built in place on the acf buffer
+    d = np.ascontiguousarray(acf)
+    d *= -2.0
+    d += e_tau
+    d += e0
+    return np.maximum(d, 0.0, out=d)
 
 
 def _cmndf(d: np.ndarray) -> np.ndarray:
@@ -74,7 +92,10 @@ def pyin(
     no_trough_prob: float = 0.01,
     center: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    y = np.asarray(y, dtype=np.float64)
+    # float32 end-to-end for the framed/FFT stages (half the bandwidth);
+    # energy cumsums and the CMNDF ratios accumulate in float64 where the
+    # running sums are long
+    y = np.asarray(y, dtype=np.float32)
     win_length = win_length or frame_length // 2
     hop_length = hop_length or frame_length // 4
     if center:
@@ -174,35 +195,39 @@ def pyin(
     log_switch = np.log(switch_prob)
     log_tri = np.log(tri_w)
 
-    # One banded max+argmax per source row per frame. out[s] =
-    # max_{|s'-s|<=K} delta[s'] + log_tri[s'-s], computed as a single
-    # [M, 2K+1] matrix argmax over sliding windows of a -inf-padded delta
-    # (window element k holds delta[s-K+k], i.e. offset s'-s = k-K, whose
-    # transition weight is log_tri[k] by symmetry of the triangular kernel).
-    # Replaces a 2(2K+1)-iteration Python slice loop per frame (K≈100,
-    # the dominant pyin cost: 6.3 s of 7.5 s compute on a 30 s track).
+    # One banded max+argmax for BOTH source rows per frame. out[r, s] =
+    # max_{|s'-s|<=K} delta[r, s'] + log_tri[s'-s], computed as a single
+    # [2, M, 2K+1] matrix argmax over sliding windows of a -inf-padded
+    # delta (window element k holds delta[s-K+k], i.e. offset s'-s = k-K,
+    # whose transition weight is log_tri[k] by symmetry of the triangular
+    # kernel). Replaces a 4×(2K+1)-iteration Python slice loop per frame
+    # (K≈100, the dominant pyin cost: 6.3 s of 7.5 s compute on a 30 s
+    # track before vectorization).
     from numpy.lib.stride_tricks import sliding_window_view
 
     K = max_step
     s_idx = np.arange(M)
+    log_tri32 = log_tri.astype(np.float32)
+    padded = np.full((2, M + 2 * K), -np.inf, np.float32)
 
-    def banded_step(delta_row):
-        padded = np.full(M + 2 * K, -np.inf)
-        padded[K : K + M] = delta_row
-        scores = sliding_window_view(padded, 2 * K + 1) + log_tri[None, :]
-        k_best = np.argmax(scores, axis=1)
-        return scores[s_idx, k_best], (s_idx - K + k_best).astype(np.int32)
+    def banded_step(delta_vu):
+        """delta_vu [2, M] → (band max [2, M], band argmax [2, M])."""
+        padded[:, K : K + M] = delta_vu
+        scores = sliding_window_view(padded, 2 * K + 1, axis=1) + log_tri32
+        k_best = np.argmax(scores, axis=2)
+        best = np.take_along_axis(scores, k_best[:, :, None], axis=2)[:, :, 0]
+        return best, (s_idx[None, :] - K + k_best).astype(np.int32)
 
-    delta_v = np.full(M, np.log(1.0 / (2 * M))) + log_obs_v[0]
-    delta_u = np.full(M, np.log(1.0 / (2 * M))) + log_obs_u[0]
+    delta_vu = np.full((2, M), np.log(1.0 / (2 * M)), np.float32)
+    delta_vu[0] += log_obs_v[0]
+    delta_vu[1] += log_obs_u[0]
     back_v = np.zeros((T, M), dtype=np.int32)
     back_u = np.zeros((T, M), dtype=np.int32)
     from_u = np.zeros((T, M), dtype=bool)
     from_v = np.zeros((T, M), dtype=bool)
 
     for t in range(1, T):
-        bm_v, arg_v = banded_step(delta_v)
-        bm_u, arg_u = banded_step(delta_u)
+        (bm_v, bm_u), (arg_v, arg_u) = banded_step(delta_vu)
         # voiced[t] from voiced (stay) or unvoiced (switch)
         cand_vv = bm_v + log_stay
         cand_uv = bm_u + log_switch
@@ -218,16 +243,16 @@ def pyin(
 
         back_v[t] = np.where(take_u, arg_u, arg_v)
         back_u[t] = np.where(take_v, arg_v, arg_u)
-        delta_v, delta_u = new_v, new_u
+        delta_vu = np.stack([new_v, new_u]).astype(np.float32)
 
     # backtrace
     states = np.zeros(T, dtype=np.int32)
     voiced = np.zeros(T, dtype=bool)
-    if delta_v.max() >= delta_u.max():
-        states[-1] = int(np.argmax(delta_v))
+    if delta_vu[0].max() >= delta_vu[1].max():
+        states[-1] = int(np.argmax(delta_vu[0]))
         voiced[-1] = True
     else:
-        states[-1] = int(np.argmax(delta_u))
+        states[-1] = int(np.argmax(delta_vu[1]))
         voiced[-1] = False
     for t in range(T - 1, 0, -1):
         if voiced[t]:
