@@ -54,6 +54,17 @@ def _harmonic_device(y: jnp.ndarray, n_out: int):
     return istft(S * mask_h, hop_length=512, n_fft=2048, length=n_out)
 
 
+@jax.jit
+def _stft_mag_device(y: jnp.ndarray):
+    return jnp.abs(stft(y, n_fft=2048, hop_length=512))
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _masked_istft_device(y: jnp.ndarray, mask: jnp.ndarray, n_out: int):
+    S = stft(y, n_fft=2048, hop_length=512)
+    return istft(S * mask, hop_length=512, n_fft=2048, length=n_out)
+
+
 def _stat4(x: np.ndarray) -> Dict[str, float]:
     return {
         "min": float(np.min(x)),
@@ -199,9 +210,28 @@ def detect_breaths(y, sr, min_pause=0.2, energy_thresh=0.05) -> int:
 
 
 def compute_hnr(y, sr) -> float:
-    """Harmonics-to-noise ratio via HPSS (reference: src/feature_extraction.py:184-188)."""
-    harmonic = np.asarray(_harmonic_device(jnp.asarray(y, jnp.float32), len(y)))
-    noise = y - harmonic
+    """Harmonics-to-noise ratio via HPSS (reference: src/feature_extraction.py:184-188).
+
+    The HPSS median runs on the accelerator (0.16 s for a 120 s track on
+    v5e) — except on the CPU backend, where XLA's lane sort makes it
+    pathological (measured 87 s); there the masks come from scipy's
+    median_filter instead (same 31-wide median; reflect instead of wrap
+    edges, which only touches the outer 15 of ~10k frames)."""
+    y32 = jnp.asarray(y, jnp.float32)
+    if jax.default_backend() == "cpu":
+        from scipy.ndimage import median_filter
+
+        mag = np.asarray(_stft_mag_device(y32))
+        H = median_filter(mag, size=(1, 31), mode="reflect").astype(np.float64)
+        P = median_filter(mag, size=(31, 1), mode="reflect").astype(np.float64)
+        total = H * H + P * P
+        mask_h = np.where(total > 0, (H * H) / np.where(total > 0, total, 1.0), 0.5)
+        harmonic = np.asarray(
+            _masked_istft_device(y32, jnp.asarray(mask_h, jnp.float32), len(y))
+        )
+    else:
+        harmonic = np.asarray(_harmonic_device(y32, len(y)))
+    noise = np.asarray(y) - harmonic
     return float(10 * np.log10(np.sum(harmonic**2) / (np.sum(noise**2) + 1e-8)))
 
 
