@@ -186,9 +186,13 @@ def _rms_envelope_np(y, frame_length, hop_length):
     if n < frame_length:
         return np.array([np.sqrt(np.mean(np.pad(y, (0, frame_length - n)) ** 2))])
     yp = np.pad(y, frame_length // 2)
+    # windowed mean of squares as a cumsum difference — O(n) instead of a
+    # [n_frames, frame_length] gather
+    csum = np.concatenate([[0.0], np.cumsum(yp.astype(np.float64) ** 2)])
     n_frames = 1 + (len(yp) - frame_length) // hop_length
-    idx = np.arange(frame_length)[None, :] + hop_length * np.arange(n_frames)[:, None]
-    return np.sqrt(np.mean(yp[idx] ** 2, axis=1))
+    starts = hop_length * np.arange(n_frames)
+    sums = csum[starts + frame_length] - csum[starts]
+    return np.sqrt(np.maximum(sums, 0.0) / frame_length)
 
 
 def detect_breaths(y, sr, min_pause=0.2, energy_thresh=0.05) -> int:
