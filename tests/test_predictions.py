@@ -149,3 +149,38 @@ def test_load_audio_mp3_error_names_ffmpeg(tmp_path):
         pytest.skip("ffmpeg present; gate not exercised")
     with pytest.raises(RuntimeError, match="ffmpeg"):
         load_audio(bad, sr=SR)
+
+
+def test_run_sonics_predictions_sharded_merges_to_single(predictor, dataset, tmp_path):
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    single = run_sonics_predictions(
+        predictor, dataset_path=dataset,
+        explanations_path=str(tmp_path / "single.json"), sample_rate=SR,
+    )
+    shard_paths = []
+    for shard in range(2):
+        p = tmp_path / f"shard{shard}.json"
+        part = run_sonics_predictions(
+            predictor, dataset_path=dataset, explanations_path=str(p),
+            sample_rate=SR, shard_index=shard, num_shards=2,
+        )
+        shard_paths.append(p)
+        # disjoint slices
+        for model in part:
+            assert set(part[model]) <= set(single[model])
+    s0 = json.loads(shard_paths[0].read_text())
+    s1 = json.loads(shard_paths[1].read_text())
+    for model in single:
+        assert not (set(s0.get(model, {})) & set(s1.get(model, {})))
+    merged_path = tmp_path / "predictions.json"
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "merge_results.py"),
+         str(merged_path)] + [str(p) for p in shard_paths],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert json.loads(merged_path.read_text()) == single
