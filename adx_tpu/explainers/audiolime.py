@@ -131,11 +131,15 @@ class LimeAudioExplainer:
         stems = np.stack([c[:n] for c in factorization.components])
 
         if engine is not None:
+            # engine.stem_mix_probs dedups duplicate rows internally
             fake_probs = engine.stem_mix_probs(stems, data)
             probs = np.stack([1.0 - fake_probs, fake_probs], axis=1)
         else:
-            waves = data @ stems  # [N, n]
-            probs = np.asarray(predict_fn(waves))
+            # mixes are deterministic in the mask row: forward the ≤2^S
+            # unique rows, scatter back to the N-sample design matrix
+            uniq, inv = np.unique(data, axis=0, return_inverse=True)
+            waves = uniq @ stems  # [U, n]
+            probs = np.asarray(predict_fn(waves))[inv]
 
         # cosine distance to the unperturbed instance (row 0, all ones)
         ref = data[0]

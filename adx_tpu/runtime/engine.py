@@ -765,20 +765,39 @@ class PerturbationEngine:
         return probs_all, np.asarray(imp)
 
     def stem_mix_probs(self, stems: np.ndarray, mask_rows: np.ndarray) -> np.ndarray:
-        """LIME: probabilities for every masked stem recombination, chunked."""
+        """LIME: probabilities for every masked stem recombination, chunked.
+
+        Duplicate mask rows are collapsed before the forward: a mix is a
+        deterministic function of its row, and LIME's 500-sample design
+        matrix over S=4 stems has at most 2^4 = 16 distinct rows
+        (reference draws them at random, src/lime_explainer.py:396-401 via
+        lime_base), so the sweep needs ≤16 forwards, not 500. The returned
+        vector is still per-input-row (inverse-index scatter) — identical
+        values, ~31x fewer forwards.
+        """
+        rows = np.asarray(mask_rows, np.float32)
+        uniq, inv = np.unique(rows, axis=0, return_inverse=True)
+        if len(uniq) < len(rows):
+            work = uniq
+        else:
+            work, inv = rows, None
+        # round the chunk up to a power of two so tiny deduped batches
+        # neither run at the full 64-wide chunk nor compile per-N programs
+        pow2 = 1 << max(0, int(len(work)) - 1).bit_length()
         stems_d = jnp.asarray(stems, jnp.float32)
         with self.profiler.section("Predicting audio"):
             if self.n_devices > 1:
-                padded, n = pad_batch(
-                    np.asarray(mask_rows, np.float32), self.n_devices * self.lime_chunk
-                )
-                probs = self._stem_mix_sharded(stems_d, jnp.asarray(padded), self.lime_chunk)
+                per_dev = -(-len(work) // self.n_devices)
+                chunk = min(self.lime_chunk, 1 << max(0, per_dev - 1).bit_length())
+                padded, n = pad_batch(work, self.n_devices * chunk)
+                probs = self._stem_mix_sharded(stems_d, jnp.asarray(padded), chunk)
             else:
-                padded, n = pad_batch(np.asarray(mask_rows, np.float32), self.lime_chunk)
-                probs = self._stem_mix_all(stems_d, jnp.asarray(padded), self.lime_chunk)
+                chunk = min(self.lime_chunk, pow2)
+                padded, n = pad_batch(work, chunk)
+                probs = self._stem_mix_all(stems_d, jnp.asarray(padded), chunk)
             out = np.asarray(probs)[:n]
         self.profiler.count("perturbation_forwards", n)
-        return out
+        return out if inv is None else out[inv]
 
     def keep_patch_audio(
         self, S, starts: np.ndarray, patch_f: int, patch_t: int, n_out: int

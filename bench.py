@@ -155,7 +155,10 @@ def main():
         times.append(time.time() - t0)
 
     p50 = float(np.percentile(times, 50))
-    n_forwards = 1 + len(FBP_BANDS) + warm["n_patches"] + LIME_SAMPLES
+    # the engine dedups LIME's 500-row design matrix to its ≤2^S unique
+    # mask rows before forwarding — count what actually runs
+    lime_unique = int(len(np.unique(np.asarray(lime_rows), axis=0)))
+    n_forwards = 1 + len(FBP_BANDS) + warm["n_patches"] + lime_unique
     forwards_per_sec = n_forwards / p50
 
     # ---- MFU / roofline (VERDICT r1 #10) --------------------------------
@@ -176,7 +179,7 @@ def main():
         "analyze_baseline": 1,
         "fbp": len(FBP_BANDS),
         "occlusion": warm["n_patches"],
-        "lime": LIME_SAMPLES,
+        "lime": lime_unique,
     }
     stage_mfu = {
         k: round(100.0 * nf * flops_fwd / 1e12 / (stages[k] * peak_tflops), 1)
@@ -195,6 +198,8 @@ def main():
                     "device": str(jax.devices()[0]),
                     "perturbation_forwards_per_sec_per_chip": round(forwards_per_sec, 1),
                     "n_perturbation_forwards": n_forwards,
+                    "lime_logical_samples": LIME_SAMPLES,
+                    "lime_unique_mixes": lime_unique,
                     "stages_s": {k: round(v, 3) for k, v in stages.items() if k != "n_patches"},
                     "n_occlusion_patches": warm["n_patches"],
                     "warmup_compile_s": round(compile_s, 1),

@@ -132,6 +132,23 @@ def test_stem_mix_probs_match_manual(engine, predictor, track):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_stem_mix_probs_dedups_duplicate_rows(engine, predictor, track):
+    """A mix is a deterministic function of its mask row, so the engine must
+    forward only the unique rows (≤2^S of them) and scatter the probs back
+    to the full LIME design matrix — exact values, ~31x fewer forwards."""
+    n = len(track)
+    rng = np.random.default_rng(3)
+    stems = np.stack([track * 0.5, rng.standard_normal(n).astype(np.float32) * 0.05])
+    uniq = np.array([[1, 1], [1, 0], [0, 1], [0, 0]], np.float32)
+    idx = rng.integers(0, 4, size=37)
+    before = engine.profiler.counters.get("perturbation_forwards", 0)
+    got = engine.stem_mix_probs(stems, uniq[idx])
+    after = engine.profiler.counters.get("perturbation_forwards", 0)
+    assert after - before <= 4
+    ref = engine.stem_mix_probs(stems, uniq)
+    np.testing.assert_array_equal(got, ref[idx])
+
+
 def test_rise_scan_equals_chunked_remainder_path(engine, track):
     """The scan path (full chunks) and the exact-size remainder path must
     produce the same stream: n_masks=chunk*k exercises scan only; adding a
