@@ -24,6 +24,22 @@ from adx_tpu.ops.masks import band_gain_matrix, occlusion_patch_grid
 from adx_tpu.ops.mel import fft_frequencies
 from adx_tpu.runtime.engine import PerturbationEngine
 
+# One engine per (predictor, DSP-config): PerturbationEngine defines its
+# jitted programs in __init__, so a fresh engine per call re-traces every
+# sweep program (tens of seconds each call even with a warm XLA disk
+# cache). Keyed weakly so dropping the predictor frees the engines.
+import weakref
+
+_ENGINE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_engine(predictor, **kwargs) -> PerturbationEngine:
+    per = _ENGINE_CACHE.setdefault(predictor, {})
+    key = tuple(sorted(kwargs.items()))
+    if key not in per:
+        per[key] = PerturbationEngine(predictor, **kwargs)
+    return per[key]
+
 
 def explain_track(
     audio_path,
@@ -50,13 +66,20 @@ def explain_track(
         from adx_tpu.predict import LocalSonics
 
         predictor = LocalSonics.from_pretrained("spectttra-alpha-120s")
-    engine = engine or PerturbationEngine(
+    engine = engine or _cached_engine(
         predictor, sr=sr, duration=duration, n_fft=n_fft,
         hop_length=hop_length, win_length=win_length, spec_type="stft",
     )
 
     t_start = time.time()
-    y, _ = load_audio(audio_path, sr=sr, duration=duration, mono=True)
+    y_host, _ = load_audio(audio_path, sr=sr, duration=duration, mono=True)
+    # one-time H2D: a 120 s track is 21 MB and the TPU tunnel moves
+    # ~15 MB/s, so every stage that re-uploaded the waveform (or pulled
+    # the 85 MB of stems back) was paying seconds of pure transfer.
+    # Everything below works on the device-resident copy.
+    import jax.numpy as jnp
+
+    y = jnp.asarray(y_host)
     S, S_db, baseline = engine.analyze_and_baseline(y)
     record: dict = {
         "file_path": str(audio_path),

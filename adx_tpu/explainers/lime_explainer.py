@@ -113,8 +113,15 @@ def explain_predictions_separate(
 
             waveform_mono = waveform[0] if waveform.ndim > 1 else waveform
 
+            fact_input = waveform_mono
+            if engine is not None:
+                # device-resident factorization: the 85 MB of stems feed the
+                # engine sweep directly instead of a D2H+H2D tunnel round trip
+                import jax.numpy as jnp
+
+                fact_input = jnp.asarray(waveform_mono)
             factorization = SpleeterFactorization(
-                input=waveform_mono,
+                input=fact_input,
                 target_sr=44100,
                 temporal_segmentation_params=1,
                 composition_fn=None,
@@ -147,9 +154,10 @@ def explain_predictions_separate(
             if features_output_dir:
                 features_audio_output_dir = Path(features_output_dir or "") / folder_name / safe_name
                 features_audio_output_dir.mkdir(parents=True, exist_ok=True)
+                components_host = [np.asarray(c) for c in factorization.components]
                 plot_waveforms_overlay_with_influences(
                     original_audio=waveform_mono,
-                    components=factorization.components,
+                    components=components_host,
                     component_names=factorization._components_names,
                     influences=influences,
                     sr=44100,
@@ -157,7 +165,7 @@ def explain_predictions_separate(
                     prefix=safe_name,
                 )
                 plot_stacked_rms_area_components(
-                    components=factorization.components,
+                    components=components_host,
                     component_names=factorization._components_names,
                     influences=influences,
                     sr=44100,

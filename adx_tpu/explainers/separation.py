@@ -117,6 +117,7 @@ def unet_separate(
     params_per_stem: Dict[str, Any],
     model_name: str = "spleeter:4stems",
     separation_exponent: float = 2.0,
+    device: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Separate with converted Spleeter weights (Wiener-style ratio masks).
 
@@ -140,6 +141,8 @@ def unet_separate(
         jnp.asarray(audio, jnp.float32), stacked, n_ch,
         float(separation_exponent), int(np.shape(audio)[-1]),
     )
+    if device:
+        return {f"{n}0": waves[i] for i, n in enumerate(names)}
     return {f"{n}0": np.asarray(w) for n, w in zip(names, waves)}
 
 
@@ -219,13 +222,23 @@ def _mask_separate_device(y: jnp.ndarray, sr: int, model_name: str, n_out: int):
 
 
 def mask_separate(
-    audio: np.ndarray, sr: int, model_name: str = "spleeter:4stems"
+    audio: np.ndarray, sr: int, model_name: str = "spleeter:4stems",
+    device: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Weight-free deterministic separation; stems partition the mixture."""
+    """Weight-free deterministic separation; stems partition the mixture.
+
+    ``device=True`` returns device-resident jax arrays instead of numpy —
+    a 120 s 4-stem result is 85 MB, and the axon tunnel moves ~15 MB/s,
+    so keeping stems on device saves ~10 s per track when the consumer
+    (the LIME engine sweep) runs on device anyway.
+    """
     names = STEM_NAMES[model_name]
     waves = _mask_separate_device(
-        jnp.asarray(audio, jnp.float32), int(sr), model_name, int(len(audio))
+        jnp.asarray(audio, jnp.float32), int(sr), model_name,
+        int(np.shape(audio)[-1])
     )
+    if device:
+        return {f"{n}0": waves[i] for i, n in enumerate(names)}
     return {f"{n}0": np.asarray(w) for n, w in zip(names, waves)}
 
 
@@ -258,12 +271,15 @@ def load_spleeter_params(weights_dir: str | Path, model_name: str) -> Optional[D
 
 
 def separate(
-    audio: np.ndarray, sr: int, model_name: str = "spleeter:4stems"
+    audio: np.ndarray, sr: int, model_name: str = "spleeter:4stems",
+    device: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Separate a mono mixture into named stems.
 
     Uses converted Spleeter UNet weights when ``$ADX_SPLEETER_WEIGHTS``
     points at them; otherwise the deterministic mask fallback.
+    ``device=True`` keeps the stems on device (jax arrays) — see
+    ``mask_separate``.
     """
     if model_name not in STEM_NAMES:
         raise ValueError(f"Unknown separation model: {model_name!r}")
@@ -271,6 +287,6 @@ def separate(
     if weights_dir:
         params = load_spleeter_params(weights_dir, model_name)
         if params is not None:
-            return unet_separate(audio, sr, params, model_name)
+            return unet_separate(audio, sr, params, model_name, device=device)
         print(f"[Warning] No converted weights under {weights_dir}; using mask fallback.")
-    return mask_separate(audio, sr, model_name)
+    return mask_separate(audio, sr, model_name, device=device)

@@ -95,6 +95,28 @@ def test_lime_engine_path_matches_predictfn_path(predictor, mixture):
     np.testing.assert_allclose(w1, w2, atol=2e-3)
 
 
+def test_device_factorization_matches_host(predictor, mixture):
+    """A jax-array mixture keeps stems device-resident end-to-end; the
+    explanation must match the host-numpy factorization path."""
+    import jax
+    import jax.numpy as jnp
+
+    from adx_tpu.runtime.engine import PerturbationEngine
+
+    engine = PerturbationEngine(predictor, sr=SR, duration=predictor.cfg.audio.duration, chunk=8)
+    f_host = SpleeterFactorization(mixture, target_sr=SR, model_name="spleeter:4stems")
+    f_dev = SpleeterFactorization(jnp.asarray(mixture), target_sr=SR, model_name="spleeter:4stems")
+    assert f_dev.on_device and not f_host.on_device
+    assert all(isinstance(c, jax.Array) for c in f_dev.components)
+    for ch, cd in zip(f_host.components, f_dev.components):
+        np.testing.assert_allclose(ch, np.asarray(cd), atol=1e-6)
+    e1 = LimeAudioExplainer().explain_instance(f_host, engine=engine, num_samples=64)
+    e2 = LimeAudioExplainer().explain_instance(f_dev, engine=engine, num_samples=64)
+    w1 = np.array([w for _, w in e1.local_exp[e1.top_labels[0]]])
+    w2 = np.array([w for _, w in e2.local_exp[e2.top_labels[0]]])
+    np.testing.assert_allclose(w1, w2, atol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory, rng):
     root = tmp_path_factory.mktemp("LimeMini")
