@@ -80,7 +80,10 @@ def explain_track(
     import jax.numpy as jnp
 
     y = jnp.asarray(y_host)
+    stage_s: dict = {}
+    t_stage = time.time()
     S, S_db, baseline = engine.analyze_and_baseline(y)
+    stage_s["analyze_baseline"] = round(time.time() - t_stage, 3)
     record: dict = {
         "file_path": str(audio_path),
         "track_stem": safe_stem(audio_path),
@@ -97,7 +100,9 @@ def explain_track(
             transition_rel=0.2, transition_min_hz=5.0, transition_max_hz=500.0,
         )
     )
+    t_stage = time.time()
     probs = engine.fbp_probs(S, y, gains, normalize_loudness=False)
+    stage_s["fbp"] = round(time.time() - t_stage, 3)
     record["fbp"] = {
         "bands": [
             {"low": float(lo), "high": float(hi), "importance": float(baseline - p)}
@@ -111,7 +116,9 @@ def explain_track(
         n_freq, n_time, patch_time_frames, stride_time_frames,
         patch_freq_percent, stride_freq_percent,
     )
+    t_stage = time.time()
     occ_probs = engine.occlusion_probs(S, starts, patch_f, patch_t, 0.0, len(y))
+    stage_s["occlusion"] = round(time.time() - t_stage, 3)
     importances = baseline - occ_probs
     importance_map = np.zeros((n_freq, n_time))
     count_map = np.zeros((n_freq, n_time))
@@ -133,12 +140,16 @@ def explain_track(
     }
 
     # ---- AudioLIME ------------------------------------------------------
+    t_stage = time.time()
     factorization = SpleeterFactorization(
         y, target_sr=sr, temporal_segmentation_params=1, model_name=separation_model
     )
+    stage_s["separation"] = round(time.time() - t_stage, 3)
+    t_stage = time.time()
     explanation = LimeAudioExplainer(kernel_width=0.25).explain_instance(
         factorization, num_samples=num_samples_lime, top_labels=1, engine=engine
     )
+    stage_s["lime"] = round(time.time() - t_stage, 3)
     weights = explanation.local_exp[explanation.top_labels[0]]
     record["lime"] = {
         "component_influences": {
@@ -148,6 +159,7 @@ def explain_track(
     }
 
     record["explain_seconds"] = time.time() - t_start
+    record["stage_seconds"] = stage_s
 
     if out_dir is not None:
         import json

@@ -142,6 +142,22 @@ class PerturbationEngine:
                 n_fft=eng.n_fft, length=n_out,
             )
 
+        @functools.partial(jax.jit, static_argnames=("n_out",))
+        def _synthesize_gain_rows(S, gain_rows, n_out: int):
+            """Gain-masked magnitude rows → audio, fully under jit.
+
+            Must stay jitted end-to-end: eager complex ops (magphase on
+            the device-resident S) raise UNIMPLEMENTED on the axon TPU
+            backend — caught by the FBP --save-fbp-audio export on real
+            hardware.
+            """
+            if eng.spec_type == "mel":
+                return _synthesize(S[None] * gain_rows[:, :, None], n_out)
+            mag, phase = magphase(S)
+            return _synthesize((gain_rows[:, :, None] * mag) * phase, n_out)
+
+        self._synthesize_gain_rows = _synthesize_gain_rows
+
         @functools.partial(jax.jit, static_argnames=("normalize_loudness",))
         def _gain_rows_probs(S, gains, y_ref, normalize_loudness: bool):
             """FBP inner: per-row frequency gains on the magnitude.
@@ -817,19 +833,9 @@ class PerturbationEngine:
 
     def synthesize_masked(self, S, gain_rows: np.ndarray, n_out: int) -> np.ndarray:
         """Host-facing: synthesize audio for magnitude gain rows (used when
-        exporting band-isolated / band-removed WAVs)."""
-        mag, phase = magphase(S) if self.spec_type != "mel" else (S, None)
-        if self.spec_type == "mel":
-            S_b = S[None] * jnp.asarray(gain_rows)[:, :, None]
-            S_mag = mel_to_stft(S_b, sr=self.sr, n_fft=self.n_fft, n_mels=self.n_mels, fmax=self.fmax)
-            y = griffin_lim(
-                S_mag, n_iter=self.n_iter, hop_length=self.hop_length,
-                win_length=self.win_length, n_fft=self.n_fft, length=n_out,
-            )
-        else:
-            S_b = (jnp.asarray(gain_rows)[:, :, None] * mag) * phase
-            y = istft(
-                S_b, hop_length=self.hop_length, win_length=self.win_length,
-                n_fft=self.n_fft, length=n_out,
-            )
+        exporting band-isolated / band-removed WAVs). The compute runs as
+        one jitted program — see ``_synthesize_gain_rows``."""
+        y = self._synthesize_gain_rows(
+            S, jnp.asarray(gain_rows, jnp.float32), int(n_out)
+        )
         return np.asarray(y)

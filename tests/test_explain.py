@@ -36,6 +36,9 @@ def test_explain_track_full_record(tmp_path, rng):
         "vocals0", "drums0", "bass0", "other0",
     }
     assert record["explain_seconds"] > 0
+    assert set(record["stage_seconds"]) == {
+        "analyze_baseline", "fbp", "occlusion", "separation", "lime"
+    }
 
     out = tmp_path / "out"
     saved = json.loads((out / "song_x_explanation.json").read_text())
