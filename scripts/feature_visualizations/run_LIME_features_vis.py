@@ -316,7 +316,17 @@ def main():
     result_root = Path(output_cfg.get("result_path"))
 
     sub = "separated_components" if comp_version == "separated" else "reversed_separated_components"
-    features_path = data_root / sub / "lime_components" / "audiolime_component_features.json"
+    # Deliberate deviation: with the reference's committed configs the
+    # extractor writes <lime_features>/<sub>/audiolime_component_features.json
+    # (run_lime_features.py:57) while this visualizer reads
+    # <features_path>/<sub>/lime_components/... (run_LIME_features_vis.py:
+    # 2166-2167) — the chain is broken as committed. Accept both layouts,
+    # preferring the reference-vis path when it exists.
+    candidates = [
+        data_root / sub / "lime_components" / "audiolime_component_features.json",
+        data_root / sub / "audiolime_component_features.json",
+    ]
+    features_path = next((p for p in candidates if p.exists()), candidates[0])
     output_root = result_root / sub / "features_visualization"
     output_root.mkdir(parents=True, exist_ok=True)
 
