@@ -22,23 +22,7 @@ from adx_tpu.io.audio_io import load_audio
 from adx_tpu.io.results import convert_to_native, safe_stem
 from adx_tpu.ops.masks import band_gain_matrix, occlusion_patch_grid
 from adx_tpu.ops.mel import fft_frequencies
-from adx_tpu.runtime.engine import PerturbationEngine
-
-# One engine per (predictor, DSP-config): PerturbationEngine defines its
-# jitted programs in __init__, so a fresh engine per call re-traces every
-# sweep program (tens of seconds each call even with a warm XLA disk
-# cache). Keyed weakly so dropping the predictor frees the engines.
-import weakref
-
-_ENGINE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
-def _cached_engine(predictor, **kwargs) -> PerturbationEngine:
-    per = _ENGINE_CACHE.setdefault(predictor, {})
-    key = tuple(sorted(kwargs.items()))
-    if key not in per:
-        per[key] = PerturbationEngine(predictor, **kwargs)
-    return per[key]
+from adx_tpu.runtime.engine import PerturbationEngine, cached_engine as _cached_engine
 
 
 def explain_track(

@@ -29,7 +29,7 @@ from adx_tpu.ops.masks import band_gain_matrix, band_transition_width, smooth_ba
 from adx_tpu.ops.mel import fft_frequencies
 from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.runtime.checkpoint import ExperimentCheckpoint
-from adx_tpu.runtime.engine import PerturbationEngine
+from adx_tpu.runtime.engine import PerturbationEngine, cached_engine
 from adx_tpu.runtime.profiler import TimeAggregator, timed
 from adx_tpu.viz.saliency import (
     visualize_fbp_saliency,
@@ -137,7 +137,7 @@ class FrequencyBandPerturbation:
         self.save_perturbed_audio_only = save_perturbed_audio_only
         self.save_reversed_perturbed_audio_only = save_reversed_perturbed_audio_only
 
-        self.engine = engine or PerturbationEngine(
+        self.engine = engine or cached_engine(
             predictor, sr=sr, duration=duration, n_fft=n_fft,
             hop_length=hop_length, win_length=win_length, spec_type=self.spec_type,
             n_mels=n_mels, fmax=fmax, n_iter=n_iter, profiler=self.profiler,
@@ -246,18 +246,14 @@ class FrequencyBandPerturbation:
             rows.append(1.0 - keep_band if self.save_perturbed_audio_only else keep_band)
         rows = np.stack(rows)
 
-        y_batch = np.array(self.engine.synthesize_masked(S, rows, n_out=len(sig)))
-        if self.normalize_loudness:
-            ref_rms = float(np.sqrt(np.mean(sig**2) + 1e-8))
-            for i in range(len(y_batch)):
-                r = float(np.sqrt(np.mean(y_batch[i] ** 2) + 1e-8))
-                if r >= 1e-8:
-                    y_batch[i] *= ref_rms / r
+        # synthesis + peak-normalization + int16 quantization all on device:
+        # the f32 [B, 5.3M] batch was 127 MB of ~15 MB/s tunnel D2H per
+        # file. (The RMS match under normalize_loudness cancels exactly in
+        # the subsequent per-band peak normalization — same samples out.)
+        y_batch = self.engine.synthesize_masked_pcm16(S, rows, n_out=len(sig))
         masked_dbs = self.engine.masked_db(S, rows)
 
-        for (low, high), delta, y_sep, Sdb_masked in zip(self.bands, deltas, y_batch, masked_dbs):
-            peak = np.max(np.abs(y_sep))
-            y_out = y_sep / peak * 0.99 if peak > 0 else y_sep
+        for (low, high), delta, y_out, Sdb_masked in zip(self.bands, deltas, y_batch, masked_dbs):
             importance_type = (
                 "POSITIVE" if delta > 0 else "NEGATIVE" if delta < 0 else "NEUTRAL"
             )

@@ -37,7 +37,9 @@ def _get_engine(predictor, sr: int = 44100) -> Optional[PerturbationEngine]:
     """Batched engine for LocalSonics; None for remote predictors (their
     path falls back to predict_fn batching)."""
     if hasattr(predictor, "forward_device"):
-        return PerturbationEngine(predictor, sr=sr, duration=getattr(predictor.cfg.audio, "duration", 120.0))
+        from adx_tpu.runtime.engine import cached_engine
+
+        return cached_engine(predictor, sr=sr, duration=getattr(predictor.cfg.audio, "duration", 120.0))
     return None
 
 

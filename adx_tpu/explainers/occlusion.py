@@ -29,7 +29,7 @@ from adx_tpu.io.results import append_update_results
 from adx_tpu.ops.masks import occlusion_patch_grid
 from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.runtime.checkpoint import SpectrogramCheckpoint
-from adx_tpu.runtime.engine import PerturbationEngine
+from adx_tpu.runtime.engine import PerturbationEngine, cached_engine
 from adx_tpu.runtime.profiler import TimeAggregator, timed
 from adx_tpu.viz.saliency import visualize_spectrogram_saliency
 
@@ -112,7 +112,7 @@ class SpectrogramExplainability:
         self.checkpoint = SpectrogramCheckpoint(checkpoint_dir) if checkpoint_dir else None
         self.profiler = TimeAggregator()
 
-        self.engine = engine or PerturbationEngine(
+        self.engine = engine or cached_engine(
             predictor, sr=sr, duration=duration, n_fft=n_fft,
             hop_length=hop_length, win_length=win_length, spec_type=self.spec_type,
             n_mels=n_mels, fmax=fmax, n_iter=n_iter, profiler=self.profiler,

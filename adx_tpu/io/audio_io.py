@@ -52,7 +52,10 @@ def write_wav(path: str | Path, y: np.ndarray, sr: int, subtype: str = "PCM_16")
     if y.ndim > 1 and y.shape[0] < y.shape[-1]:
         y = y.T  # [ch, n] → [n, ch]
     if subtype == "PCM_16":
-        data = np.clip(np.round(y * 32767.0), -32768, 32767).astype(np.int16)
+        if y.dtype == np.int16:
+            data = y  # already quantized (e.g. on device) — pass through
+        else:
+            data = np.clip(np.round(y * 32767.0), -32768, 32767).astype(np.int16)
     elif subtype == "FLOAT":
         data = y.astype(np.float32)
     else:

@@ -35,6 +35,13 @@ def save_experiment_config(config: dict, output_dir: Path, experiment_name: str)
     return config_path
 
 
+# Local predictors memoized by their defining config: model params are
+# immutable after load, so stage runners invoked in one process (the
+# pipeline orchestrator) share one model instead of re-loading and
+# re-compiling per stage.
+_PREDICTOR_CACHE: dict = {}
+
+
 def build_predictor(model_cfg: dict):
     """Model-section dispatch: local (on-device SpecTTTra) vs remote (HTTP
     parity client). Section keys match the reference
@@ -43,12 +50,19 @@ def build_predictor(model_cfg: dict):
 
     if bool(model_cfg.get("local", True)):
         model_name = str(model_cfg.get("local_model", "awsaf49/sonics-spectttra-alpha-120s"))
-        return LocalSonics.from_pretrained(
+        key = (
             model_name,
-            checkpoint_dir=model_cfg.get("checkpoint_dir"),
-            device=str(model_cfg.get("device", "tpu")),
-            max_batch=int(model_cfg.get("max_batch", 8)),
+            model_cfg.get("checkpoint_dir"),
+            int(model_cfg.get("max_batch", 8)),
         )
+        if key not in _PREDICTOR_CACHE:
+            _PREDICTOR_CACHE[key] = LocalSonics.from_pretrained(
+                model_name,
+                checkpoint_dir=model_cfg.get("checkpoint_dir"),
+                device=str(model_cfg.get("device", "tpu")),
+                max_batch=int(model_cfg.get("max_batch", 8)),
+            )
+        return _PREDICTOR_CACHE[key]
     retry_cfg = model_cfg.get("retry", {})
     return RemoteSonics(
         space=str(model_cfg.get("remote_space", "awsaf49/sonics-fake-song-detection")),

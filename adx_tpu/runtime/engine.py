@@ -27,6 +27,7 @@ Memory/layout decisions (TPU v5e, 16 GB HBM):
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Optional, Tuple
 
 import jax
@@ -157,6 +158,20 @@ class PerturbationEngine:
             return _synthesize((gain_rows[:, :, None] * mag) * phase, n_out)
 
         self._synthesize_gain_rows = _synthesize_gain_rows
+
+        @functools.partial(jax.jit, static_argnames=("n_out",))
+        def _synthesize_gain_rows_pcm16(S, gain_rows, n_out: int):
+            """Band-audio export path: synthesize, peak-normalize to 0.99
+            and quantize to int16 ON DEVICE — the 16-bit WAV writer's
+            exact formula (clip(round(y·32767))) — so the D2H transfer of
+            a [B, 5.3M] batch shrinks 4× (the tunnel moves ~15 MB/s)."""
+            y = _synthesize_gain_rows(S, gain_rows, n_out)
+            peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+            y = y * jnp.where(peak > 0, 0.99 / peak, 1.0)
+            q = jnp.clip(jnp.round(y * 32767.0), -32768.0, 32767.0)
+            return q.astype(jnp.int16)
+
+        self._synthesize_gain_rows_pcm16 = _synthesize_gain_rows_pcm16
 
         @functools.partial(jax.jit, static_argnames=("normalize_loudness",))
         def _gain_rows_probs(S, gains, y_ref, normalize_loudness: bool):
@@ -555,9 +570,14 @@ class PerturbationEngine:
         @jax.jit
         def _masked_db(S, gain_rows):
             """Per-row dB spectrograms of gain-masked magnitudes, each with
-            its own ref=max (for the batches_vis side-by-side export)."""
+            its own ref=max (for the batches_vis side-by-side export).
+            Shipped to the host as bfloat16: the consumer is a matplotlib
+            colormap spanning ~80 dB, where bf16's ~0.3 dB quantization is
+            invisible, and the [B, F, T] transfer (254 MB f32 per file at
+            ~15 MB/s tunnel) halves."""
             mag = jnp.abs(S)[None] * gain_rows[:, :, None]
-            return jax.vmap(lambda m: amplitude_to_db(m, ref="max"))(mag)
+            db = jax.vmap(lambda m: amplitude_to_db(m, ref="max"))(mag)
+            return db.astype(jnp.bfloat16)
 
         self._masked_db = _masked_db
 
@@ -828,8 +848,9 @@ class PerturbationEngine:
         return out
 
     def masked_db(self, S, gain_rows: np.ndarray) -> np.ndarray:
-        """Host dB spectrograms of gain-masked magnitudes ``[B, F, T]``."""
-        return np.asarray(self._masked_db(S, jnp.asarray(gain_rows)))
+        """Host dB spectrograms of gain-masked magnitudes ``[B, F, T]``
+        (bf16 on the wire, f32 on the host — see ``_masked_db``)."""
+        return np.asarray(self._masked_db(S, jnp.asarray(gain_rows))).astype(np.float32)
 
     def synthesize_masked(self, S, gain_rows: np.ndarray, n_out: int) -> np.ndarray:
         """Host-facing: synthesize audio for magnitude gain rows (used when
@@ -839,3 +860,39 @@ class PerturbationEngine:
             S, jnp.asarray(gain_rows, jnp.float32), int(n_out)
         )
         return np.asarray(y)
+
+    def synthesize_masked_pcm16(self, S, gain_rows: np.ndarray, n_out: int) -> np.ndarray:
+        """Like ``synthesize_masked`` but peak-normalized (0.99) and
+        quantized to int16 on device — ready for the 16-bit WAV writer,
+        at a quarter of the device→host bytes."""
+        q = self._synthesize_gain_rows_pcm16(
+            S, jnp.asarray(gain_rows, jnp.float32), int(n_out)
+        )
+        return np.asarray(q)
+
+
+# ---------------------------------------------------------------------------
+# Process-wide engine reuse
+# ---------------------------------------------------------------------------
+
+_ENGINE_CACHE = weakref.WeakKeyDictionary()
+
+
+def cached_engine(predictor, profiler: Optional[TimeAggregator] = None, **kwargs):
+    """One engine per (predictor, DSP-config), shared process-wide.
+
+    The jitted sweep programs live in ``PerturbationEngine.__init__``, so a
+    fresh engine per explainer re-traces every program — tens of seconds
+    each even with a warm XLA disk cache. Explainers and the one-call API
+    route construction through here; the profiler (per-explainer state) is
+    rebound on each call and excluded from the cache key. Keyed weakly so
+    dropping the predictor frees its engines.
+    """
+    per = _ENGINE_CACHE.setdefault(predictor, {})
+    key = tuple(sorted(kwargs.items()))
+    if key not in per:
+        per[key] = PerturbationEngine(predictor, profiler=profiler, **kwargs)
+    eng = per[key]
+    if profiler is not None:
+        eng.profiler = profiler
+    return eng

@@ -131,10 +131,10 @@ class ExplainService:
 
     def _get_engine(self):
         if self._engine is None:
-            from adx_tpu.runtime.engine import PerturbationEngine
+            from adx_tpu.runtime.engine import cached_engine
 
             k = self.kwargs
-            self._engine = PerturbationEngine(
+            self._engine = cached_engine(
                 self.predictor,
                 sr=int(k.get("sr", 44100)),
                 duration=float(k.get("duration", 120.0)),

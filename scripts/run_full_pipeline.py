@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""One-process pipeline orchestrator: chain stage runners without paying
+per-process TPU boot.
+
+The reference's workflow is a chain of separate CLI invocations
+(predictions → FBP/occlusion/LIME experiments → feature extraction →
+visualizations; readme.md:60-126). Running each as its own process is
+correct but expensive on tunneled TPU runtimes: every process pays the
+backend first-touch/grant wait (measured 1.8-8.6 min per process) plus
+re-tracing of every jitted sweep program. This orchestrator runs the same
+stage scripts **in one process** via runpy — the predictor is shared
+through ``adx_tpu.io.config.build_predictor``'s memo, engines through
+``adx_tpu.runtime.engine.cached_engine``, and XLA programs stay traced —
+so only the first stage pays the boot cost.
+
+Pipeline config (YAML):
+
+    stages:
+      - name: predictions                 # display label
+        script: scripts/run_sonics_predictions.py
+        config: /path/to/sonics.yaml      # passed as --config
+        args: []                          # extra CLI args
+        allow_exit_codes: [0]             # e.g. [0, 1] for audio-only arms
+                                          # (they exit 1 "No results
+                                          # generated!" by reference parity)
+
+Each stage runs with its own sys.argv exactly as if invoked standalone;
+SystemExit is caught and checked against allow_exit_codes. A failing stage
+aborts the pipeline (matching `set -e` shell behavior).
+"""
+
+from __future__ import annotations
+
+import argparse
+import runpy
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from adx_tpu.io.config import load_yaml
+
+
+def run_stage(script: str, argv: list, allow_exit_codes=(0,)) -> tuple:
+    """Execute a runner script in-process; returns (rc, seconds)."""
+    script_path = Path(script)
+    if not script_path.is_absolute():
+        script_path = ROOT / script_path
+    old_argv = sys.argv
+    sys.argv = [str(script_path)] + [str(a) for a in argv]
+    t0 = time.time()
+    rc = 0
+    try:
+        runpy.run_path(str(script_path), run_name="__main__")
+    except SystemExit as e:
+        code = e.code
+        rc = code if isinstance(code, int) else (0 if code is None else 1)
+    finally:
+        sys.argv = old_argv
+    return rc, time.time() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="Run a chain of experiment/feature/vis stages in ONE process"
+    )
+    ap.add_argument("--config", required=True, help="Pipeline YAML (stages: [...])")
+    ap.add_argument(
+        "--from-stage", default=None,
+        help="Skip stages before this name (resume a partial run)",
+    )
+    cli = ap.parse_args()
+
+    cfg = load_yaml(Path(cli.config))
+    stages = cfg.get("stages", [])
+    if not stages:
+        print("⚠️  Pipeline config has no stages")
+        sys.exit(1)
+
+    started = cli.from_stage is None
+    timings = []
+    for st in stages:
+        name = st.get("name") or Path(st["script"]).stem
+        if not started:
+            if name == cli.from_stage:
+                started = True
+            else:
+                print(f"⏭️  Skipping stage: {name}")
+                continue
+        argv = []
+        if st.get("config"):
+            argv += ["--config", st["config"]]
+        argv += list(st.get("args", []))
+        allow = tuple(st.get("allow_exit_codes", (0,)))
+        print(f"\n{'=' * 70}\n🚀 Stage: {name}  ({Path(st['script']).name} {' '.join(map(str, argv))})\n{'=' * 70}",
+              flush=True)
+        rc, secs = run_stage(st["script"], argv, allow)
+        timings.append((name, rc, secs))
+        status = "✅" if rc in allow else "❌"
+        print(f"{status} Stage {name}: rc={rc} in {secs:.1f} s", flush=True)
+        if rc not in allow:
+            print(f"\n❌ Pipeline aborted at stage {name} (rc={rc})")
+            _print_summary(timings)
+            sys.exit(1)
+
+    _print_summary(timings)
+    print("\n✅ Pipeline complete")
+
+
+def _print_summary(timings):
+    print("\n📊 Stage summary:")
+    for name, rc, secs in timings:
+        print(f"   {name:30s} rc={rc}  {secs:8.1f} s")
+    total = sum(s for _, _, s in timings)
+    print(f"   {'TOTAL':30s}        {total:8.1f} s")
+
+
+if __name__ == "__main__":
+    main()

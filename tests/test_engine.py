@@ -149,6 +149,22 @@ def test_stem_mix_probs_dedups_duplicate_rows(engine, predictor, track):
     np.testing.assert_array_equal(got, ref[idx])
 
 
+def test_synthesize_masked_pcm16_matches_float_path(engine, track):
+    """The device-side peak-norm + int16 quantization must reproduce the
+    host float path + WAV-writer formula (±1 LSB for reduction-order)."""
+    S, _ = engine.analyze(track)
+    F = S.shape[0]
+    rng = np.random.default_rng(5)
+    rows = np.stack([np.ones(F, np.float32), rng.uniform(0, 1, F).astype(np.float32)])
+    y = engine.synthesize_masked(S, rows, n_out=len(track))
+    peak = np.max(np.abs(y), axis=-1, keepdims=True)
+    y_norm = np.where(peak > 0, y * 0.99 / peak, y)
+    want = np.clip(np.round(y_norm * 32767.0), -32768, 32767).astype(np.int16)
+    got = engine.synthesize_masked_pcm16(S, rows, n_out=len(track))
+    assert got.dtype == np.int16
+    np.testing.assert_allclose(got, want, atol=1)
+
+
 def test_rise_scan_equals_chunked_remainder_path(engine, track):
     """The scan path (full chunks) and the exact-size remainder path must
     produce the same stream: n_masks=chunk*k exercises scan only; adding a

@@ -1,0 +1,108 @@
+"""One-process pipeline orchestrator test: two stages chained in-process
+share one predictor (scripts/run_full_pipeline.py).
+
+The reference chains separate CLI processes (readme.md:60-126); on
+tunneled TPU runtimes each process pays minutes of backend boot, so the
+orchestrator exists to run the same stage scripts in one process."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from adx_tpu.io.audio_io import write_wav
+
+SR = 8000
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("PipelineMini")
+    rng = np.random.default_rng(0)
+    n = SR // 2
+    t = np.arange(n) / SR
+    for model in ["REAL", "SUNO"]:
+        for i in range(2):
+            y = 0.4 * np.sin(2 * np.pi * (300 + 200 * i) * t) + 0.05 * rng.standard_normal(n)
+            write_wav(root / model / f"track_{i}.wav", y.astype(np.float32), SR)
+    return root
+
+
+def test_pipeline_two_stages_share_predictor(dataset, tmp_path, monkeypatch):
+    model_cfg = {"local": True, "local_model": "tiny", "max_batch": 8}
+    pred_cfg = {
+        "dataset": {"dataset_path": str(dataset), "sample_rate": SR},
+        "model": model_cfg,
+        "output": {"result_path": str(tmp_path / "preds"), "experiment_name": "P"},
+    }
+    fbp_cfg = {
+        "dataset": {
+            "base_path": str(dataset),
+            "models_to_process": ["REAL", "SUNO"],
+            "max_samples_per_model": 2,
+        },
+        "model": model_cfg,
+        "bands": {
+            "preset": "default",
+            "attenuation": 0.25,
+            "transition": {"mode": "abs", "hz": 50.0},
+            "presets": {"default": [[100, 500], [500, 1500], [1500, 3000]]},
+        },
+        "spectrogram": {
+            "sr": SR, "duration": 1, "n_fft": 256, "hop_length": 128,
+            "win_length": 256, "spec_type": "stft",
+        },
+        "explainability": {"use_separation": False, "normalize_loudness": False},
+        "output": {"result_path": str(tmp_path / "fbp"), "experiment_name": "F"},
+        "checkpoint": {"enabled": False},
+    }
+    (tmp_path / "pred.yaml").write_text(yaml.safe_dump(pred_cfg))
+    (tmp_path / "fbp.yaml").write_text(yaml.safe_dump(fbp_cfg))
+    pipeline = {
+        "stages": [
+            {"name": "predictions", "script": "scripts/run_sonics_predictions.py",
+             "config": str(tmp_path / "pred.yaml")},
+            {"name": "fbp", "script": "scripts/experiments/run_FBP_experiment.py",
+             "config": str(tmp_path / "fbp.yaml"), "args": ["--no-checkpoint"]},
+        ]
+    }
+    (tmp_path / "pipeline.yaml").write_text(yaml.safe_dump(pipeline))
+
+    import adx_tpu.io.config as ioc
+
+    builds = []
+    real_from_pretrained = None
+    from adx_tpu.predict import LocalSonics
+
+    real_from_pretrained = LocalSonics.from_pretrained.__func__
+
+    def counting(cls, *a, **k):
+        builds.append(a)
+        return real_from_pretrained(cls, *a, **k)
+
+    monkeypatch.setattr(LocalSonics, "from_pretrained", classmethod(counting))
+    monkeypatch.setattr(ioc, "_PREDICTOR_CACHE", {})
+
+    sys.path.insert(0, str(ROOT / "scripts"))
+    import importlib
+
+    mod = importlib.import_module("run_full_pipeline")
+    monkeypatch.setattr(
+        sys, "argv", ["run_full_pipeline.py", "--config", str(tmp_path / "pipeline.yaml")]
+    )
+    mod.main()
+
+    # both stages produced their reference-schema outputs
+    preds = json.loads(
+        next((tmp_path / "preds" / "P").rglob("predictions.json")).read_text()
+    )
+    assert set(preds) == {"REAL", "SUNO"}
+    results = json.loads((tmp_path / "fbp" / "F" / "fbp_results.json").read_text())
+    assert set(results) == {"REAL", "SUNO"}
+
+    # the model was loaded ONCE and shared across stages
+    assert len(builds) == 1
