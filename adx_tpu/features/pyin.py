@@ -209,15 +209,11 @@ def pyin(
     s_idx = np.arange(M)
     log_tri32 = log_tri.astype(np.float32)
     padded = np.full((2, M + 2 * K), -np.inf, np.float32)
-
-    def banded_step(delta_vu):
-        """delta_vu [2, M] → (band max [2, M], band argmax [2, M])."""
-        padded[:, K : K + M] = delta_vu
-        scores = sliding_window_view(padded, 2 * K + 1, axis=1) + log_tri32
-        k_best = np.argmax(scores, axis=2)
-        best = np.take_along_axis(scores, k_best[:, :, None], axis=2)[:, :, 0]
-        return best, (s_idx[None, :] - K + k_best).astype(np.int32)
-
+    # hot-loop buffers preallocated once: the loop runs ~10k iterations on
+    # a single-core host, so per-frame allocations/astype churn dominate
+    windows = sliding_window_view(padded, 2 * K + 1, axis=1)  # view, no copy
+    scores = np.empty((2, M, 2 * K + 1), np.float32)
+    offset = (s_idx - K).astype(np.int32)  # window slot k ↔ source s-K+k
     delta_vu = np.full((2, M), np.log(1.0 / (2 * M)), np.float32)
     delta_vu[0] += log_obs_v[0]
     delta_vu[1] += log_obs_u[0]
@@ -227,23 +223,28 @@ def pyin(
     from_v = np.zeros((T, M), dtype=bool)
 
     for t in range(1, T):
-        (bm_v, bm_u), (arg_v, arg_u) = banded_step(delta_vu)
+        padded[:, K : K + M] = delta_vu
+        np.add(windows, log_tri32, out=scores)
+        k_best = scores.argmax(axis=2)  # [2, M]
+        best = np.take_along_axis(scores, k_best[:, :, None], axis=2)[:, :, 0]
+        bm_v, bm_u = best[0], best[1]
         # voiced[t] from voiced (stay) or unvoiced (switch)
         cand_vv = bm_v + log_stay
         cand_uv = bm_u + log_switch
         take_u = cand_uv > cand_vv
-        new_v = np.where(take_u, cand_uv, cand_vv) + log_obs_v[t]
+        np.add(np.where(take_u, cand_uv, cand_vv), log_obs_v[t], out=delta_vu[0])
         from_u[t] = take_u
         # unvoiced[t]
         cand_uu = bm_u + log_stay
         cand_vu = bm_v + log_switch
         take_v = cand_vu > cand_uu
-        new_u = np.where(take_v, cand_vu, cand_uu) + log_obs_u[t]
+        np.add(np.where(take_v, cand_vu, cand_uu), log_obs_u[t], out=delta_vu[1])
         from_v[t] = take_v
 
-        back_v[t] = np.where(take_u, arg_u, arg_v)
-        back_u[t] = np.where(take_v, arg_v, arg_u)
-        delta_vu = np.stack([new_v, new_u]).astype(np.float32)
+        arg = k_best.astype(np.int32)
+        arg += offset  # band argmax as absolute state index
+        back_v[t] = np.where(take_u, arg[1], arg[0])
+        back_u[t] = np.where(take_v, arg[0], arg[1])
 
     # backtrace
     states = np.zeros(T, dtype=np.int32)
