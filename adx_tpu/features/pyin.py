@@ -32,9 +32,12 @@ def _frame(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
     return sliding_window_view(y, frame_length)[::hop_length]
 
 
-def _difference_function(frames: np.ndarray, max_tau: int) -> np.ndarray:
+def _difference_function(
+    frames: np.ndarray, max_tau: int, y: np.ndarray, hop_length: int
+) -> np.ndarray:
     """YIN difference function d[t, τ] for τ in [0, max_tau) via FFT
-    autocorrelation. ``frames`` is [T, frame_length]; window W = max_tau.
+    autocorrelation. ``frames`` is [T, frame_length] (strided windows of
+    ``y`` at ``hop_length``); window W = max_tau.
 
     FFTs go through scipy.fft, which keeps float32 (numpy upcasts to
     float64 — 2× the bandwidth for no benefit at CMNDF's ~1e-3 working
@@ -53,13 +56,23 @@ def _difference_function(frames: np.ndarray, max_tau: int) -> np.ndarray:
     np.conjugate(F_win, out=F_win)
     np.multiply(F_full, F_win, out=F_full)
     acf = irfft(F_full, n_fft, axis=1)[:, :W]
-    # energy terms: e0 = Σ_{j<W} x²; e_tau = Σ_{τ<=j<τ+W} x² — accumulate
-    # in float64 (the running sum spans 2048 squares), difference back to
-    # float32 (d's working precision; the CMNDF is a ratio of d values)
-    csum = np.cumsum(frames.astype(np.float64) ** 2, axis=1)
-    csum = np.concatenate([np.zeros((T, 1)), csum], axis=1)
-    e_tau = (csum[:, W : W + W] - csum[:, 0:W]).astype(np.float32)
-    e0 = csum[:, [W]].astype(np.float32)
+    # energy terms: e0 = Σ_{j<W} x²; e_tau = Σ_{τ<=j<τ+W} x². Frames are
+    # overlapping windows of one signal, so ONE global float64 cumsum of y²
+    # (2.6M adds) replaces the old per-frame [T, N] cumsum — which squared
+    # and accumulated a 200 MB float64 temporary on every call. Two [T, W]
+    # gathers difference it back per (frame, lag).
+    c = np.empty(len(y) + 1, np.float64)
+    c[0] = 0.0
+    np.cumsum(np.square(y, dtype=np.float64), out=c[1:])
+    # win_energy[i] = Σ_{i<=j<i+W} y[j]²; frame t's lag-τ energy is the
+    # contiguous slice win_energy[t·hop : t·hop+W] — a strided row view,
+    # materialized once as the float32 e_tau
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win_energy = c[W:] - c[:-W]
+    starts = np.arange(T, dtype=np.int64) * hop_length
+    e_tau = sliding_window_view(win_energy, W)[starts].astype(np.float32)
+    e0 = e_tau[:, [0]]  # τ = 0 window IS the first-W energy
     # d = e0 + e_tau - 2·acf, built in place on the acf buffer
     d = np.ascontiguousarray(acf)
     d *= -2.0
@@ -105,7 +118,7 @@ def pyin(
 
     tau_min = max(1, int(sr / fmax))
     tau_max = min(win_length, int(sr / fmin) + 1)
-    d = _difference_function(frames, win_length)
+    d = _difference_function(frames, win_length, y, hop_length)
     dp = _cmndf(d)
 
     # --- trough candidates per frame -------------------------------------
