@@ -128,6 +128,11 @@ def explain_track(
     factorization = SpleeterFactorization(
         y, target_sr=sr, temporal_segmentation_params=1, model_name=separation_model
     )
+    # stems are device-resident and LAZY — force their computation with one
+    # scalar D2H before stopping the timer, otherwise the separation cost
+    # is misattributed to the LIME stage (block_until_ready alone does not
+    # truly sync on tunneled TPU runtimes)
+    float(jnp.stack([c.sum() for c in factorization.components]).sum())
     stage_s["separation"] = round(time.time() - t_stage, 3)
     t_stage = time.time()
     explanation = LimeAudioExplainer(kernel_width=0.25).explain_instance(

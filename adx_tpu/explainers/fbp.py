@@ -304,6 +304,9 @@ class FrequencyBandPerturbation:
     ) -> Optional[Dict[str, Any]]:
         if self.profiler:
             self.profiler.reset_sample()
+            # the engine is shared process-wide (cached_engine); reclaim its
+            # profiler in case another explainer was constructed since
+            self.engine.profiler = self.profiler
         file_name = Path(audio_path).stem
 
         if self.checkpoint:

@@ -50,9 +50,22 @@ def build_predictor(model_cfg: dict):
 
     if bool(model_cfg.get("local", True)):
         model_name = str(model_cfg.get("local_model", "awsaf49/sonics-spectttra-alpha-120s"))
+        # checkpoint state is part of the key: a pipeline stage may run
+        # before the checkpoint exists (random-init fallback) and a later
+        # stage after e.g. a training stage wrote it — the dir's existence
+        # + mtime fingerprint forces a reload instead of serving the stale
+        # random-init predictor
+        ckpt = model_cfg.get("checkpoint_dir")
+        ckpt_state = None
+        if ckpt is not None:
+            from pathlib import Path as _Path
+
+            p = _Path(ckpt)
+            ckpt_state = p.stat().st_mtime if p.exists() else "missing"
         key = (
             model_name,
-            model_cfg.get("checkpoint_dir"),
+            ckpt,
+            ckpt_state,
             int(model_cfg.get("max_batch", 8)),
         )
         if key not in _PREDICTOR_CACHE:

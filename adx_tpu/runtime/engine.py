@@ -817,18 +817,18 @@ class PerturbationEngine:
             work = uniq
         else:
             work, inv = rows, None
-        # round the chunk up to a power of two so tiny deduped batches
-        # neither run at the full 64-wide chunk nor compile per-N programs
-        pow2 = 1 << max(0, int(len(work)) - 1).bit_length()
         stems_d = jnp.asarray(stems, jnp.float32)
         with self.profiler.section("Predicting audio"):
+            # chunks round up to a power of two so tiny deduped batches
+            # neither run at the full 64-wide chunk nor compile per-N
+            # programs (sharded: per-device share; single: whole batch)
             if self.n_devices > 1:
                 per_dev = -(-len(work) // self.n_devices)
                 chunk = min(self.lime_chunk, 1 << max(0, per_dev - 1).bit_length())
                 padded, n = pad_batch(work, self.n_devices * chunk)
                 probs = self._stem_mix_sharded(stems_d, jnp.asarray(padded), chunk)
             else:
-                chunk = min(self.lime_chunk, pow2)
+                chunk = min(self.lime_chunk, 1 << max(0, int(len(work)) - 1).bit_length())
                 padded, n = pad_batch(work, chunk)
                 probs = self._stem_mix_all(stems_d, jnp.asarray(padded), chunk)
             out = np.asarray(probs)[:n]

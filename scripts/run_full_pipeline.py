@@ -80,6 +80,12 @@ def main():
         print("⚠️  Pipeline config has no stages")
         sys.exit(1)
 
+    names = [st.get("name") or Path(st["script"]).stem for st in stages]
+    if cli.from_stage is not None and cli.from_stage not in names:
+        print(f"❌ --from-stage {cli.from_stage!r} is not a configured stage; "
+              f"choices: {', '.join(names)}")
+        sys.exit(1)
+
     started = cli.from_stage is None
     timings = []
     for st in stages:
@@ -99,9 +105,22 @@ def main():
               flush=True)
         rc, secs = run_stage(st["script"], argv, allow)
         timings.append((name, rc, secs))
-        status = "✅" if rc in allow else "❌"
+        ok = rc in allow
+        # allow_exit_codes beyond 0 exist for the audio-only arms, which
+        # exit 1 "No results generated!" by reference parity — but that
+        # same exit also covers genuine failures. expect_glob declares the
+        # artifact the stage MUST have produced; a tolerated rc with a
+        # missing artifact is a real failure.
+        if ok and st.get("expect_glob"):
+            import glob as _glob
+
+            if not _glob.glob(st["expect_glob"], recursive=True):
+                ok = False
+                print(f"❌ Stage {name}: expected artifact missing "
+                      f"({st['expect_glob']})")
+        status = "✅" if ok else "❌"
         print(f"{status} Stage {name}: rc={rc} in {secs:.1f} s", flush=True)
-        if rc not in allow:
+        if not ok:
             print(f"\n❌ Pipeline aborted at stage {name} (rc={rc})")
             _print_summary(timings)
             sys.exit(1)

@@ -106,3 +106,24 @@ def test_pipeline_two_stages_share_predictor(dataset, tmp_path, monkeypatch):
 
     # the model was loaded ONCE and shared across stages
     assert len(builds) == 1
+
+    # a typo'd --from-stage must error, not silently skip every stage
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_full_pipeline.py", "--config", str(tmp_path / "pipeline.yaml"),
+         "--from-stage", "no_such_stage"],
+    )
+    with pytest.raises(SystemExit) as ei:
+        mod.main()
+    assert ei.value.code == 1
+
+    # a tolerated exit code with a missing expected artifact is a failure
+    pipeline["stages"][1]["allow_exit_codes"] = [0, 1]
+    pipeline["stages"][1]["expect_glob"] = str(tmp_path / "does_not_exist" / "*.wav")
+    (tmp_path / "pipeline.yaml").write_text(yaml.safe_dump(pipeline))
+    monkeypatch.setattr(
+        sys, "argv", ["run_full_pipeline.py", "--config", str(tmp_path / "pipeline.yaml")]
+    )
+    with pytest.raises(SystemExit) as ei:
+        mod.main()
+    assert ei.value.code == 1
