@@ -75,10 +75,11 @@ def explain_track(
     # one-time H2D: a 120 s track is 21 MB and the TPU tunnel moves
     # ~15 MB/s, so every stage that re-uploaded the waveform (or pulled
     # the 85 MB of stems back) was paying seconds of pure transfer.
-    # Everything below works on the device-resident copy.
+    # PCM16-exact tracks ship as int16 (half the bytes). Everything below
+    # works on the device-resident copy.
     import jax.numpy as jnp
 
-    y = jnp.asarray(y_host)
+    y = engine.to_device_wave(y_host)
     stage_s: dict = {}
     t_stage = time.time()
     S, S_db, baseline = engine.analyze_and_baseline(y)

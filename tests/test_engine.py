@@ -149,6 +149,20 @@ def test_stem_mix_probs_dedups_duplicate_rows(engine, predictor, track):
     np.testing.assert_array_equal(got, ref[idx])
 
 
+def test_to_device_wave_pcm16_exact(engine, track):
+    """PCM16-representable floats ship as int16 and dequantize to the
+    IDENTICAL float32 values; anything else takes the float path."""
+    y16 = (np.clip(np.round(track * 32768.0), -32768, 32767) / 32768.0).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(engine.to_device_wave(y16)), y16)
+    np.testing.assert_array_equal(np.asarray(engine.to_device_wave(track)), track)
+    # the analyze funnel must produce the same spectrogram either way
+    _, db_a = engine.analyze(y16)
+    import jax.numpy as jnp
+
+    _, db_b = engine.analyze(jnp.asarray(y16))
+    np.testing.assert_array_equal(np.asarray(db_a), np.asarray(db_b))
+
+
 def test_synthesize_masked_pcm16_matches_float_path(engine, track):
     """The device-side peak-norm + int16 quantization must reproduce the
     host float path + WAV-writer formula (±1 LSB for reduction-order)."""
