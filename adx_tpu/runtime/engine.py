@@ -44,6 +44,11 @@ from adx_tpu.runtime.profiler import TimeAggregator
 
 
 class PerturbationEngine:
+    # Mel-mode resynthesis (Griffin-Lim) batch budget in total spectrogram
+    # columns (batch × T). 24k columns ≈ 2 GB-scale live set on a 16 GB
+    # v5e: chunk 2 for 120 s tracks, the full chunk 8 for ≤30 s tracks.
+    MEL_SYNTH_COL_BUDGET = 24_000
+
     def __init__(
         self,
         predictor: LocalSonics,
@@ -193,6 +198,22 @@ class PerturbationEngine:
             return eng._forward(y_b)
 
         self._gain_rows_probs = _gain_rows_probs
+
+        @functools.partial(jax.jit, static_argnames=("patch_f", "patch_t", "n_out"))
+        def _occlusion_mel_synth(S, starts_chunk, patch_f: int, patch_t: int,
+                                 occl_value, n_out: int):
+            """Mel occlusion, synthesis half only: occluded mel specs →
+            Griffin-Lim audio for one chunk (the forward runs as its own
+            dispatch — see occlusion_probs)."""
+            fill = jnp.full((patch_f, patch_t), occl_value).astype(S.dtype)
+
+            def one(st):
+                t0, f0 = st[0], st[1]
+                return jax.lax.dynamic_update_slice(S, fill, (f0, t0))
+
+            return _synthesize(jax.vmap(one)(starts_chunk), n_out)
+
+        self._occlusion_mel_synth = _occlusion_mel_synth
 
         @functools.partial(
             jax.jit, static_argnames=("patch_f", "patch_t", "n_out", "chunk")
@@ -756,8 +777,12 @@ class PerturbationEngine:
                     ck = min(ck, max(-(-per_dev // 8) * 8, self.chunk))
                 else:
                     # mel mode resynthesizes the FULL spectrogram per element
-                    # (Griffin-Lim) — keep the conservative generic chunk
-                    ck = self.chunk
+                    # (Griffin-Lim keeps several [B, n_fft/2+1, T] complex
+                    # buffers live per iteration) — budget the batch by
+                    # total spectrogram columns. chunk 8 at T≈870 (10 s
+                    # tracks) is proven safe; chunk 8 at T≈10336 (120 s)
+                    # crashed the v5e worker (HBM exhaustion).
+                    ck = max(1, min(self.chunk, self.MEL_SYNTH_COL_BUDGET // max(S.shape[-1], 1)))
             if self.n_devices > 1:
                 # DP: pad the patch axis to n_devices × chunk and shard it
                 padded, n = pad_batch(
@@ -766,12 +791,29 @@ class PerturbationEngine:
                 probs = self._occlusion_sharded(
                     S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, ck
                 )
+                out = np.asarray(probs)[:n]
+            elif self.spec_type == "mel":
+                # mel sweep runs as TWO dispatches per chunk (Griffin-Lim
+                # synthesis, then classifier forward): the fused
+                # GL+forward program exhausted v5e HBM at 120 s scale —
+                # XLA holds the union of both stages' working sets in one
+                # program; split, the peak is their max and the [ck, n]
+                # audio handoff stays on device.
+                padded, n = pad_batch(np.asarray(starts, np.int32), ck)
+                out_all = np.empty(len(padded), np.float32)
+                for lo in range(0, len(padded), ck):
+                    y_b = self._occlusion_mel_synth(
+                        S, jnp.asarray(padded[lo : lo + ck]), patch_f,
+                        patch_t, occl, n_out,
+                    )
+                    out_all[lo : lo + ck] = np.asarray(self._baseline_fn(y_b))
+                out = out_all[:n]
             else:
                 padded, n = pad_batch(np.asarray(starts, np.int32), ck)
                 probs = self._occlusion_all(
                     S, jnp.asarray(padded), patch_f, patch_t, occl, n_out, ck
                 )
-            out = np.asarray(probs)[:n]
+                out = np.asarray(probs)[:n]
         self.profiler.count("perturbation_forwards", n)
         return out
 

@@ -200,6 +200,43 @@ def test_profiler_counts_forwards(engine):
     assert engine.profiler.counters.get("perturbation_forwards", 0) > 0
 
 
+def test_occlusion_mel_split_path_matches_serial(predictor, track):
+    """The single-device mel sweep (split synth→forward dispatches — the
+    fused program exhausted v5e HBM at 120 s scale) must match per-patch
+    serial synthesis + prediction."""
+    import jax
+
+    from adx_tpu.parallel.mesh import perturbation_mesh
+
+    single = LocalSonics.from_pretrained(
+        "tiny", max_batch=4, mesh=perturbation_mesh(jax.devices()[:1])
+    )
+    single.params = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, predictor.params)
+    )
+    eng1 = PerturbationEngine(
+        single, sr=SR, duration=single.cfg.audio.duration,
+        n_fft=256, hop_length=128, win_length=256, spec_type="mel",
+        n_mels=16, n_iter=2, chunk=4,
+    )
+    assert eng1.n_devices == 1
+    S, _ = eng1.analyze(track)
+    starts = np.array([[0, 0], [2, 4], [5, 8]], np.int32)
+    got = eng1.occlusion_probs(S, starts, 4, 3, 0.0, len(track))
+    # reference: the original FUSED one-program sweep at the same chunk
+    # width (Griffin-Lim's phase init depends on the batch layout, so
+    # equivalence only holds chunk-for-chunk, not per-patch)
+    import jax.numpy as jnp
+
+    from adx_tpu.parallel.mesh import pad_batch
+
+    padded, nn = pad_batch(starts, 4)
+    fused = eng1._occlusion_all(
+        S, jnp.asarray(padded), 4, 3, jnp.float32(0.0), len(track), 4
+    )
+    np.testing.assert_allclose(got, np.asarray(fused)[:nn], atol=1e-5)
+
+
 def test_mesh_size_invariance(predictor, engine, track):
     """Sharded sweeps (8-device mesh, the default here) must equal the
     single-device path: DP over the mask axis is a layout choice, not a
