@@ -485,6 +485,26 @@ class PerturbationEngine:
             return _synthesize(S[None] * masks, n_out)
 
         @functools.partial(jax.jit, static_argnames=("n_in_chunk", "n_out"))
+        def _rise_mel_synth(S, key, mask_probability, n_in_chunk: int, n_out: int):
+            """RISE mel, synthesis half: in-kernel Bernoulli masks +
+            Griffin-Lim audio; the forward and the Σ mask·p accumulation
+            run as separate dispatches (fused GL+forward exhausts v5e HBM
+            at 120 s scale — same split as the mel occlusion sweep)."""
+            u = jax.random.uniform(
+                key, (n_in_chunk, S.shape[-2], S.shape[-1]), dtype=jnp.float32
+            )
+            masks = (u > (1.0 - mask_probability)).astype(jnp.float32)
+            return _synthesize(S[None] * masks, n_out), masks
+
+        self._rise_mel_synth = _rise_mel_synth
+
+        @jax.jit
+        def _rise_accum(masks, probs, imp_acc):
+            return imp_acc + jnp.sum(masks * probs[:, None, None], axis=0)
+
+        self._rise_accum = _rise_accum
+
+        @functools.partial(jax.jit, static_argnames=("n_in_chunk", "n_out"))
         def _rise_chunk(S, key, mask_probability, imp_acc, n_in_chunk: int, n_out: int):
             """RISE inner: Bernoulli masks generated in-kernel, probs and the
             on-device ``Σ mask·p`` reduction returned together."""
@@ -829,6 +849,29 @@ class PerturbationEngine:
         if key is None:
             key = jax.random.key(0)
         probs_all = np.empty((n_masks,), np.float32)
+        if self.spec_type == "mel" and self.n_devices == 1:
+            # split dispatches (synth → forward → accumulate) with a
+            # column-budgeted chunk — the fused Griffin-Lim+forward scan
+            # exhausts v5e HBM at 120 s scale (see occlusion_probs)
+            ck = max(
+                1, min(self.chunk, self.MEL_SYNTH_COL_BUDGET // max(S.shape[-1], 1))
+            )
+            imp = jnp.zeros(S.shape, jnp.float32)
+            with self.profiler.section("Computing RISE map"):
+                done, cid = 0, 0
+                while done < n_masks:
+                    m = min(ck, n_masks - done)
+                    key_c = jax.random.fold_in(key, cid)
+                    y_b, masks = self._rise_mel_synth(
+                        S, key_c, jnp.float32(mask_probability), m, n_out
+                    )
+                    probs = self._baseline_fn(y_b)
+                    imp = self._rise_accum(masks, probs, imp)
+                    probs_all[done : done + m] = np.asarray(probs)
+                    done += m
+                    cid += 1
+            self.profiler.count("perturbation_forwards", n_masks)
+            return probs_all, np.asarray(imp)
         with self.profiler.section("Computing RISE map"):
             n_full = n_masks // self.chunk
             rem = n_masks % self.chunk

@@ -236,6 +236,18 @@ def test_occlusion_mel_split_path_matches_serial(predictor, track):
     )
     np.testing.assert_allclose(got, np.asarray(fused)[:nn], atol=1e-5)
 
+    # RISE mel split path: probs must equal the fused scan's stream when
+    # the chunk sizes coincide (same fold_in(key, chunk_id) mask draws)
+    k = jax.random.key(7)
+    p_split, imp_split = eng1.rise_map(S, n_masks=8, mask_probability=0.5,
+                                       n_out=len(track), key=k)
+    ids = jnp.arange(2, dtype=jnp.int32)
+    p_scan, imp_scan = eng1._rise_scan(
+        S, k, ids, jnp.ones((2,), jnp.float32), jnp.float32(0.5), 4, len(track)
+    )
+    np.testing.assert_allclose(p_split, np.asarray(p_scan), atol=1e-5)
+    np.testing.assert_allclose(imp_split, np.asarray(imp_scan), atol=1e-4)
+
 
 def test_mesh_size_invariance(predictor, engine, track):
     """Sharded sweeps (8-device mesh, the default here) must equal the
