@@ -89,6 +89,102 @@ def _cmndf(d: np.ndarray) -> np.ndarray:
     return out
 
 
+def _trough_probabilities(
+    dp: np.ndarray,
+    trough_mask: np.ndarray,
+    thresholds: np.ndarray,
+    beta_w: np.ndarray,
+    no_trough_prob: float,
+    sr: float,
+    fmin: float,
+    fmax: float,
+    n_bins_per_semitone: int,
+    n_pitch_bins: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame trough probabilities, fully vectorized over ALL
+    (frame, trough) pairs.
+
+    The per-threshold rule "the FIRST (lowest-τ) trough below the
+    threshold wins that threshold's beta weight" has a closed form: a
+    trough with value v and exclusive prefix-min m (over earlier troughs
+    in its frame) wins exactly the thresholds in (v, m] — a contiguous
+    interval of the threshold grid, summed via the cumulative beta
+    weights. This replaces a ~10k-iteration per-frame Python loop.
+    Returns ``(obs_voiced [T, n_pitch_bins], voiced_prob [T])``.
+    """
+    T = dp.shape[0]
+    obs_voiced = np.zeros((T, n_pitch_bins))
+    voiced_prob = np.zeros(T)
+
+    fr, tau0 = np.nonzero(trough_mask)  # frame-major, τ ascending per frame
+    if len(fr):
+        vals = dp[fr, tau0]
+        # parabolic interpolation (trough_mask only marks interior bins)
+        a = dp[fr, tau0 - 1]
+        c = dp[fr, tau0 + 1]
+        denom = a - 2 * vals + c
+        safe = np.abs(denom) > 1e-12
+        shift = np.where(safe, 0.5 * (a - c) / np.where(safe, denom, 1.0), 0.0)
+        shift = np.clip(shift, -0.5, 0.5)
+        tau_interp = tau0 + shift  # float64
+        val_interp = (vals - 0.25 * (a - c) * shift).astype(np.float32)
+
+        counts = np.bincount(fr, minlength=T)
+        c_end = np.cumsum(counts)
+        c_start = c_end - counts
+
+        # exclusive within-frame prefix min of val_interp, clipped to
+        # [0, 1.5] (exact: C_of below is constant outside (0, 1], so
+        # clipping changes nothing downstream). Groups are contiguous, so
+        # shift by one, put the cap at each group start, and reset-free
+        # cummax of (2·frame − value) isolates groups: earlier frames sit
+        # ≥ 0.5 lower ONLY because the clip bounds values to < 2 — CMNDF
+        # in silent regions reaches ~330 and parabolic interpolation can
+        # go negative, either of which would leak the running min across
+        # frame boundaries without the lower clip.
+        capped = np.empty(len(fr), np.float64)
+        capped[1:] = np.clip(val_interp[:-1], 0.0, 1.5)
+        capped[c_start[counts > 0]] = 1.5
+        cmax = np.maximum.accumulate(2.0 * fr - capped)
+        prefix_min_excl = 2.0 * fr - cmax
+
+        # C(x) = Σ beta_w over thresholds ≤ x; trough weight = C(m) − C(v)
+        Cw = np.concatenate([[0.0], np.cumsum(beta_w)])
+        C_of = lambda x: Cw[np.searchsorted(thresholds, x, side="right")]  # noqa: E731
+        probs_flat = np.maximum(C_of(prefix_min_excl) - C_of(val_interp), 0.0)
+
+        # thresholds with no trough below (thr ≤ frame min): tiny mass on
+        # the frame's best trough, but only when that trough shows genuine
+        # periodicity — otherwise a lone concentrated 0.01 beats the
+        # unvoiced state's per-bin density and silence decodes as voiced
+        nz = counts > 0
+        gmin = np.full(T, np.inf)
+        gmin[nz] = np.minimum.reduceat(val_interp, c_start[nz])
+        # first index attaining the frame min (np.argmin tie semantics)
+        is_min = val_interp == gmin[fr]
+        cm = np.cumsum(is_min)
+        before = cm - is_min - np.concatenate([[0], cm])[c_start[fr]]
+        first_min = is_min & (before == 0)
+        miss_w = np.zeros(T)
+        miss_w[nz] = Cw[np.searchsorted(thresholds, gmin[nz], side="right")]
+        add_miss = first_min & (miss_w[fr] > 0) & (gmin[fr] < 0.8)
+        probs_flat[add_miss] += no_trough_prob * miss_w[fr[add_miss]]
+
+        freqs_flat = sr / np.maximum(tau_interp, 1e-6)
+        valid = (freqs_flat >= fmin) & (freqs_flat <= fmax)
+        bins = np.clip(
+            np.round(
+                12 * n_bins_per_semitone * np.log2(freqs_flat[valid] / fmin)
+            ).astype(int),
+            0, n_pitch_bins - 1,
+        )
+        np.add.at(obs_voiced, (fr[valid], bins), probs_flat[valid])
+        voiced_prob = np.minimum(
+            1.0, np.bincount(fr[valid], weights=probs_flat[valid], minlength=T)
+        )
+    return obs_voiced, voiced_prob
+
+
 def pyin(
     y: np.ndarray,
     fmin: float,
@@ -143,77 +239,10 @@ def pyin(
     n_bins_per_semitone = int(round(1.0 / resolution))
     n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
 
-    obs_voiced = np.zeros((T, n_pitch_bins))
-    voiced_prob = np.zeros(T)
-
-    # --- trough probabilities, fully vectorized over ALL (frame, trough)
-    # pairs. The per-threshold rule "the FIRST (lowest-τ) trough below the
-    # threshold wins that threshold's beta weight" has a closed form: a
-    # trough with value v and exclusive prefix-min m (over earlier troughs
-    # in its frame) wins exactly the thresholds in (v, m] — a contiguous
-    # interval of the threshold grid, summed via the cumulative beta
-    # weights. This replaces a ~10k-iteration per-frame Python loop.
-    fr, tau0 = np.nonzero(trough_mask)  # frame-major, τ ascending per frame
-    if len(fr):
-        vals = dp[fr, tau0]
-        # parabolic interpolation (trough_mask only marks interior bins)
-        a = dp[fr, tau0 - 1]
-        c = dp[fr, tau0 + 1]
-        denom = a - 2 * vals + c
-        safe = np.abs(denom) > 1e-12
-        shift = np.where(safe, 0.5 * (a - c) / np.where(safe, denom, 1.0), 0.0)
-        shift = np.clip(shift, -0.5, 0.5)
-        tau_interp = tau0 + shift  # float64
-        val_interp = (vals - 0.25 * (a - c) * shift).astype(np.float32)
-
-        counts = np.bincount(fr, minlength=T)
-        c_end = np.cumsum(counts)
-        c_start = c_end - counts
-
-        # exclusive within-frame prefix min of val_interp, capped at 1.5
-        # (only thresholds ≤ 1 matter). Groups are contiguous, so shift by
-        # one, put the cap at each group start, and reset-free cummax of
-        # (2·frame − value) isolates groups: earlier frames sit ≥ 2 lower.
-        capped = np.empty(len(fr), np.float64)
-        capped[1:] = np.minimum(val_interp[:-1], 1.5)
-        capped[c_start[counts > 0]] = 1.5
-        cmax = np.maximum.accumulate(2.0 * fr - capped)
-        prefix_min_excl = 2.0 * fr - cmax
-
-        # C(x) = Σ beta_w over thresholds ≤ x; trough weight = C(m) − C(v)
-        Cw = np.concatenate([[0.0], np.cumsum(beta_w)])
-        C_of = lambda x: Cw[np.searchsorted(thresholds, x, side="right")]  # noqa: E731
-        probs_flat = np.maximum(C_of(prefix_min_excl) - C_of(val_interp), 0.0)
-
-        # thresholds with no trough below (thr ≤ frame min): tiny mass on
-        # the frame's best trough, but only when that trough shows genuine
-        # periodicity — otherwise a lone concentrated 0.01 beats the
-        # unvoiced state's per-bin density and silence decodes as voiced
-        nz = counts > 0
-        gmin = np.full(T, np.inf)
-        gmin[nz] = np.minimum.reduceat(val_interp, c_start[nz])
-        # first index attaining the frame min (np.argmin tie semantics)
-        is_min = val_interp == gmin[fr]
-        cm = np.cumsum(is_min)
-        before = cm - is_min - np.concatenate([[0], cm])[c_start[fr]]
-        first_min = is_min & (before == 0)
-        miss_w = np.zeros(T)
-        miss_w[nz] = Cw[np.searchsorted(thresholds, gmin[nz], side="right")]
-        add_miss = first_min & (miss_w[fr] > 0) & (gmin[fr] < 0.8)
-        probs_flat[add_miss] += no_trough_prob * miss_w[fr[add_miss]]
-
-        freqs_flat = sr / np.maximum(tau_interp, 1e-6)
-        valid = (freqs_flat >= fmin) & (freqs_flat <= fmax)
-        bins = np.clip(
-            np.round(
-                12 * n_bins_per_semitone * np.log2(freqs_flat[valid] / fmin)
-            ).astype(int),
-            0, n_pitch_bins - 1,
-        )
-        np.add.at(obs_voiced, (fr[valid], bins), probs_flat[valid])
-        voiced_prob = np.minimum(
-            1.0, np.bincount(fr[valid], weights=probs_flat[valid], minlength=T)
-        )
+    obs_voiced, voiced_prob = _trough_probabilities(
+        dp, trough_mask, thresholds, beta_w, no_trough_prob,
+        sr, fmin, fmax, n_bins_per_semitone, n_pitch_bins,
+    )
 
     # --- Viterbi over 2M states (voiced bins + unvoiced bins) -------------
     M = n_pitch_bins

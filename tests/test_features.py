@@ -190,3 +190,161 @@ def test_pyin_octave_robustness():
     f0, voiced, _ = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"), sr=SR)
     est = np.nanmedian(f0[voiced])
     assert abs(est - f0_true) / f0_true < 0.03, est
+
+
+def _serial_trough_probabilities(
+    dp, trough_mask, thresholds, beta_w, no_trough_prob,
+    sr, fmin, fmax, n_bins_per_semitone, n_pitch_bins,
+):
+    """Slow per-frame reference for the vectorized trough-probability
+    stage: for each threshold, the FIRST (lowest-τ) trough below it wins
+    that threshold's beta weight; if no trough is below, tiny mass goes to
+    the frame's best trough (when it shows genuine periodicity)."""
+    T = dp.shape[0]
+    obs_voiced = np.zeros((T, n_pitch_bins))
+    voiced_prob = np.zeros(T)
+    Cw = np.concatenate([[0.0], np.cumsum(beta_w)])
+    for t in range(T):
+        taus = np.nonzero(trough_mask[t])[0]
+        if len(taus) == 0:
+            continue
+        vals = dp[t, taus]
+        a, c = dp[t, taus - 1], dp[t, taus + 1]
+        denom = a - 2 * vals + c
+        safe = np.abs(denom) > 1e-12
+        shift = np.where(safe, 0.5 * (a - c) / np.where(safe, denom, 1.0), 0.0)
+        shift = np.clip(shift, -0.5, 0.5)
+        tau_interp = taus + shift
+        val_interp = (vals - 0.25 * (a - c) * shift).astype(np.float32)
+        probs = np.zeros(len(taus))
+        for k, thr in enumerate(thresholds):
+            below = np.nonzero(val_interp < thr)[0]
+            if len(below):
+                probs[below[0]] += beta_w[k]
+        gmin = val_interp.min()
+        miss_w = Cw[np.searchsorted(thresholds, gmin, side="right")]
+        if miss_w > 0 and gmin < 0.8:
+            probs[int(np.argmin(val_interp))] += no_trough_prob * miss_w
+        freqs = sr / np.maximum(tau_interp, 1e-6)
+        for j in range(len(taus)):
+            if fmin <= freqs[j] <= fmax:
+                b = int(np.clip(round(12 * n_bins_per_semitone
+                                      * np.log2(freqs[j] / fmin)),
+                                0, n_pitch_bins - 1))
+                obs_voiced[t, b] += probs[j]
+                voiced_prob[t] += probs[j]
+        voiced_prob[t] = min(1.0, voiced_prob[t])
+    return obs_voiced, voiced_prob
+
+
+def test_pyin_trough_probabilities_silence_gap_matches_serial():
+    """Regression for the cross-frame prefix-min leak (ADVICE r2): CMNDF in
+    silent/noisy regions reaches values far above the [0, 1.5] band the
+    group-isolation cummax assumed, and parabolic interpolation can go
+    negative — one pathological trough then zeroed the beta weights of
+    troughs in many subsequent frames. The vectorized stage must match a
+    per-frame serial reference on a tone with a silence gap."""
+    from scipy.special import betainc
+    from adx_tpu.features.pyin import (
+        _cmndf, _difference_function, _frame, _trough_probabilities,
+    )
+
+    sr = 22050
+    rng = np.random.default_rng(1)
+    t = np.arange(2 * sr) / sr
+    y = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+    # gap of near-silence with sparse clicks: CMNDF spikes there and the
+    # parabolic-interpolated trough values go strongly negative (≈ −31
+    # measured), which is what leaked the running prefix-min across frames
+    gap = 1e-7 * rng.standard_normal(sr).astype(np.float32)
+    gap[::4000] = 0.5
+    y[sr // 2:3 * sr // 2] = gap
+
+    fmin, fmax = note_to_hz("C2"), note_to_hz("C7")
+    frame_length, n_thresholds = 2048, 100
+    win_length, hop_length = frame_length // 2, frame_length // 4
+    yp = np.pad(np.asarray(y, np.float32), frame_length // 2)
+    frames = _frame(yp, frame_length, hop_length)
+    d = _difference_function(frames, win_length, yp, hop_length)
+    dp = _cmndf(d)
+
+    tau_min = max(1, int(sr / fmax))
+    tau_max = min(win_length, int(sr / fmin) + 1)
+    interior = dp[:, 1:-1]
+    is_trough = (interior < dp[:, :-2]) & (interior <= dp[:, 2:])
+    taus = np.arange(dp.shape[1])
+    in_range = (taus >= tau_min) & (taus < tau_max)
+    trough_mask = np.zeros_like(dp, dtype=bool)
+    trough_mask[:, 1:-1] = is_trough
+    trough_mask &= in_range[None, :]
+
+    # the scenario must actually contain troughs whose parabolic
+    # interpolation goes below −0.5 (the leak threshold for adjacent
+    # frames), otherwise it does not exercise the bug
+    fr_, tau_ = np.nonzero(trough_mask)
+    v_, a_, c_ = dp[fr_, tau_], dp[fr_, tau_ - 1], dp[fr_, tau_ + 1]
+    den_ = a_ - 2 * v_ + c_
+    sh_ = np.clip(np.where(np.abs(den_) > 1e-12,
+                           0.5 * (a_ - c_) / np.where(np.abs(den_) > 1e-12, den_, 1.0),
+                           0.0), -0.5, 0.5)
+    assert (v_ - 0.25 * (a_ - c_) * sh_).min() < -0.5
+
+    thresholds = np.linspace(0, 1, n_thresholds + 1)[1:]
+    beta_cdf = betainc(2.0, 18.0, np.linspace(0, 1, n_thresholds + 1))
+    beta_w = np.diff(beta_cdf)
+    n_bins_per_semitone = 10
+    n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
+
+    args = (dp, trough_mask, thresholds, beta_w, 0.01,
+            sr, fmin, fmax, n_bins_per_semitone, n_pitch_bins)
+    obs_v, vp = _trough_probabilities(*args)
+    obs_ref, vp_ref = _serial_trough_probabilities(*args)
+    np.testing.assert_allclose(obs_v, obs_ref, atol=1e-12)
+    np.testing.assert_allclose(vp, vp_ref, atol=1e-12)
+
+
+def test_pyin_trough_probabilities_pathological_cmndf_matches_serial():
+    """Deterministic worst case for the prefix-min group isolation: a
+    CMNDF trough of −30 (parabolic interpolation under spiky CMNDF) that
+    is NOT the last trough of its frame enters the running cummax and —
+    without the [0, 1.5] clip — zeroes the beta weights of troughs in the
+    next ~15 frames. The victim frame's first trough must keep its full
+    threshold weight."""
+    from scipy.special import betainc
+    from adx_tpu.features.pyin import _trough_probabilities
+
+    sr, fmin, fmax = 22050, note_to_hz("C2"), note_to_hz("C7")
+    n_thresholds = 100
+    thresholds = np.linspace(0, 1, n_thresholds + 1)[1:]
+    beta_w = np.diff(betainc(2.0, 18.0, np.linspace(0, 1, n_thresholds + 1)))
+    n_bins_per_semitone = 10
+    n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
+
+    T, n_tau = 8, 128
+    dp = np.full((T, n_tau), 2.0, dtype=np.float32)  # flat → no spurious troughs
+
+    def put_trough(t, tau, val):
+        dp[t, tau - 1] = dp[t, tau + 1] = val + 1.0  # symmetric → shift 0
+        dp[t, tau] = val
+
+    put_trough(2, 40, -30.0)   # pathological spike, mid-frame
+    put_trough(2, 60, 0.5)     # NOT last-in-frame ⇒ spike enters the cummax
+    put_trough(3, 50, 0.1)     # victim: would be zeroed by the leak
+    put_trough(4, 45, 330.0)   # silent-region CMNDF blow-up (upper side)
+    put_trough(4, 70, 0.3)
+    put_trough(5, 55, 0.2)     # second victim frame
+    put_trough(7, 30, 0.4)     # far enough to be unaffected either way
+
+    trough_mask = np.zeros_like(dp, dtype=bool)
+    interior = dp[:, 1:-1]
+    trough_mask[:, 1:-1] = (interior < dp[:, :-2]) & (interior <= dp[:, 2:])
+
+    args = (dp, trough_mask, thresholds, beta_w, 0.01,
+            sr, fmin, fmax, n_bins_per_semitone, n_pitch_bins)
+    obs_v, vp = _trough_probabilities(*args)
+    obs_ref, vp_ref = _serial_trough_probabilities(*args)
+    np.testing.assert_allclose(obs_v, obs_ref, atol=1e-12)
+    np.testing.assert_allclose(vp, vp_ref, atol=1e-12)
+    # and the victim frames must actually carry weight (the old leak
+    # zeroed frame 3 to ~0.006 and frame 5 to ~0.009)
+    assert vp_ref[3] > 0.3 and vp_ref[5] > 0.05
