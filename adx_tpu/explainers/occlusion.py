@@ -51,6 +51,31 @@ class RiseResult(NamedTuple):
     S: Any
 
 
+def rise_normalize(imp, n_masks: int, mask_probability: float):
+    """RISE map normalization: divide by the expected per-cell mask count,
+    then min-max to [0, 1] (reference:
+    src/spectrogram_explainability.py:795-801; parity-tested against the
+    exec'd reference lines in tests/test_reference_parity.py)."""
+    importance_map = imp / (n_masks * mask_probability + 1e-8)
+    return (importance_map - importance_map.min()) / (
+        importance_map.max() - importance_map.min() + 1e-8
+    )
+
+
+def per_file_stats(importance_map, baseline_pred) -> dict:
+    """The per-file numeric stats of the results row (reference:
+    src/spectrogram_explainability.py:904-916)."""
+    return {
+        "baseline_pred": float(baseline_pred),
+        "mean_importance": float(importance_map.mean()),
+        "max_importance": float(importance_map.max()),
+        "min_importance": float(importance_map.min()),
+        "std_importance": float(importance_map.std()),
+        "p90_importance": float(np.percentile(importance_map, 90)),
+        "p10_importance": float(np.percentile(importance_map, 10)),
+    }
+
+
 class SpectrogramExplainability:
     """Main class for spectrogram-based explainability experiments."""
 
@@ -80,6 +105,7 @@ class SpectrogramExplainability:
         abs_threshold: float = 0.0,
         engine: Optional[PerturbationEngine] = None,
         rng_seed: int = 0,
+        gl_synth_dtype: str = "bfloat16",
     ):
         self.predictor = predictor
         self.sr = sr
@@ -116,6 +142,7 @@ class SpectrogramExplainability:
             predictor, sr=sr, duration=duration, n_fft=n_fft,
             hop_length=hop_length, win_length=win_length, spec_type=self.spec_type,
             n_mels=n_mels, fmax=fmax, n_iter=n_iter, profiler=self.profiler,
+            gl_synth_dtype=gl_synth_dtype,
         )
 
     # -- maps ---------------------------------------------------------------
@@ -208,10 +235,7 @@ class SpectrogramExplainability:
             S, self.n_masks, self.mask_probability, len(y),
             key=jax.random.key(self.rng_seed),
         )
-        importance_map = imp / (self.n_masks * self.mask_probability + 1e-8)
-        importance_map = (importance_map - importance_map.min()) / (
-            importance_map.max() - importance_map.min() + 1e-8
-        )
+        importance_map = rise_normalize(imp, self.n_masks, self.mask_probability)
         if verbose:
             print(
                 f"    ✅ Completed | Mean importance: {importance_map.mean():.4f}, "
@@ -438,13 +462,7 @@ class SpectrogramExplainability:
             "file_name": file_name,
             "folder": folder_name,
             "method": self.method,
-            "baseline_pred": float(result.baseline_pred),
-            "mean_importance": float(result.importance_map.mean()),
-            "max_importance": float(result.importance_map.max()),
-            "min_importance": float(result.importance_map.min()),
-            "std_importance": float(result.importance_map.std()),
-            "p90_importance": float(np.percentile(result.importance_map, 90)),
-            "p10_importance": float(np.percentile(result.importance_map, 10)),
+            **per_file_stats(result.importance_map, result.baseline_pred),
         }
 
     def run_experiment(

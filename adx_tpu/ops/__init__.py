@@ -10,8 +10,11 @@ to ``vmap`` / ``pjit``.
 from adx_tpu.ops.stft import (
     hann_window,
     stft,
+    stft_matmul,
     istft,
+    istft_matmul,
     griffin_lim,
+    griffin_lim_matmul,
     frame_signal,
     magphase,
     n_frames_for,

@@ -27,7 +27,7 @@ the explainers evaluate the whole perturbation batch in one program.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -192,6 +192,18 @@ def _finish_istft(frames, w, hop_length, n_frames, n_fft, center, length):
     return y
 
 
+def _matmul_precision(compute_dtype):
+    """f32 rDFT matmuls must request ``Precision.HIGHEST``: TPU "f32" dots
+    default to FAST precision (bf16 passes), so without it the fidelity
+    path silently runs at bf16 accuracy/speed (measured on the v5e —
+    see CLAUDE.md fidelity-mode note). bf16 inputs keep the default."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(compute_dtype) == jnp.float32
+        else None
+    )
+
+
 @functools.lru_cache(maxsize=8)
 def _inverse_rdft_matrices(n_fft: int):
     """(Cr, Ci) such that ``Sr @ Cr + Si @ Ci == irfft(Sr + 1j·Si)``.
@@ -242,14 +254,146 @@ def istft_matmul(
     Cr_np, Ci_np = _inverse_rdft_matrices(n_fft)
     Cr = jnp.asarray(Cr_np).astype(compute_dtype)
     Ci = jnp.asarray(Ci_np).astype(compute_dtype)
+    prec = _matmul_precision(compute_dtype)
     frames = jnp.einsum(
         "...ft,fn->...tn", S_real.astype(compute_dtype), Cr,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     ) + jnp.einsum(
         "...ft,fn->...tn", S_imag.astype(compute_dtype), Ci,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     return _finish_istft(frames, w, hop_length, S_real.shape[-1], n_fft, center, length)
+
+
+@functools.lru_cache(maxsize=8)
+def _forward_rdft_matrices(n_fft: int):
+    """(Fr, Fi) such that ``frames @ Fr + 1j·(frames @ Fi) == rfft(frames)``.
+
+    Cached as float32 NUMPY arrays (host constants are safe to cache
+    across jit traces; device arrays created in-trace are not)."""
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def stft_matmul(
+    y: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: str = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """STFT via forward-rDFT **matmuls**: returns ``(S_real, S_imag)``,
+    each ``[..., 1+n_fft//2, T]``.
+
+    The MXU-resident counterpart of :func:`stft` — same framing/window
+    semantics, but the rfft becomes two ``[B·T, n_fft] @ [n_fft, F]``
+    matmuls (see :func:`istft_matmul` for why this wins on TPU for large
+    perturbation batches). Keeping real/imag separate also avoids complex
+    arrays entirely.
+    """
+    hop_length = hop_length or n_fft // 4
+    win_length = win_length or n_fft
+    w = get_window(window, win_length, n_fft, dtype=jnp.float32)
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
+        y = jnp.pad(y, pad, mode=mode)
+    frames = (frame_signal(y, n_fft, hop_length) * w).astype(compute_dtype)
+    Fr_np, Fi_np = _forward_rdft_matrices(n_fft)
+    Fr = jnp.asarray(Fr_np).astype(compute_dtype)
+    Fi = jnp.asarray(Fi_np).astype(compute_dtype)
+    prec = _matmul_precision(compute_dtype)
+    S_real = jnp.einsum("...tn,nf->...ft", frames, Fr,
+                        preferred_element_type=jnp.float32, precision=prec)
+    S_imag = jnp.einsum("...tn,nf->...ft", frames, Fi,
+                        preferred_element_type=jnp.float32, precision=prec)
+    return S_real, S_imag
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter",
+        "hop_length",
+        "win_length",
+        "n_fft",
+        "window",
+        "center",
+        "length",
+        "momentum",
+        "compute_dtype",
+    ),
+)
+def griffin_lim_matmul(
+    S_mag: jnp.ndarray,
+    n_iter: int = 32,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    n_fft: Optional[int] = None,
+    window: str = "hann",
+    center: bool = True,
+    length: Optional[int] = None,
+    momentum: float = 0.99,
+    key: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Griffin-Lim phase recovery with the ISTFT→STFT pair as rDFT
+    **matmuls** (all-real arithmetic) instead of FFT pairs.
+
+    Same accelerated update rule and random phase init as
+    :func:`griffin_lim` (cos/sin of the identical uniform draw), so the
+    float32 variant matches it closely; ``compute_dtype=bfloat16`` runs
+    each iteration's four matmuls on the MXU with f32 accumulation — the
+    treatment that made RISE resynthesis 4.5× faster (istft_matmul), now
+    applied to the GL inner loop (reference mel default:
+    src/spectrogram_explainability.py:391-411, n_iter=256).
+    """
+    if n_fft is None:
+        n_fft = 2 * (S_mag.shape[-2] - 1)
+    hop_length = hop_length or n_fft // 4
+    win_length = win_length or n_fft
+    if key is None:
+        key = jax.random.key(0)
+
+    u = 2.0 * jnp.pi * jax.random.uniform(key, S_mag.shape, dtype=jnp.float32)
+    S_mag = S_mag.astype(jnp.float32)
+    # tie the carry's sharding/type to S_mag (see griffin_lim)
+    ar = jnp.cos(u) + jnp.zeros_like(S_mag)
+    ai = jnp.sin(u) + jnp.zeros_like(S_mag)
+
+    def body(_, carry):
+        ar, ai, tr, ti = carry
+        inv = istft_matmul(
+            S_mag * ar, S_mag * ai,
+            hop_length=hop_length, win_length=win_length, n_fft=n_fft,
+            window=window, center=center, length=length,
+            compute_dtype=compute_dtype,
+        )
+        Rr, Ri = stft_matmul(
+            inv, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+            window=window, center=center, compute_dtype=compute_dtype,
+        )
+        tr_n = Rr[..., : S_mag.shape[-1]]
+        ti_n = Ri[..., : S_mag.shape[-1]]
+        ar = tr_n - (momentum / (1.0 + momentum)) * tr
+        ai = ti_n - (momentum / (1.0 + momentum)) * ti
+        nrm = jnp.sqrt(ar * ar + ai * ai) + 1e-16
+        return ar / nrm, ai / nrm, tr_n, ti_n
+
+    ar, ai, _, _ = jax.lax.fori_loop(
+        0, n_iter, body, (ar, ai, jnp.zeros_like(ar), jnp.zeros_like(ai))
+    )
+    return istft_matmul(
+        S_mag * ar, S_mag * ai,
+        hop_length=hop_length, win_length=win_length, n_fft=n_fft,
+        window=window, center=center, length=length,
+        compute_dtype=compute_dtype,
+    )
 
 
 def _fix_length_last(y: jnp.ndarray, length: int) -> jnp.ndarray:

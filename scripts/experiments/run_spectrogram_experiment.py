@@ -87,6 +87,10 @@ def main():
         n_iter=spectrogram_cfg.get("n_iter", 256),
         spec_type=spectrogram_cfg.get("spec_type", "mel"),
         fmax=spectrogram_cfg.get("fmax", None),
+        # Griffin-Lim compute dtype for mel inversion sweeps: bfloat16
+        # (MXU matmul loop), float32 (exact-dtype matmul), or fft (the
+        # FFT-pair loop) — see ops/stft.py::griffin_lim_matmul
+        gl_synth_dtype=spectrogram_cfg.get("gl_synth_dtype", "bfloat16"),
         checkpoint_dir=checkpoint_dir,
         highlight_percent=visualization_cfg.get("highlight_percent", 20.0),
         abs_threshold=visualization_cfg.get("abs_threshold", None),

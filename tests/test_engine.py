@@ -365,3 +365,56 @@ def test_occlusion_hoist_matches_wave_path(predictor, track, sr_analysis):
     p_h = eng_h.occlusion_probs(S, starts, pf, pt, 0.0, len(y))
     p_w = eng_w.occlusion_probs(S, starts, pf, pt, 0.0, len(y))
     np.testing.assert_allclose(p_h, p_w, atol=2e-5)
+
+
+def test_cached_engine_normalizes_kwarg_subsets(predictor):
+    """ADVICE r2: callers passing semantically identical configs with
+    different kwarg subsets (one spelling defaults explicitly, one omitting
+    them) must share ONE engine — duplicate engines re-trace every sweep
+    program. Unknown kwargs must fail loudly instead of silently keying."""
+    from adx_tpu.runtime.engine import cached_engine
+    from adx_tpu.runtime.profiler import TimeAggregator
+
+    base = dict(sr=SR, duration=predictor.cfg.audio.duration,
+                n_fft=256, hop_length=128, win_length=256, chunk=4)
+    e1 = cached_engine(predictor, **base)
+    # same config, defaults spelled out + different key order
+    e2 = cached_engine(
+        predictor, spec_type="stft", n_mels=128, n_iter=256,
+        fmax=None, lime_chunk=64, **base,
+    )
+    assert e1 is e2
+    # fmax=None resolves to sr/2 — identical either way
+    e3 = cached_engine(predictor, fmax=SR // 2, **base)
+    assert e3 is e1
+    # a REAL config difference still builds a new engine
+    e4 = cached_engine(predictor, spec_type="mel", n_iter=2, n_mels=16, **base)
+    assert e4 is not e1
+    # profiler is rebound, never part of the key
+    prof = TimeAggregator()
+    e5 = cached_engine(predictor, profiler=prof, **base)
+    assert e5 is e1 and e5.profiler is prof
+    with pytest.raises(TypeError):
+        cached_engine(predictor, not_a_real_kwarg=3, **base)
+
+
+def test_mel_gl_synth_dtype_paths_agree(predictor, track):
+    """The matmul Griffin-Lim mel path (default bf16) must agree with the
+    FFT-pair loop: f32 matmul ≈ fft within float tolerance; bf16 within a
+    loose probability tolerance (phase renormalizes per iteration)."""
+    def make(gl):
+        return PerturbationEngine(
+            predictor, sr=SR, duration=predictor.cfg.audio.duration,
+            n_fft=256, hop_length=128, win_length=256, spec_type="mel",
+            n_mels=16, n_iter=4, chunk=4, gl_synth_dtype=gl,
+        )
+
+    e_fft, e_f32, e_bf = make("fft"), make("float32"), make("bfloat16")
+    S, _ = e_fft.analyze(track)
+    starts = np.array([[0, 0], [2, 4], [5, 8]], np.int32)
+    p_fft = e_fft.occlusion_probs(S, starts, 4, 3, 0.0, len(track))
+    p_f32 = e_f32.occlusion_probs(S, starts, 4, 3, 0.0, len(track))
+    p_bf = e_bf.occlusion_probs(S, starts, 4, 3, 0.0, len(track))
+    np.testing.assert_allclose(p_f32, p_fft, atol=2e-3)
+    assert np.all(np.isfinite(p_bf))
+    np.testing.assert_allclose(p_bf, p_fft, atol=0.08)

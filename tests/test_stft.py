@@ -187,3 +187,54 @@ def test_istft_matmul_matches_fft_istft(short_audio):
                                 compute_dtype=jnp.float32)
     assert out.shape == (2, len(y))
     np.testing.assert_allclose(np.asarray(out[0]), want, atol=2e-5)
+
+
+def test_stft_matmul_matches_fft_stft(short_audio):
+    """Forward-rDFT matmul STFT must match the FFT stft (f32 exactly;
+    bf16 within matmul tolerance)."""
+    y, _ = short_audio
+    S = stft(jnp.asarray(y), n_fft=512, hop_length=128)
+    Sr, Si = stft_mod.stft_matmul(jnp.asarray(y), n_fft=512, hop_length=128,
+                                  compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(Sr), np.real(np.asarray(S)), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(Si), np.imag(np.asarray(S)), atol=5e-4)
+    Sr16, Si16 = stft_mod.stft_matmul(jnp.asarray(y), n_fft=512,
+                                      hop_length=128,
+                                      compute_dtype=jnp.bfloat16)
+    scale = float(jnp.abs(S).max())
+    assert float(jnp.abs(Sr16 - S.real).max()) < 0.02 * scale
+    assert float(jnp.abs(Si16 - S.imag).max()) < 0.02 * scale
+
+
+def test_griffin_lim_matmul_matches_fft_griffin_lim(short_audio):
+    """The all-real matmul Griffin-Lim uses the identical update rule and
+    phase init (cos/sin of the same uniform draw), so the f32 variant must
+    track the FFT-pair loop closely, and bf16 must reconstruct the target
+    magnitude just as well (each iteration renormalizes the phase, so bf16
+    rounding does not accumulate)."""
+    y, _ = short_audio
+    S = stft(jnp.asarray(y), n_fft=512, hop_length=128)
+    mag = jnp.abs(S)
+    g_fft = stft_mod.griffin_lim(mag, n_iter=8, hop_length=128, n_fft=512,
+                                 length=len(y))
+    g_f32 = stft_mod.griffin_lim_matmul(mag, n_iter=8, hop_length=128,
+                                        n_fft=512, length=len(y),
+                                        compute_dtype=jnp.float32)
+    scale = float(jnp.abs(g_fft).max())
+    assert float(jnp.abs(g_fft - g_f32).max()) < 1e-3 * scale
+
+    def recon_err(g):
+        R = stft(g, n_fft=512, hop_length=128)
+        return float(jnp.linalg.norm(jnp.abs(R)[..., : mag.shape[-1]] - mag)
+                     / jnp.linalg.norm(mag))
+
+    g_bf = stft_mod.griffin_lim_matmul(mag, n_iter=8, hop_length=128,
+                                       n_fft=512, length=len(y),
+                                       compute_dtype=jnp.bfloat16)
+    assert recon_err(g_bf) < recon_err(g_fft) * 1.05
+
+    # batched (the engine's use): [B, F, T] in, [B, n] out
+    magb = jnp.stack([mag, 0.5 * mag])
+    gb = stft_mod.griffin_lim_matmul(magb, n_iter=4, hop_length=128,
+                                     n_fft=512, length=len(y))
+    assert gb.shape == (2, len(y))
