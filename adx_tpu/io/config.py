@@ -66,6 +66,7 @@ def build_predictor(model_cfg: dict):
             model_name,
             ckpt,
             ckpt_state,
+            str(model_cfg.get("device", "tpu")),
             int(model_cfg.get("max_batch", 8)),
         )
         if key not in _PREDICTOR_CACHE:

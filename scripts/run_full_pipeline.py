@@ -72,7 +72,23 @@ def main():
         "--from-stage", default=None,
         help="Skip stages before this name (resume a partial run)",
     )
+    ap.add_argument(
+        "--skip-vis", action="store_true",
+        help="Results-only sweep: skip visualization stages (kind: vis, or "
+             "script names containing 'vis'). Matplotlib rendering on the "
+             "1-core host is the measured largest cost of a full sweep; the "
+             "vis stages are pure post-processing of the result JSONs and "
+             "can be re-run later with --only-vis.",
+    )
+    ap.add_argument(
+        "--only-vis", action="store_true",
+        help="Render-only: run just the visualization stages against "
+             "results produced by an earlier --skip-vis sweep.",
+    )
     cli = ap.parse_args()
+    if cli.skip_vis and cli.only_vis:
+        print("❌ --skip-vis and --only-vis are mutually exclusive")
+        sys.exit(2)
 
     cfg = load_yaml(Path(cli.config))
     stages = cfg.get("stages", [])
@@ -96,6 +112,13 @@ def main():
             else:
                 print(f"⏭️  Skipping stage: {name}")
                 continue
+        # vis stages: tagged `kind: vis` in the config, with a name-based
+        # fallback (all reference vis runners carry 'vis' in the filename)
+        is_vis = (st.get("kind") == "vis"
+                  or "vis" in Path(st["script"]).stem.lower())
+        if (cli.skip_vis and is_vis) or (cli.only_vis and not is_vis):
+            print(f"⏭️  Skipping {'vis' if is_vis else 'results'} stage: {name}")
+            continue
         argv = []
         if st.get("config"):
             argv += ["--config", st["config"]]
@@ -114,7 +137,15 @@ def main():
         if ok and st.get("expect_glob"):
             import glob as _glob
 
-            if not _glob.glob(st["expect_glob"], recursive=True):
+            # resolve relative globs against the repo ROOT (matching how
+            # script/config paths are resolved), not the caller's CWD —
+            # otherwise running the orchestrator from another directory
+            # aborts stages that actually succeeded or passes on stale
+            # files elsewhere
+            pat = st["expect_glob"]
+            if not Path(pat).is_absolute():
+                pat = str(ROOT / pat)
+            if not _glob.glob(pat, recursive=True):
                 ok = False
                 print(f"❌ Stage {name}: expected artifact missing "
                       f"({st['expect_glob']})")

@@ -127,3 +127,64 @@ def test_pipeline_two_stages_share_predictor(dataset, tmp_path, monkeypatch):
     with pytest.raises(SystemExit) as ei:
         mod.main()
     assert ei.value.code == 1
+
+
+def test_pipeline_skip_vis_and_only_vis(tmp_path, monkeypatch):
+    """--skip-vis runs only the results stages (VERDICT r2 item 4: the vis
+    stages are pure post-processing, and matplotlib on the 1-core host is
+    the measured largest cost of a sweep); --only-vis renders them later.
+    Vis-ness comes from `kind: vis` or a 'vis' script-name fallback."""
+    results_py = tmp_path / "make_results.py"
+    results_py.write_text(
+        "import pathlib, sys\n"
+        f"pathlib.Path(r'{tmp_path}/results.json').write_text('{{}}')\n"
+    )
+    vis_py = tmp_path / "render_vis.py"  # 'vis' in the stem → inferred vis
+    vis_py.write_text(
+        "import pathlib\n"
+        f"pathlib.Path(r'{tmp_path}/plot.png').write_text('png')\n"
+    )
+    tagged_py = tmp_path / "render_tagged.py"  # vis-ness only via kind:
+    tagged_py.write_text(
+        "import pathlib\n"
+        f"pathlib.Path(r'{tmp_path}/tagged.png').write_text('png')\n"
+    )
+    pipeline = {
+        "stages": [
+            {"name": "results", "script": str(results_py)},
+            {"name": "vis", "script": str(vis_py)},
+            {"name": "tagged_vis", "script": str(tagged_py), "kind": "vis"},
+        ]
+    }
+    cfg = tmp_path / "pipeline.yaml"
+    cfg.write_text(yaml.safe_dump(pipeline))
+
+    sys.path.insert(0, str(ROOT / "scripts"))
+    import importlib
+
+    mod = importlib.import_module("run_full_pipeline")
+
+    monkeypatch.setattr(
+        sys, "argv", ["run_full_pipeline.py", "--config", str(cfg), "--skip-vis"]
+    )
+    mod.main()
+    assert (tmp_path / "results.json").exists()
+    assert not (tmp_path / "plot.png").exists()
+    assert not (tmp_path / "tagged.png").exists()
+
+    (tmp_path / "results.json").unlink()
+    monkeypatch.setattr(
+        sys, "argv", ["run_full_pipeline.py", "--config", str(cfg), "--only-vis"]
+    )
+    mod.main()
+    assert not (tmp_path / "results.json").exists()
+    assert (tmp_path / "plot.png").exists()
+    assert (tmp_path / "tagged.png").exists()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_full_pipeline.py", "--config", str(cfg), "--skip-vis", "--only-vis"],
+    )
+    with pytest.raises(SystemExit) as ei:
+        mod.main()
+    assert ei.value.code == 2
