@@ -305,3 +305,210 @@ def test_jitter_extended_parity():
     got_s = compute_jitter_extended(None, 22050, f0=short.copy())
     assert set(want_s) == set(got_s)
     assert all(np.isnan(v) for v in got_s.values())
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions (VERDICT r2 item 7): shimmer/APQ, breath/voice-break
+# counting, RISE normalization + min-max, occlusion per-file stats,
+# expand_band_level_results
+# ---------------------------------------------------------------------------
+
+
+def _fake_librosa():
+    """Minimal librosa namespace for exec'ing reference feature code: rms
+    (center-padded windowed RMS, librosa semantics — the identical envelope
+    adx_tpu computes) and frames_to_time. Checking the DOWNSTREAM math is
+    the point; the envelope itself is covered by tests/test_features.py."""
+    from adx_tpu.features.extraction import _rms_envelope_np
+
+    class _Feature:
+        @staticmethod
+        def rms(y=None, frame_length=2048, hop_length=512):
+            return _rms_envelope_np(
+                np.asarray(y, np.float32), frame_length, hop_length
+            )[None, :]
+
+    class _Librosa:
+        feature = _Feature()
+
+        @staticmethod
+        def frames_to_time(frames, sr=22050, hop_length=512):
+            return np.asarray(frames) * hop_length / sr
+
+    return _Librosa()
+
+
+@pytest.fixture(scope="module")
+def ref_features():
+    return _load_reference_defs(
+        REF_SRC / "feature_extraction.py",
+        ["compute_shimmer", "compute_shimmer_extended", "detect_breaths",
+         "detect_voice_breaks"],
+        extra={"librosa": _fake_librosa()},
+    )
+
+
+def _feature_signals():
+    sr = 22050
+    rng = np.random.default_rng(5)
+    t = np.arange(2 * sr) / sr
+    am_tone = ((0.4 + 0.2 * np.sin(2 * np.pi * 3.0 * t))
+               * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    gapped = am_tone.copy()
+    gapped[sr // 3: sr // 2] = 0.0
+    gapped[sr: sr + sr // 4] = 0.0
+    noise = (0.1 * rng.standard_normal(2 * sr)).astype(np.float32)
+    tiny = am_tone[: 128]  # shorter than one frame → NaN branch
+    return sr, [am_tone, gapped, noise, tiny]
+
+
+def test_shimmer_extended_parity(ref_features):
+    from adx_tpu.features.extraction import compute_shimmer, compute_shimmer_extended
+
+    sr, signals = _feature_signals()
+    for y in signals:
+        want = ref_features["compute_shimmer"](y, sr)
+        got = compute_shimmer(y, sr)
+        np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+        want_ext = ref_features["compute_shimmer_extended"](y, sr)
+        got_ext = compute_shimmer_extended(y, sr)
+        assert set(got_ext) == set(want_ext)
+        for k in want_ext:
+            np.testing.assert_allclose(
+                got_ext[k], want_ext[k], rtol=1e-5, equal_nan=True,
+                err_msg=f"shimmer key {k}",
+            )
+
+
+def test_breath_and_voice_break_parity(ref_features):
+    from adx_tpu.features.extraction import detect_breaths, detect_voice_breaks
+
+    sr, signals = _feature_signals()
+    for y in signals:
+        assert detect_breaths(y, sr) == ref_features["detect_breaths"](y, sr)
+        assert detect_voice_breaks(y, sr) == ref_features["detect_voice_breaks"](y, sr)
+    # threshold edge: run ending exactly at the signal tail counts once
+    y = np.zeros(sr, np.float32)
+    y[: sr // 4] = 0.5
+    assert detect_voice_breaks(y, sr) == ref_features["detect_voice_breaks"](y, sr)
+
+
+def _extract_ref_lines(path: Path, first_marker: str, last_marker: str) -> str:
+    lines = path.read_text().splitlines()
+    start = next(i for i, l in enumerate(lines) if first_marker in l)
+    end = next(i for i, l in enumerate(lines[start:], start) if last_marker in l)
+    return textwrap.dedent("\n".join(lines[start : end + 1]))
+
+
+def test_rise_normalization_parity():
+    """Exec the reference's own normalize + min-max lines
+    (src/spectrogram_explainability.py:795-801) on a random accumulated
+    map and compare with adx_tpu's rise_normalize."""
+    from adx_tpu.explainers.occlusion import rise_normalize
+
+    block = _extract_ref_lines(
+        REF_SRC / "spectrogram_explainability.py",
+        "importance_map = importance_map / (self.n_masks",
+        "importance_map.max() - importance_map.min()",
+    )
+    rng = np.random.default_rng(11)
+    for n_masks, prob in [(200, 0.5), (50, 0.25), (1, 1.0)]:
+        imp = rng.random((17, 23)) * n_masks * prob
+        ns = {
+            "np": np,
+            "self": SimpleNamespace(n_masks=n_masks, mask_probability=prob),
+            "importance_map": imp.copy(),
+        }
+        exec(compile(block, "ref_rise_norm", "exec"), ns)
+        got = rise_normalize(imp, n_masks, prob)
+        np.testing.assert_allclose(got, ns["importance_map"], atol=1e-12)
+
+
+def test_occlusion_per_file_stats_parity():
+    """The per-file stats dict (src/spectrogram_explainability.py:904-916):
+    exec the reference's return-dict expression with a fake result and
+    compare with adx_tpu's per_file_stats."""
+    src_text = (REF_SRC / "spectrogram_explainability.py").read_text()
+    tree = ast.parse(src_text)
+    dict_node = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Return) and isinstance(node.value, ast.Dict):
+            keys = [getattr(k, "value", None) for k in node.value.keys]
+            if "p90_importance" in keys:
+                dict_node = node.value
+                break
+    assert dict_node is not None
+    expr = ast.get_source_segment(src_text, dict_node)
+
+    rng = np.random.default_rng(4)
+    imp = rng.standard_normal((31, 47)).astype(np.float32)
+    ns = {
+        "np": np,
+        "self": SimpleNamespace(method="occlusion"),
+        "audio_path": Path("/x/a.wav"),
+        "file_name": "a.wav",
+        "folder_name": "SUNO",
+        "result": SimpleNamespace(importance_map=imp, baseline_pred=0.7321),
+    }
+    want = eval(compile(expr, "ref_stats", "eval"), ns)
+
+    from adx_tpu.explainers.occlusion import per_file_stats
+
+    got = per_file_stats(imp, 0.7321)
+    for k, v in got.items():
+        np.testing.assert_allclose(v, want[k], rtol=1e-7, err_msg=k)
+    # and the non-numeric keys exist in the reference row schema
+    assert {"file_path", "file_name", "folder", "method"} <= set(want)
+
+
+def _load_reference_method(path: Path, class_name: str, method: str, extra=None):
+    src = path.read_text()
+    for node in ast.parse(src).body:
+        if isinstance(node, ast.ClassDef) and node.name == class_name:
+            for sub in node.body:
+                if isinstance(sub, ast.FunctionDef) and sub.name == method:
+                    seg = textwrap.dedent(ast.get_source_segment(src, sub))
+                    ns = {"np": np, "Dict": Dict, "List": List,
+                          "Tuple": Tuple, "Optional": Optional}
+                    ns.update(extra or {})
+                    exec(compile(seg, str(path), "exec"), ns)
+                    return ns[method]
+    raise AssertionError(f"{class_name}.{method} not found in {path}")
+
+
+def test_expand_band_level_results_parity():
+    import pandas as pd
+
+    ref_fn = _load_reference_method(
+        REF_SRC / "dsp_band_ops.py", "FrequencyBandPerturbation",
+        "expand_band_level_results", extra={"pd": pd},
+    )
+    from adx_tpu.explainers.fbp import FrequencyBandPerturbation
+
+    df = pd.DataFrame([
+        {
+            "file_path": "/d/REAL/t0.wav", "file_name": "t0.wav",
+            "folder": "REAL",
+            "bands": [
+                {"low": 20.0, "high": 250.0, "importance": 0.031,
+                 "component": "vocals"},
+                {"low": 250.0, "high": 4000.0, "importance": -0.002},
+            ],
+        },
+        {"file_path": "/d/SUNO/t1.wav", "file_name": "t1.wav",
+         "folder": "SUNO", "bands": []},   # skipped (falsy)
+        {"file_path": "/d/SUNO/t2.wav", "file_name": "t2.wav",
+         "folder": "SUNO",
+         "bands": [{"low": 4000.0, "high": 16000.5, "importance": 0.5}]},
+    ])
+    want = ref_fn(SimpleNamespace(), df)
+    got = FrequencyBandPerturbation.expand_band_level_results(
+        SimpleNamespace(), df
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    empty_want = ref_fn(SimpleNamespace(), df.iloc[1:2])
+    empty_got = FrequencyBandPerturbation.expand_band_level_results(
+        SimpleNamespace(), df.iloc[1:2]
+    )
+    assert empty_got.empty and empty_want.empty
