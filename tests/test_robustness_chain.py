@@ -1,0 +1,72 @@
+"""Degradation-robustness chain test (scripts/run_robustness_chain.py):
+dataprep → per-run sweeps → the four cross-run comparisons, in one process
+on the CPU mesh with the tiny model.
+
+This is the reference's systemic sanity-check workflow (SURVEY.md §4.2);
+the chain driver exercises the REAL CLI runners and the run-label path
+taxonomy end-to-end (compare_*_across_runs.py common-key intersections).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+def test_robustness_chain_end_to_end(tmp_path, monkeypatch):
+    sys.path.insert(0, str(ROOT / "scripts"))
+    import importlib
+
+    mod = importlib.import_module("run_robustness_chain")
+    out = tmp_path / "chain"
+    monkeypatch.setattr(sys, "argv", [
+        "run_robustness_chain.py",
+        "--out-root", str(out),
+        "--models", "REAL", "SUNO",
+        "--tracks-per-model", "1",
+        "--track-seconds", "2.0",
+        "--sr", "22050",
+        "--local-model", "tiny",
+        "--arms", "resample22k",
+        "--lufs", "14",
+        "--num-samples-lime", "40",
+        "--patch-time-frames", "16",
+    ])
+    mod.main()  # exits non-zero (SystemExit) on any missing artifact
+
+    # the two runs (base + resample22k) produced all four result families
+    for arm in ("base", "resample22k"):
+        preds = json.loads(
+            (out / "results" / "Predictions" / "minus14" / arm /
+             "Sonics_predictions" / "full_track" / "predictions.json").read_text()
+        )
+        assert set(preds) == {"REAL", "SUNO"}
+        fbp = json.loads(
+            (out / "results" / "FBP" / "minus14" / arm / "FBP_chain" /
+             "fbp_results.json").read_text()
+        )
+        assert set(fbp) == {"REAL", "SUNO"}
+        lime = json.loads(
+            (out / "results" / "AudioLIME" / "minus14" / arm / "LIME_chain" /
+             "full_track" / "explanations.json").read_text()
+        )
+        # records nest the per-sample payload under "explanations"
+        # (io/results.py merge schema)
+        assert all(
+            rec["explanations"]["component_influences"]
+            for model in lime.values() for rec in model.values()
+        )
+
+    # every comparison family rendered at least one plot, under a dir named
+    # by the joined run labels. NOTE the reference's asymmetric label quirk:
+    # the resample22k arm's label is "m14_resample_22k" (underscore), see
+    # compare_fbp_results_across_runs.py run-label parsing.
+    for fam in ("Predictions", "FBP", "Occlusion", "AudioLIME"):
+        pngs = list((out / "comparison" / fam).rglob("*.png"))
+        assert pngs, fam
+        assert any("m14_base" in str(p) and "m14_resample_22k" in str(p)
+                   for p in pngs), (fam, pngs[:3])
