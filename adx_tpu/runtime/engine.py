@@ -643,6 +643,51 @@ class PerturbationEngine:
 
         self._masked_db = _masked_db
 
+        # ---- multi-track variants: fold a [T] track axis into the batch -
+        # Dataset sweeps (predictions/FBP stages of run_full_pipeline.py)
+        # run the same perturbation program per file; vmapping the track
+        # axis amortizes the ~0.2 s/dispatch tunnel cost and lifts MXU
+        # occupancy at the small post-dedup/band batch sizes. vmap of
+        # _analyze keeps the per-track ref=max dB semantics (a stacked
+        # amplitude_to_db would couple tracks through one global max).
+
+        @jax.jit
+        def _analyze_baseline_multi(y_stack):
+            S, S_db = jax.vmap(_analyze)(y_stack)
+            probs = eng._forward(y_stack)
+            return S, S_db, probs
+
+        self._analyze_baseline_multi = _analyze_baseline_multi
+
+        @functools.partial(jax.jit, static_argnames=("normalize_loudness",))
+        def _gain_rows_probs_multi(S_stack, gains, y_stack, normalize_loudness):
+            return jax.vmap(
+                lambda S, y: _gain_rows_probs(S, gains, y, normalize_loudness)
+            )(S_stack, y_stack)
+
+        self._gain_rows_probs_multi = _gain_rows_probs_multi
+
+        @functools.partial(
+            jax.jit, static_argnames=("patch_f", "patch_t", "n_out", "chunk")
+        )
+        def _occlusion_multi(S_stack, starts, patch_f: int, patch_t: int,
+                             occl_value, n_out: int, chunk: int):
+            return jax.vmap(
+                lambda S: _occlusion_all(
+                    S, starts, patch_f, patch_t, occl_value, n_out, chunk
+                )
+            )(S_stack)
+
+        self._occlusion_multi = _occlusion_multi
+
+        @functools.partial(jax.jit, static_argnames=("chunk",))
+        def _stem_mix_multi(stems_stack, rows_stack, chunk: int):
+            return jax.vmap(
+                lambda st, rw: _stem_mix_all(st, rw, chunk)
+            )(stems_stack, rows_stack)
+
+        self._stem_mix_multi = _stem_mix_multi
+
         # ---- multi-chip variants: DP over the perturbation batch --------
         # (SURVEY.md §2.6: the mask axis shards over the 1-D mesh; the only
         # collective is the implicit all-gather of per-mask scalars)
@@ -964,6 +1009,133 @@ class PerturbationEngine:
             out = np.asarray(probs)[:n]
         self.profiler.count("perturbation_forwards", n)
         return out if inv is None else out[inv]
+
+    # -- multi-track API: fold a [T] track axis into the perturbation batch
+
+    def stack_waves(self, tracks) -> jnp.ndarray:
+        """[T] equal-length waveforms → one ``[T, n]`` device array (each
+        via :meth:`to_device_wave`, so PCM16-representable tracks ship as
+        int16)."""
+        if isinstance(tracks, (list, tuple)):
+            return jnp.stack([self.to_device_wave(y) for y in tracks])
+        return self.to_device_wave(tracks)
+
+    def analyze_and_baseline_multi(self, tracks):
+        """[T] tracks → (S stack, S_db stack, baseline probs ``[T]``) in
+        ONE dispatch. Per-track ``ref=max`` dB semantics are preserved
+        (vmapped analyze), so row t equals ``analyze_and_baseline(y_t)``."""
+        ys = self.stack_waves(tracks)
+        with self.profiler.section("Computing spectrogram"):
+            S, S_db, probs = self._analyze_baseline_multi(ys)
+            S.block_until_ready()
+        probs = np.asarray(probs)
+        self.profiler.count("perturbation_forwards", len(probs))
+        return S, S_db, probs
+
+    @staticmethod
+    def _track_groups(T: int, tb: int):
+        """Uniform-size index groups (tail padded by repeating the last
+        track) so every dispatch reuses ONE traced program."""
+        idx = list(range(T))
+        idx += [T - 1] * ((-len(idx)) % tb)
+        return [idx[lo : lo + tb] for lo in range(0, len(idx), tb)]
+
+    def fbp_probs_multi(
+        self, S_stack, tracks, gains: np.ndarray,
+        normalize_loudness: bool = False, track_batch: Optional[int] = None,
+    ) -> np.ndarray:
+        """FBP sweeps of ``[T]`` tracks folded into batched programs:
+        probs ``[T, n_bands]``. ``track_batch`` bounds how many tracks'
+        synthesis buffers coexist per dispatch (HBM guard; default 4)."""
+        ys = self.stack_waves(tracks)
+        T = int(S_stack.shape[0])
+        tb = max(1, min(track_batch or 4, T))
+        g = jnp.asarray(gains)
+        out = np.empty((T, len(gains)), np.float32)
+        with self.profiler.section("Computing importance for bands"):
+            for grp in self._track_groups(T, tb):
+                ii = jnp.asarray(grp)
+                probs = self._gain_rows_probs_multi(
+                    jnp.take(S_stack, ii, axis=0), g,
+                    jnp.take(ys, ii, axis=0), normalize_loudness,
+                )
+                p_np = np.asarray(probs)
+                for j, t in enumerate(grp):
+                    out[t] = p_np[j]
+        self.profiler.count("perturbation_forwards", T * len(gains))
+        return out
+
+    def occlusion_probs_multi(
+        self, S_stack, starts: np.ndarray, patch_f: int, patch_t: int,
+        occlusion_value: float, n_out: int, track_batch: Optional[int] = None,
+    ) -> np.ndarray:
+        """Occlusion sweeps of ``[T]`` tracks with the SAME patch grid,
+        batched: probs ``[T, n_patches]``. The per-track chunk shrinks by
+        the track-group size so each dispatch's forward batch stays at the
+        single-track budget. Mel mode and multi-chip meshes fall back to
+        the per-track paths (mel: HBM-budgeted split dispatch; sharded:
+        DP over the patch axis)."""
+        T = int(S_stack.shape[0])
+        if self.spec_type == "mel" or self.n_devices > 1:
+            return np.stack([
+                self.occlusion_probs(S_stack[t], starts, patch_f, patch_t,
+                                     occlusion_value, n_out)
+                for t in range(T)
+            ])
+        tb = max(1, min(track_batch or 4, T))
+        ck = self.occlusion_chunk
+        if ck is None:
+            # same 96×1024-delta-column budget as the single-track path...
+            ck = max(self.chunk, min(96, (96 * 1024) // max(patch_t, 1) // 8 * 8))
+        # ...shared across the track group, so the per-dispatch forward
+        # batch (tb·ck) stays at the proven single-track budget
+        ck = max(1, ck // tb)
+        occl = jnp.float32(occlusion_value)
+        padded, n = pad_batch(np.asarray(starts, np.int32), ck)
+        out = np.empty((T, n), np.float32)
+        with self.profiler.section("Computing importance map"):
+            for grp in self._track_groups(T, tb):
+                ii = jnp.asarray(grp)
+                probs = self._occlusion_multi(
+                    jnp.take(S_stack, ii, axis=0), jnp.asarray(padded),
+                    patch_f, patch_t, occl, n_out, ck,
+                )
+                p_np = np.asarray(probs)[:, :n]
+                for j, t in enumerate(grp):
+                    out[t] = p_np[j]
+        self.profiler.count("perturbation_forwards", T * n)
+        return out
+
+    def stem_mix_probs_multi(self, stems_stack, rows_list) -> list:
+        """LIME sweeps of ``[T]`` tracks' stems in one batched program.
+
+        Each track's mask rows are deduped exactly as in
+        :meth:`stem_mix_probs` (≤ 2^S distinct rows behind LIME's design
+        matrix); the per-track unique rows are padded to one common
+        power-of-two width so a single vmapped program serves all tracks.
+        Returns a list of per-input-row probability vectors."""
+        T = len(rows_list)
+        uniqs, invs = [], []
+        for rows in rows_list:
+            u, inv = np.unique(np.asarray(rows, np.float32), axis=0,
+                               return_inverse=True)
+            uniqs.append(u)
+            invs.append(inv)
+        r_max = max(len(u) for u in uniqs)
+        chunk = min(self.lime_chunk, 1 << max(0, int(r_max) - 1).bit_length())
+        width = -(-r_max // chunk) * chunk
+        rows_pad = np.zeros((T, width, uniqs[0].shape[-1]), np.float32)
+        for t, u in enumerate(uniqs):
+            rows_pad[t, : len(u)] = u
+        stems_d = (stems_stack if isinstance(stems_stack, jax.Array)
+                   else jnp.asarray(np.asarray(stems_stack), jnp.float32))
+        with self.profiler.section("Predicting audio"):
+            probs = np.asarray(
+                self._stem_mix_multi(stems_d, jnp.asarray(rows_pad), chunk)
+            )
+        self.profiler.count("perturbation_forwards",
+                            int(sum(len(u) for u in uniqs)))
+        return [probs[t, : len(uniqs[t])][invs[t]] for t in range(T)]
 
     def keep_patch_audio(
         self, S, starts: np.ndarray, patch_f: int, patch_t: int, n_out: int

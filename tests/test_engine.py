@@ -418,3 +418,77 @@ def test_mel_gl_synth_dtype_paths_agree(predictor, track):
     np.testing.assert_allclose(p_f32, p_fft, atol=2e-3)
     assert np.all(np.isfinite(p_bf))
     np.testing.assert_allclose(p_bf, p_fft, atol=0.08)
+
+
+# ---------------------------------------------------------------------------
+# multi-track batching (VERDICT r2 item 3): fold [T] tracks into the batch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tracks(predictor):
+    rng = np.random.default_rng(7)
+    n = predictor.cfg.audio.n_samples
+    t = np.arange(n) / SR
+    return [
+        (0.4 * np.sin(2 * np.pi * f * t)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        for f in (220.0, 440.0, 587.0)
+    ]
+
+
+def test_analyze_baseline_multi_matches_single(engine, tracks):
+    S_m, Sdb_m, probs_m = engine.analyze_and_baseline_multi(tracks)
+    for t, y in enumerate(tracks):
+        S, Sdb, prob = engine.analyze_and_baseline(y)
+        np.testing.assert_allclose(np.asarray(S_m[t]), np.asarray(S), atol=1e-4)
+        # per-track ref=max dB must be preserved (not a coupled global max)
+        np.testing.assert_allclose(np.asarray(Sdb_m[t]), np.asarray(Sdb), atol=1e-3)
+        assert abs(probs_m[t] - prob) < 1e-5
+
+
+def test_fbp_probs_multi_matches_single(engine, tracks):
+    from adx_tpu.ops import band_gain_matrix, fft_frequencies
+
+    freqs = fft_frequencies(SR, 256)
+    bands = [(0.0, 1000.0), (1000.0, 2500.0), (2500.0, 4000.0)]
+    gains = band_gain_matrix(freqs, bands, attenuation=0.25, transition_hz=100.0)
+    S_m, _, _ = engine.analyze_and_baseline_multi(tracks)
+    # track_batch 2 over 3 tracks also exercises the repeated-tail padding
+    probs_m = engine.fbp_probs_multi(S_m, tracks, gains, track_batch=2)
+    assert probs_m.shape == (len(tracks), len(bands))
+    for t, y in enumerate(tracks):
+        S, _ = engine.analyze(y)
+        p = engine.fbp_probs(S, y, gains)
+        np.testing.assert_allclose(probs_m[t], p, atol=2e-5)
+
+
+def test_occlusion_probs_multi_matches_single(engine, tracks):
+    from adx_tpu.ops import occlusion_patch_grid
+
+    n_out = len(tracks[0])
+    S_m, _, _ = engine.analyze_and_baseline_multi(tracks)
+    F, T = S_m.shape[-2], S_m.shape[-1]
+    starts, pf, pt = occlusion_patch_grid(F, T, 8, 8, 50.0, 50.0)
+    probs_m = engine.occlusion_probs_multi(S_m, starts, pf, pt, 0.0, n_out,
+                                           track_batch=2)
+    assert probs_m.shape == (len(tracks), len(starts))
+    for t, y in enumerate(tracks):
+        S, _ = engine.analyze(y)
+        p = engine.occlusion_probs(S, starts, pf, pt, 0.0, n_out)
+        np.testing.assert_allclose(probs_m[t], p, atol=5e-5)
+
+
+def test_stem_mix_probs_multi_matches_single(engine, tracks):
+    rng = np.random.default_rng(3)
+    stems_stack = np.stack([
+        np.stack([y, 0.5 * y, np.roll(y, 100), 0.25 * y]) for y in tracks
+    ])
+    # per-track design matrices with duplicate rows (LIME-style)
+    rows_list = [rng.integers(0, 2, size=(20, 4)).astype(np.float32)
+                 for _ in tracks]
+    out = engine.stem_mix_probs_multi(stems_stack, rows_list)
+    assert len(out) == len(tracks)
+    for t in range(len(tracks)):
+        p = engine.stem_mix_probs(stems_stack[t], rows_list[t])
+        np.testing.assert_allclose(out[t], p, atol=2e-5)
