@@ -153,13 +153,40 @@ class LimeAudioExplainer:
         if engine is not None:
             # engine.stem_mix_probs dedups duplicate rows internally
             fake_probs = engine.stem_mix_probs(stems, data)
-            probs = np.stack([1.0 - fake_probs, fake_probs], axis=1)
         else:
             # mixes are deterministic in the mask row: forward the ≤2^S
             # unique rows, scatter back to the N-sample design matrix
             uniq, inv = np.unique(data, axis=0, return_inverse=True)
             waves = uniq @ stems  # [U, n]
-            probs = np.asarray(predict_fn(waves))[inv]
+            fake_probs = np.asarray(predict_fn(waves))[inv]
+
+        return self.fit(
+            np.asarray(data), np.asarray(fake_probs),
+            factorization._components_names,
+            top_labels=top_labels, labels=labels,
+        )
+
+    def fit(
+        self,
+        data: np.ndarray,
+        fake_probs: np.ndarray,
+        components_names: List[str],
+        top_labels: int = 1,
+        labels: Tuple[int, ...] = (1,),
+    ) -> Explanation:
+        """Surrogate fit from an already-computed probability vector.
+
+        Split out of :meth:`explain_instance` so the multi-track batched
+        path (``adx_tpu.explain.explain_tracks`` via
+        ``engine.stem_mix_probs_multi``) reuses the exact same kernel /
+        ridge pipeline per track. ``fake_probs`` is either the ``[N]``
+        fake-class probability vector or an already-stacked ``[N, labels]``
+        probability matrix (what a raw ``predict_fn`` returns)."""
+        fake_probs = np.asarray(fake_probs)
+        if fake_probs.ndim == 1:
+            probs = np.stack([1.0 - fake_probs, fake_probs], axis=1)
+        else:
+            probs = fake_probs
 
         # cosine distance to the unperturbed instance (row 0, all ones)
         ref = data[0]
@@ -193,5 +220,5 @@ class LimeAudioExplainer:
             local_exp=local_exp,
             intercept=intercept,
             score=score,
-            components_names=factorization._components_names,
+            components_names=components_names,
         )

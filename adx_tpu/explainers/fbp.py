@@ -95,6 +95,7 @@ class FrequencyBandPerturbation:
         save_perturbed_audio_only: bool = False,
         save_reversed_perturbed_audio_only: bool = False,
         engine: Optional[PerturbationEngine] = None,
+        track_batch: Optional[int] = None,
     ):
         self.predictor = predictor
         self.preset = preset
@@ -136,6 +137,9 @@ class FrequencyBandPerturbation:
 
         self.save_perturbed_audio_only = save_perturbed_audio_only
         self.save_reversed_perturbed_audio_only = save_reversed_perturbed_audio_only
+        # fold this many files' (file, component) signals into each batched
+        # device program (engine *_multi paths); None/1 = per-file dispatch
+        self.track_batch = track_batch
 
         self.engine = engine or cached_engine(
             predictor, sr=sr, duration=duration, n_fft=n_fft,
@@ -181,14 +185,21 @@ class FrequencyBandPerturbation:
         audio_path: str,
         audio_root: Optional[Path] = None,
         file_name: Optional[str] = None,
+        pre: Optional[tuple] = None,
     ) -> Optional[FBDResult]:
-        """All bands of one component in a single batched program."""
-        eng = self.engine
-        # spectrogram + baseline forward fused into one program; S and S_db
-        # stay device-resident (S_db is only pulled to host for the figures)
-        S, S_db, orig_prob = eng.analyze_and_baseline(sig)
+        """All bands of one component in a single batched program.
 
-        probs = eng.fbp_probs(S, sig, self._gains, self.normalize_loudness)
+        ``pre=(S, S_db, orig_prob, probs)`` skips the device dispatches —
+        used by the multi-track grouped path, which computed them in
+        batched programs across several files' components."""
+        eng = self.engine
+        if pre is not None:
+            S, S_db, orig_prob, probs = pre
+        else:
+            # spectrogram + baseline forward fused into one program; S and
+            # S_db stay device-resident (S_db only pulled for the figures)
+            S, S_db, orig_prob = eng.analyze_and_baseline(sig)
+            probs = eng.fbp_probs(S, sig, self._gains, self.normalize_loudness)
         deltas = [float(orig_prob - p) for p in probs]
 
         batch_importances: List[dict] = []
@@ -293,6 +304,37 @@ class FrequencyBandPerturbation:
         with open(save_dir / f"{file_name}_bands_metadata.json", "w", encoding="utf-8") as f:
             json.dump(metadata, f, indent=2, ensure_ascii=False)
 
+    def _precompute_group(self, audio_paths: List[str]) -> Dict[str, Dict[str, tuple]]:
+        """Fold several files' (file, component) signals into batched device
+        programs (engine ``*_multi``): ONE analyze+baseline dispatch and a
+        track-grouped band sweep for the whole group, instead of two
+        dispatches per component. Returns
+        ``{path: {component: (sig, S, S_db, baseline, band_probs)}}`` with
+        S/S_db left device-resident (S_db is pulled per file at figure
+        time, same D2H volume as the serial path)."""
+        eng = self.engine
+        sigs: List[np.ndarray] = []
+        owners: List[Tuple[str, str]] = []
+        for p in audio_paths:
+            y, _ = load_audio(p, sr=self.sr, duration=self.duration, mono=True)
+            components = self._separate_sources(y)
+            names = [nm for nm in components if nm in self.separation_targets]
+            if not names:
+                names = list(components.keys())
+            for nm in names:
+                sigs.append(components[nm])
+                owners.append((p, nm))
+        ys = eng.stack_waves(sigs)  # ship H2D once, reuse for both programs
+        S_m, Sdb_m, base_m = eng.analyze_and_baseline_multi(ys)
+        probs_m = eng.fbp_probs_multi(
+            S_m, ys, self._gains, self.normalize_loudness,
+            track_batch=self.track_batch,
+        )
+        out: Dict[str, Dict[str, tuple]] = {p: {} for p in audio_paths}
+        for i, (p, nm) in enumerate(owners):
+            out[p][nm] = (sigs[i], S_m[i], Sdb_m[i], float(base_m[i]), probs_m[i])
+        return out
+
     @timed("Processing audio file")
     def process_audio_file(
         self,
@@ -301,7 +343,11 @@ class FrequencyBandPerturbation:
         folder_name: str = "",
         retry_on_error: bool = True,
         max_file_retries: int = 5,
+        precomputed: Optional[Dict[str, tuple]] = None,
     ) -> Optional[Dict[str, Any]]:
+        """``precomputed`` maps component name → ``(sig, S, S_db, prob,
+        band_probs)`` from the grouped multi-track path; it is only trusted
+        on the first attempt (retries recompute serially from the file)."""
         if self.profiler:
             self.profiler.reset_sample()
             # the engine is shared process-wide (cached_engine); reclaim its
@@ -325,8 +371,13 @@ class FrequencyBandPerturbation:
                 track_output_dir = model_output_dir / file_name
                 track_output_dir.mkdir(parents=True, exist_ok=True)
 
-                y, _ = load_audio(audio_path, sr=self.sr, duration=self.duration, mono=True)
-                components = self._separate_sources(y)
+                if precomputed is not None and file_attempt == 0:
+                    components = {nm: tup[0] for nm, tup in precomputed.items()}
+                    pres = {nm: tup[1:] for nm, tup in precomputed.items()}
+                else:
+                    y, _ = load_audio(audio_path, sr=self.sr, duration=self.duration, mono=True)
+                    components = self._separate_sources(y)
+                    pres = {}
                 target_names = [nm for nm in components if nm in self.separation_targets]
                 if not target_names:
                     target_names = list(components.keys())
@@ -336,6 +387,7 @@ class FrequencyBandPerturbation:
                     comp_result = self._compute_component_importance(
                         sig=components[name],
                         component_name=name,
+                        pre=pres.get(name),
                         audio_path=audio_path,
                         audio_root=track_output_dir
                         if self.save_perturbed_audio_only or self.save_reversed_perturbed_audio_only
@@ -494,28 +546,61 @@ class FrequencyBandPerturbation:
                     print(f"   Shard {shard_index}/{num_shards}: {len(audio_files)} files")
                 print(f"   Found {len(audio_files)} files")
 
-                for idx, audio_file in enumerate(audio_files, 1):
-                    print(f"\n  🎵 [{idx}/{len(audio_files)}] {audio_file.name}")
-                    result = self.process_audio_file(
-                        audio_path=str(audio_file),
-                        output_dir=bands_dir,
-                        folder_name=folder.name,
-                        retry_on_error=True,
-                        max_file_retries=5,
-                    )
-                    if self.save_perturbed_audio_only or self.save_reversed_perturbed_audio_only:
-                        print(f"    [Audio saved only mode] Skipping result saving for {audio_file.name}")
-                        continue
-                    if result:
-                        results.append(result)
-                        if results_path:
-                            append_update_results(
-                                {result["folder"]: {result["file_name"]: result}},
-                                results_path,
-                            )
-                        if len(results) % tmp_save_freq == 0:
-                            pd.DataFrame(results).to_csv(tmp_file, index=False)
-                            print(f"🔄 Auto-saved progress to {tmp_file}")
+                tb = int(self.track_batch or 1)
+                groups = [
+                    audio_files[lo : lo + tb]
+                    for lo in range(0, len(audio_files), max(1, tb))
+                ]
+                idx = 0
+                for grp in groups:
+                    pre_map: Dict[str, Dict[str, tuple]] = {}
+                    if tb > 1:
+                        processed = (
+                            self.checkpoint.load_processed_files()
+                            if self.checkpoint else set()
+                        )
+                        audio_only = (
+                            self.save_perturbed_audio_only
+                            or self.save_reversed_perturbed_audio_only
+                        )
+                        todo = [
+                            f for f in grp
+                            if audio_only or str(f) not in processed
+                        ]
+                        if len(todo) > 1:
+                            try:
+                                pre_map = self._precompute_group(
+                                    [str(f) for f in todo]
+                                )
+                            except Exception as e:  # noqa: BLE001 — serial fallback
+                                print(
+                                    f"[Warning] Grouped precompute failed "
+                                    f"({type(e).__name__}: {e}); per-file fallback."
+                                )
+                    for audio_file in grp:
+                        idx += 1
+                        print(f"\n  🎵 [{idx}/{len(audio_files)}] {audio_file.name}")
+                        result = self.process_audio_file(
+                            audio_path=str(audio_file),
+                            output_dir=bands_dir,
+                            folder_name=folder.name,
+                            retry_on_error=True,
+                            max_file_retries=5,
+                            precomputed=pre_map.get(str(audio_file)),
+                        )
+                        if self.save_perturbed_audio_only or self.save_reversed_perturbed_audio_only:
+                            print(f"    [Audio saved only mode] Skipping result saving for {audio_file.name}")
+                            continue
+                        if result:
+                            results.append(result)
+                            if results_path:
+                                append_update_results(
+                                    {result["folder"]: {result["file_name"]: result}},
+                                    results_path,
+                                )
+                            if len(results) % tmp_save_freq == 0:
+                                pd.DataFrame(results).to_csv(tmp_file, index=False)
+                                print(f"🔄 Auto-saved progress to {tmp_file}")
 
             if self.save_perturbed_audio_only or self.save_reversed_perturbed_audio_only:
                 print("\n[Audio saved only mode] Experiment completed without computing final results.")

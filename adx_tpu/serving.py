@@ -169,10 +169,104 @@ class ExplainService:
         record.pop("file_path", None)
         return convert_to_native(record)
 
+    def explain_many(self, items) -> list:
+        """Batched explanation of ``[(wave, sr), ...]`` — the track axis is
+        folded into the engine's multi-track sweep programs
+        (``adx_tpu.explain.explain_tracks``), so T coalesced requests cost
+        far less than T serial ones. Waves are resampled host-side to the
+        engine rate first (the same polyphase the file decode path uses)."""
+        from adx_tpu.explain import explain_tracks
+        from adx_tpu.io.results import convert_to_native
+        from adx_tpu.ops.audio import resample_poly
+
+        target_sr = int(self.kwargs.get("sr", 44100))
+        waves = [
+            resample_poly(np.asarray(w, np.float32), int(sr), target_sr)
+            for w, sr in items
+        ]
+        with self._lock:
+            self._get_engine()
+            records = explain_tracks(
+                waves, predictor=self.predictor, engine=self._engine,
+                out_dir=None, save_figures=False, **self.kwargs,
+            )
+        out = []
+        for record in records:
+            record["track_stem"] = ""
+            record.pop("file_path", None)
+            out.append(convert_to_native(record))
+        return out
+
+
+class ExplainBatcher:
+    """Coalesce concurrent ``/explain`` requests into multi-track batched
+    explanations (VERDICT r2 item 6): arrivals within ``window_ms`` of the
+    first (up to ``max_batch``) are answered by ONE pass through the
+    engine's ``*_multi`` sweep programs via ``ExplainService.explain_many``."""
+
+    def __init__(self, service: ExplainService, window_ms: float = 150.0,
+                 max_batch: int = 4):
+        self.service = service
+        self.window = window_ms / 1000.0
+        self.max_batch = int(max_batch)
+        self.n_batches = 0
+        self.n_requests = 0
+        self._queue: list = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="explainbatcher")
+        self._thread.start()
+
+    def submit(self, wave, sr: int, timeout: Optional[float] = None) -> dict:
+        fut: Future = Future()
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("ExplainBatcher is closed")
+            self._queue.append((np.asarray(wave, np.float32), int(sr), fut))
+            self._cv.notify()
+        return fut.result(timeout=timeout)
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=5.0)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                deadline = time.monotonic() + self.window
+                while len(self._queue) < self.max_batch and not self._closed:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            futs = [fut for _, _, fut in batch]
+            try:
+                records = self.service.explain_many(
+                    [(w, sr) for w, sr, _ in batch]
+                )
+                self.n_batches += 1
+                self.n_requests += len(batch)
+                for fut, rec in zip(futs, records):
+                    fut.set_result(rec)
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)
+
 
 def _make_handler(predictor, lock: threading.Lock, model_name: str,
                   batcher: Optional[MicroBatcher] = None,
-                  explain_service: Optional[ExplainService] = None):
+                  explain_service: Optional[ExplainService] = None,
+                  explain_batcher: Optional["ExplainBatcher"] = None):
     class Handler(BaseHTTPRequestHandler):
         server_version = "adx_tpu"
 
@@ -232,7 +326,10 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
                 return
             if path == "/explain":
                 try:
-                    record = explain_service.explain(wave, sr)
+                    if explain_batcher is not None:
+                        record = explain_batcher.submit(wave, sr)
+                    else:
+                        record = explain_service.explain(wave, sr)
                 except Exception as e:  # noqa: BLE001 — surface compute errors
                     self._send(500, {"error": f"explanation failed: {e}"})
                     return
@@ -272,6 +369,8 @@ def make_server(
     model_name: str = "spectttra",
     batch_window_ms: float = 0.0,
     explain_kwargs: Optional[dict] = None,
+    explain_batch_window_ms: float = 0.0,
+    explain_max_batch: int = 4,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; call ``serve_forever()``.
 
@@ -283,26 +382,85 @@ def make_server(
     ``explain_kwargs`` (a dict, possibly empty) enables ``POST /explain``
     with those ``explain_track`` keyword overrides (sr/duration/n_fft/
     patch grid/num_samples_lime/…); ``None`` leaves the endpoint off.
+    ``explain_batch_window_ms > 0`` additionally coalesces concurrent
+    ``/explain`` requests into one multi-track batched explanation
+    (``ExplainBatcher`` over the engine's ``*_multi`` sweeps).
     """
     batcher = MicroBatcher(predictor, batch_window_ms) if batch_window_ms > 0 else None
     explain_service = (
         ExplainService(predictor, **explain_kwargs) if explain_kwargs is not None else None
     )
+    explain_batcher = (
+        ExplainBatcher(explain_service, explain_batch_window_ms, explain_max_batch)
+        if explain_service is not None and explain_batch_window_ms > 0 else None
+    )
     handler = _make_handler(predictor, threading.Lock(), model_name, batcher,
-                            explain_service)
+                            explain_service, explain_batcher)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.batcher = batcher
     srv.explain_service = explain_service
+    srv.explain_batcher = explain_batcher
 
     orig_close = srv.server_close
 
     def close_all():
         if batcher is not None:
             batcher.close()
+        if explain_batcher is not None:
+            explain_batcher.close()
         orig_close()
 
     srv.server_close = close_all
     return srv
+
+
+def wav_bytes(y: np.ndarray, sr: int) -> bytes:
+    """Encode a float waveform as in-memory 16-bit PCM WAV bytes."""
+    import struct
+    import wave as _wave
+
+    # same quantization as io.audio_io.write_wav (round, not truncate)
+    pcm = np.clip(
+        np.round(np.asarray(y, np.float32) * 32767.0), -32768, 32767
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sr))
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def post_explain(url: str, audio=None, sr: int = 44100,
+                 timeout: float = 900.0) -> dict:
+    """Client for a resident explain worker (the ad-hoc CLI path).
+
+    ``audio`` is a WAV path or a float waveform at ``sr``. Posts it to
+    ``<url>/explain`` on a running ``scripts/serve_sonics.py --explain``
+    server, so interactive callers skip the per-process TPU boot/grant
+    (measured minutes) and pay only the warm sweep latency (~2.5 s at the
+    production 120 s config). Returns the explanation record."""
+    import urllib.request
+    from pathlib import Path as _P
+
+    if isinstance(audio, (str, _P)):
+        p = _P(audio)
+        if p.suffix.lower() == ".wav":
+            body = p.read_bytes()
+        else:
+            from adx_tpu.io.audio_io import load_audio
+
+            y, file_sr = load_audio(p, sr=None, mono=True)
+            body, sr = wav_bytes(y, file_sr), file_sr
+    else:
+        body = wav_bytes(audio, sr)
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/explain", data=body,
+        headers={"Content-Type": "audio/wav"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
 
 
 def serve(
@@ -313,6 +471,7 @@ def serve(
     max_batch: int = 8,
     batch_window_ms: float = 0.0,
     explain: bool = False,
+    explain_batch_window_ms: float = 0.0,
 ):
     """Load the predictor and serve until interrupted."""
     from adx_tpu.predict import LocalSonics
@@ -331,6 +490,7 @@ def serve(
         predictor, host=host, port=port, model_name=model,
         batch_window_ms=batch_window_ms,
         explain_kwargs={} if explain else None,
+        explain_batch_window_ms=explain_batch_window_ms,
     )
     mode = f"batching window {batch_window_ms} ms" if batch_window_ms > 0 else "serialized"
     routes = "POST /predict" + (", POST /explain" if explain else "") + ", GET /health"

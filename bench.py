@@ -58,6 +58,13 @@ def main():
         "(also forces HIGHEST matmul precision: TPU f32 dots are "
         "bf16-pass FAST by default and drift ~0.06 from CPU f32)",
     )
+    ap.add_argument(
+        "--tracks", type=int, default=1, metavar="T",
+        help="Multi-track throughput mode: explain T distinct 120 s tracks "
+        "per iteration through the engine's *_multi batched sweeps and "
+        "report tracks/min/chip (VERDICT r2 item 3). Default 1 keeps the "
+        "single-track latency metric the driver records.",
+    )
     cli = ap.parse_args()
 
     import jax
@@ -109,6 +116,26 @@ def main():
     stems = jnp.asarray(stems)
     track.block_until_ready()
 
+    T = max(1, cli.tracks)
+    if T > 1:
+        # T distinct tracks (different fundamentals) + per-track stems,
+        # device-resident once, like the single-track path
+        waves = []
+        for k in range(T):
+            w = (
+                0.3 * np.sin(2 * np.pi * (220 + 30 * k) * t)
+                + 0.2 * np.sin(2 * np.pi * (1320 + 60 * k) * t)
+                + 0.05 * rng.standard_normal(n)
+            ).astype(np.float32)
+            waves.append(w)
+        tracks_d = jnp.asarray(np.stack(waves))
+        stems_d = jnp.asarray(
+            np.stack([
+                np.stack([w * f for f in (0.4, 0.3, 0.2, 0.1)]) for w in waves
+            ]).astype(np.float32)
+        )
+        tracks_d.block_until_ready()
+
     setup_s = time.time() - t_setup
 
     def full_explain():
@@ -137,6 +164,70 @@ def main():
         stage["lime"] = time.time() - t0
         del base
         return stage
+
+    def full_explain_multi():
+        """All four sweep stages over T tracks via the engine's batched
+        multi-track programs (track axis folded into the perturbation
+        batch — runtime/engine.py multi-track API)."""
+        stage = {}
+        t0 = time.time()
+        S_stack, _Sdb, _base = engine.analyze_and_baseline_multi(tracks_d)
+        stage["analyze_baseline"] = time.time() - t0
+
+        t0 = time.time()
+        engine.fbp_probs_multi(S_stack, tracks_d, gains, normalize_loudness=False)
+        stage["fbp"] = time.time() - t0
+
+        t0 = time.time()
+        starts, pf, pt = occlusion_patch_grid(
+            N_FFT // 2 + 1, S_stack.shape[-1], OCC["patch_time_frames"],
+            OCC["stride_time_frames"], OCC["patch_freq_percent"],
+            OCC["stride_freq_percent"],
+        )
+        engine.occlusion_probs_multi(S_stack, starts, pf, pt, 0.0, n)
+        stage["occlusion"] = time.time() - t0
+        stage["n_patches"] = len(starts)
+
+        t0 = time.time()
+        engine.stem_mix_probs_multi(stems_d, [lime_rows] * T)
+        stage["lime"] = time.time() - t0
+        return stage
+
+    if T > 1:
+        t0 = time.time()
+        warm = full_explain_multi()
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            stages = full_explain_multi()
+            times.append(time.time() - t0)
+        p50 = float(np.percentile(times, 50))
+        lime_unique = int(len(np.unique(np.asarray(lime_rows), axis=0)))
+        n_forwards = T * (1 + len(FBP_BANDS) + warm["n_patches"] + lime_unique)
+        print(
+            json.dumps(
+                {
+                    "metric": "multi_track_explain_throughput",
+                    "value": round(T / p50 * 60.0, 2),
+                    "unit": "tracks/min/chip",
+                    # single-track p50 baseline is 0.593 s ⇒ 101 tracks/min
+                    "vs_baseline": round((T / p50 * 60.0) / (60.0 / 0.593), 3),
+                    "details": {
+                        "device": str(jax.devices()[0]),
+                        "n_tracks": T,
+                        "p50_batch_s": round(p50, 3),
+                        "per_track_s": round(p50 / T, 3),
+                        "perturbation_forwards_per_sec_per_chip": round(n_forwards / p50, 1),
+                        "stages_s": {k: round(v, 3) for k, v in stages.items() if k != "n_patches"},
+                        "warmup_compile_s": round(compile_s, 1),
+                        "setup_s": round(setup_s, 1),
+                        "runs": [round(x, 3) for x in times],
+                    },
+                }
+            )
+        )
+        return
 
     # warm-up (compiles every program once; cached for later runs)
     t0 = time.time()

@@ -171,6 +171,9 @@ def main():
         checkpoint_dir=checkpoint_dir,
         save_perturbed_audio_only=args.save_fbp_audio == "separated",
         save_reversed_perturbed_audio_only=args.save_fbp_audio == "reversed",
+        # adx_tpu extension (absent from the reference schema): fold this
+        # many files' components into each batched device program
+        track_batch=explain_cfg.get("track_batch"),
     )
 
     try:

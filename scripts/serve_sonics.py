@@ -31,6 +31,11 @@ def main():
         help="also serve POST /explain: full FBP+occlusion+LIME explanation "
         "of the posted WAV (first request pays the sweep compiles)",
     )
+    ap.add_argument(
+        "--explain-batch-window-ms", type=float, default=0.0,
+        help="coalesce concurrent /explain requests arriving within this "
+        "window into one multi-track batched explanation (0 = serialized)",
+    )
     args = ap.parse_args()
 
     from adx_tpu.serving import serve
@@ -43,6 +48,7 @@ def main():
         max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms,
         explain=args.explain,
+        explain_batch_window_ms=args.explain_batch_window_ms,
     )
 
 

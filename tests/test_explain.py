@@ -47,6 +47,53 @@ def test_explain_track_full_record(tmp_path, rng):
     assert (out / "song_x_bar_influences.png").exists()
 
 
+def test_explain_tracks_matches_single(tmp_path, rng):
+    """Batched multi-track explain ≡ per-track explain_track (records in
+    input order, mixed lengths grouped internally)."""
+    from adx_tpu.explain import explain_tracks
+
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    dur = predictor.cfg.audio.duration
+    n_full = int(SR * dur)
+    paths = []
+    for i, frac in enumerate((1.0, 1.0, 0.5)):  # two full, one shorter
+        n = int(n_full * frac)
+        t = np.arange(n) / SR
+        y = (0.3 * np.sin(2 * np.pi * (250 + 60 * i) * t)
+             + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        p = tmp_path / f"trk_{i}.wav"
+        write_wav(p, y, SR)
+        paths.append(p)
+
+    kw = dict(
+        predictor=predictor, sr=SR, duration=dur,
+        n_fft=256, hop_length=128, win_length=256,
+        patch_time_frames=8, stride_time_frames=8,
+        patch_freq_percent=50.0, stride_freq_percent=50.0,
+        num_samples_lime=16, save_figures=False,
+    )
+    singles = [explain_track(p, **kw) for p in paths]
+    multis = explain_tracks(paths, out_dir=tmp_path / "out", **kw)
+
+    assert len(multis) == 3
+    for single, multi, p in zip(singles, multis, paths):
+        assert multi["track_stem"] == single["track_stem"]
+        assert multi["baseline_pred"] == pytest.approx(
+            single["baseline_pred"], abs=1e-5)
+        for bs, bm in zip(single["fbp"]["bands"], multi["fbp"]["bands"]):
+            assert bm["importance"] == pytest.approx(bs["importance"], abs=2e-4)
+        assert multi["occlusion"]["n_patches"] == single["occlusion"]["n_patches"]
+        assert multi["occlusion"]["mean_importance"] == pytest.approx(
+            single["occlusion"]["mean_importance"], abs=2e-4)
+        for comp, w in single["lime"]["component_influences"].items():
+            assert multi["lime"]["component_influences"][comp] == pytest.approx(
+                w, abs=1e-3)
+        assert multi["batch_size"] in (1, 2)
+        assert (tmp_path / "out" / f"{multi['track_stem']}_explanation.json").exists()
+    # the two full-length tracks shared one batch; the short one ran alone
+    assert [m["batch_size"] for m in multis] == [2, 2, 1]
+
+
 def test_explain_track_shorter_than_duration(tmp_path, rng):
     """A file shorter than the requested analysis duration must still yield
     a complete record (the reference happily analyzes partial tracks)."""

@@ -144,3 +144,41 @@ def test_fbp_save_audio_modes(predictor, dataset, tmp_path):
     assert len(wavs) == 3
     # filename format: {file}__{comp}__{low}-{high}Hz_{TYPE}_{delta:+.3f}.wav
     assert any("track_0__mixture__100-500Hz_" in w.name for w in wavs)
+
+
+def test_fbp_track_batch_matches_serial(predictor, dataset, tmp_path):
+    """Grouped multi-track sweep (VERDICT r2 item 3) ≡ per-file dispatch:
+    the fbp_results.json trees must agree to float tolerance."""
+    out_s = tmp_path / "serial"
+    out_g = tmp_path / "grouped"
+    df_s = make_fbp(predictor, tmp_path / "cks").run_experiment(
+        base_path=dataset, output_dir=out_s, results_path=out_s / "fbp_results.json",
+    )
+    df_g = make_fbp(predictor, tmp_path / "ckg", track_batch=3).run_experiment(
+        base_path=dataset, output_dir=out_g, results_path=out_g / "fbp_results.json",
+    )
+    assert len(df_s) == len(df_g) == 4
+
+    res_s = json.loads((out_s / "fbp_results.json").read_text())
+    res_g = json.loads((out_g / "fbp_results.json").read_text())
+    assert res_s.keys() == res_g.keys()
+    for model in res_s:
+        assert res_s[model].keys() == res_g[model].keys()
+        for fn in res_s[model]:
+            a, b = res_s[model][fn], res_g[model][fn]
+            for comp in a["components"]:
+                for k, v in a["components"][comp].items():
+                    assert abs(v - b["components"][comp][k]) < 1e-4, (fn, comp, k)
+            for k in ("global_mean_importance", "global_max_importance",
+                      "global_min_importance", "global_std_importance"):
+                assert abs(a[k] - b[k]) < 1e-4, (fn, k)
+
+    # per-band metadata also agrees
+    for model in res_s:
+        for fn in res_s[model]:
+            ms = json.loads((out_s / "bands" / model / fn / "mixture" /
+                             f"{fn}_bands_metadata.json").read_text())
+            mg = json.loads((out_g / "bands" / model / fn / "mixture" /
+                             f"{fn}_bands_metadata.json").read_text())
+            for bs, bg in zip(ms["bands"], mg["bands"]):
+                assert abs(bs["importance"] - bg["importance"]) < 1e-4
