@@ -25,12 +25,27 @@ def main():
     ap.add_argument("--duration", type=float, default=120.0)
     ap.add_argument("--lime-samples", type=int, default=500)
     ap.add_argument("--no-figures", action="store_true")
+    ap.add_argument(
+        "--server", default=None, metavar="URL",
+        help="Use a RESIDENT explain worker instead of booting the TPU in "
+        "this process: POST the file to <URL>/explain on a running "
+        "`scripts/serve_sonics.py --explain` server. Ad-hoc CLI calls then "
+        "pay only the warm sweep latency (~2.5 s at the production config) "
+        "instead of the minutes-long per-process device grant + compile.",
+    )
     args = ap.parse_args()
 
     if not Path(args.audio).is_file():
         # fail before the predictor build — model construction + compile can
         # take minutes on a cold TPU
         ap.error(f"audio file not found: {args.audio}")
+
+    if args.server:
+        from adx_tpu.serving import post_explain
+
+        record = post_explain(args.server, args.audio)
+        print(json.dumps(convert_to_native(record), indent=2, ensure_ascii=False))
+        return
 
     from adx_tpu.predict import LocalSonics
 
