@@ -282,14 +282,16 @@ def explain_tracks(
     for idx in by_len.values():
         stage_s: dict = {}
         t_stage = time.time()
-        S_stack, Sdb_stack, baselines = engine.analyze_and_baseline_multi(
-            [waves[i] for i in idx]
-        )
+        # ship the group's waves H2D ONCE (int16 where PCM-representable);
+        # the device stack feeds analyze, FBP, and separation — the tunnel
+        # moves ~15-22 MB/s, so a second transfer costs seconds per batch
+        ys = engine.stack_waves([waves[i] for i in idx])
+        S_stack, Sdb_stack, baselines = engine.analyze_and_baseline_multi(ys)
         stage_s["analyze_baseline"] = round(time.time() - t_stage, 3)
 
         t_stage = time.time()
         fbp_p = engine.fbp_probs_multi(
-            S_stack, [waves[i] for i in idx], gains,
+            S_stack, ys, gains,
             normalize_loudness=False, track_batch=track_batch,
         )
         stage_s["fbp"] = round(time.time() - t_stage, 3)
@@ -309,9 +311,9 @@ def explain_tracks(
         # per-track separation (device-resident stems), one batched LIME
         t_stage = time.time()
         factorizations = []
-        for i in idx:
+        for j, i in enumerate(idx):
             factorizations.append(SpleeterFactorization(
-                engine.to_device_wave(waves[i]),
+                ys[j],
                 target_sr=sr, temporal_segmentation_params=1,
                 model_name=separation_model,
             ))
