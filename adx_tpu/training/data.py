@@ -23,6 +23,26 @@ def scan_dataset(base_path: str | Path) -> List[Tuple[Path, float]]:
     return items
 
 
+def train_val_split(
+    items: List[Tuple[Path, float]],
+    val_fraction: float = 0.1,
+    seed: int = 0,
+) -> Tuple[List[Tuple[Path, float]], List[Tuple[Path, float]]]:
+    """Stratified (per-label) shuffle split; at least one validation item
+    per class when the class exists and ``val_fraction > 0``."""
+    rng = np.random.default_rng(seed)
+    train: List[Tuple[Path, float]] = []
+    val: List[Tuple[Path, float]] = []
+    for label in sorted({lab for _, lab in items}):
+        group = [it for it in items if it[1] == label]
+        order = rng.permutation(len(group))
+        n_val = min(len(group) - 1, max(1, int(round(len(group) * val_fraction)))) \
+            if val_fraction > 0 and len(group) > 1 else 0
+        for i, idx in enumerate(order):
+            (val if i < n_val else train).append(group[idx])
+    return train, val
+
+
 def batch_iterator(
     items: List[Tuple[Path, float]],
     batch_size: int,

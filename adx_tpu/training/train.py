@@ -17,7 +17,7 @@ inference path's ``sigmoid(logit)`` semantics).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,21 +52,54 @@ def param_partition_spec(params, model_axis: str = "model"):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def lr_schedule(
+    learning_rate: float,
+    total_steps: Optional[int] = None,
+    warmup_steps: int = 0,
+    final_scale: float = 0.01,
+):
+    """Linear warmup → cosine decay to ``final_scale × lr`` (constant when
+    ``total_steps`` is None). Standard large-batch transformer recipe; the
+    schedule lives in the optimizer so the jitted step stays a single
+    program (step count is carried in the optax state, not retraced)."""
+    if total_steps is None:
+        if warmup_steps:
+            return optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        return learning_rate
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0 if warmup_steps else learning_rate,
+        peak_value=learning_rate,
+        warmup_steps=max(warmup_steps, 1 if warmup_steps else 0),
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=learning_rate * final_scale,
+    )
+
+
 def make_train_step(
     cfg: ModelConfig,
     mesh: Mesh,
     learning_rate: float = 1e-4,
     weight_decay: float = 1e-4,
     dtype=jnp.float32,
+    total_steps: Optional[int] = None,
+    warmup_steps: int = 0,
+    clip_norm: Optional[float] = 1.0,
 ):
     """Build ``(init_fn, step_fn)`` jitted over the mesh.
 
     ``step_fn(state, waves [B, n_samples], labels [B]) -> (state, loss)``
     with B sharded over 'data' and TP params sharded over 'model'.
+    ``total_steps``/``warmup_steps`` enable the warmup+cosine schedule;
+    ``clip_norm`` adds global-norm gradient clipping (None disables).
     """
     # flash attention is forward-only; training uses the XLA attention path
     model = AudioClassifier(cfg, dtype=dtype, use_flash=False)
-    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    sched = lr_schedule(learning_rate, total_steps, warmup_steps)
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts.append(optax.adamw(sched, weight_decay=weight_decay))
+    tx = optax.chain(*parts)
 
     def loss_fn(params, waves, labels):
         logits = model.apply(params, waves)
@@ -112,3 +145,73 @@ def make_train_step(
         return jitted_step(state, waves, labels)
 
     return init_fn, wrapped_step, shard_state
+
+
+def make_eval_step(cfg: ModelConfig, mesh: Mesh, dtype=jnp.float32):
+    """Jitted eval forward over the mesh: ``eval_fn(params, waves, labels)
+    -> (per-example BCE loss [B], fake probs [B])``, batch sharded over
+    'data'. Same model/axes as the train step so TP-sharded params apply
+    directly."""
+    model = AudioClassifier(cfg, dtype=dtype, use_flash=False)
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    label_sharding = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def _eval(params, waves, labels):
+        logits = model.apply(params, waves)
+        loss = optax.sigmoid_binary_cross_entropy(logits, labels)
+        return loss, jax.nn.sigmoid(logits)
+
+    n_data = int(mesh.shape["data"])
+
+    def eval_fn(params, waves, labels):
+        import numpy as np
+
+        waves = np.asarray(waves)
+        labels = np.asarray(labels, np.float32)
+        b = len(labels)
+        # pad to the data-axis size (per-example outputs: trim is exact)
+        pad = (-b) % n_data
+        if pad:
+            waves = np.concatenate([waves, np.zeros((pad,) + waves.shape[1:],
+                                                    waves.dtype)])
+            labels = np.concatenate([labels, np.zeros((pad,), np.float32)])
+        waves = jax.device_put(waves, batch_sharding)
+        labels = jax.device_put(labels, label_sharding)
+        loss, probs = _eval(params, waves, labels)
+        return np.asarray(loss)[:b], np.asarray(probs)[:b]
+
+    return eval_fn
+
+
+def evaluate(eval_fn, params, batches) -> dict:
+    """Run ``eval_fn`` over an iterable of batches and aggregate metrics:
+    mean BCE loss, accuracy at 0.5, and AUROC (rank statistic — well
+    defined whenever both classes appear)."""
+    import numpy as np
+
+    losses, probs, labels = [], [], []
+    for batch in batches:
+        l, p = eval_fn(params, batch["wave"], batch["label"])
+        losses.append(l)
+        probs.append(p)
+        labels.append(np.asarray(batch["label"]))
+    loss = np.concatenate(losses)
+    p = np.concatenate(probs)
+    y = np.concatenate(labels)
+    out = {
+        "loss": float(loss.mean()),
+        "accuracy": float(((p > 0.5) == (y > 0.5)).mean()),
+        "n": int(len(y)),
+    }
+    pos, neg = p[y > 0.5], p[y <= 0.5]
+    if len(pos) and len(neg):
+        # Mann-Whitney U formulation of AUROC, ties counted half
+        from scipy.stats import rankdata
+
+        ranks = rankdata(np.concatenate([pos, neg]))
+        out["auroc"] = float(
+            (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2)
+            / (len(pos) * len(neg))
+        )
+    return out

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 from adx_tpu.models.config import resolve_preset, tiny_test_config
 from adx_tpu.parallel.mesh import training_mesh
-from adx_tpu.training.data import batch_iterator, scan_dataset
-from adx_tpu.training.train import make_train_step
+from adx_tpu.training.data import batch_iterator, scan_dataset, train_val_split
+from adx_tpu.training.train import evaluate, make_eval_step, make_train_step
 
 
 def main():
@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--warmup-steps", type=int, default=100,
+                    help="linear LR warmup, then cosine decay over --steps")
+    ap.add_argument("--clip-norm", type=float, default=1.0,
+                    help="global-norm gradient clip (0 disables)")
+    ap.add_argument("--val-fraction", type=float, default=0.1,
+                    help="stratified held-out fraction (0 disables eval)")
+    ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     ap.add_argument("--save-every", type=int, default=200)
     ap.add_argument("--bf16", action="store_true")
@@ -48,9 +55,11 @@ def main():
     mesh = training_mesh(n_data=n_dev // args.tp, n_model=args.tp)
     print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices")
 
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     init_fn, step_fn, shard_state = make_train_step(
-        cfg, mesh, learning_rate=args.lr,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        cfg, mesh, learning_rate=args.lr, dtype=dtype,
+        total_steps=args.steps, warmup_steps=args.warmup_steps,
+        clip_norm=args.clip_norm or None,
     )
 
     sample = jnp.zeros((1, cfg.audio.n_samples), jnp.float32)
@@ -65,15 +74,30 @@ def main():
     state = shard_state(state)
 
     items = scan_dataset(args.dataset)
-    print(f"Dataset: {len(items)} files")
-    batches = batch_iterator(
-        items, args.batch_size, cfg.audio.n_samples, cfg.audio.sample_rate
+    train_items, val_items = train_val_split(
+        items, val_fraction=args.val_fraction
     )
+    print(f"Dataset: {len(items)} files ({len(train_items)} train / "
+          f"{len(val_items)} val)")
+    batches = batch_iterator(
+        train_items, args.batch_size, cfg.audio.n_samples,
+        cfg.audio.sample_rate,
+    )
+    eval_fn = make_eval_step(cfg, mesh, dtype=dtype) if val_items else None
+
+    def run_eval(params):
+        val_batches = batch_iterator(
+            val_items, min(args.batch_size, len(val_items)),
+            cfg.audio.n_samples, cfg.audio.sample_rate,
+            shuffle=False, epochs=1,
+        )
+        return evaluate(eval_fn, params, val_batches)
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
     losses = []
+    best_val = float("inf")
     for step, batch in enumerate(batches):
         if step >= args.steps:
             break
@@ -82,15 +106,29 @@ def main():
         if step % 10 == 0:
             rate = (step + 1) * args.batch_size / (time.time() - t0)
             print(f"step {step:5d}  loss {np.mean(losses[-10:]):.4f}  {rate:.1f} ex/s")
+        if eval_fn and ((step + 1) % args.eval_every == 0 or step + 1 == args.steps):
+            metrics = run_eval(state.params)
+            flag = ""
+            if metrics["loss"] < best_val:
+                best_val = metrics["loss"]
+                _save_checkpoint(state, out_dir / "best")
+                flag = "  💾 best"
+            print(f"  eval @ {step+1}: " + "  ".join(
+                f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in metrics.items()) + flag)
         if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
-            import orbax.checkpoint as ocp
-
-            ckpt_path = (out_dir / f"step_{step+1:06d}").absolute()
-            ckptr = ocp.StandardCheckpointer()
-            ckptr.save(ckpt_path, jax.device_get(state.params))
-            ckptr.wait_until_finished()
-            print(f"💾 Saved checkpoint: {ckpt_path}")
+            _save_checkpoint(state, out_dir / f"step_{step+1:06d}")
     print(f"Done: {len(losses)} steps, final loss {np.mean(losses[-10:]):.4f}")
+
+
+def _save_checkpoint(state, path: Path):
+    import orbax.checkpoint as ocp
+
+    ckpt_path = path.absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt_path, jax.device_get(state.params), force=True)
+    ckptr.wait_until_finished()
+    print(f"💾 Saved checkpoint: {ckpt_path}")
 
 
 if __name__ == "__main__":

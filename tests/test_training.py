@@ -104,3 +104,86 @@ def test_eval_helpers(tmp_path):
     auc = plot_roc_curve(labels, scores, output_path=tmp_path / "roc.png")
     assert 0.0 <= auc <= 1.0
     assert (tmp_path / "roc.png").exists()
+
+
+def test_lr_schedule_and_clipping_train_step():
+    """Warmup+cosine schedule + grad clipping: loss still drops and the
+    schedule's LR endpoints behave (0 at step 0 with warmup, decayed tail)."""
+    from adx_tpu.training.train import lr_schedule
+
+    sched = lr_schedule(1e-3, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) < 1e-4
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)  # peak
+    assert float(sched(100)) < 2e-4  # decayed near end_value
+
+    cfg = tiny_test_config()
+    mesh = training_mesh(n_data=4, n_model=2)
+    init_fn, step_fn, shard_state = make_train_step(
+        cfg, mesh, learning_rate=3e-4, total_steps=30, warmup_steps=3,
+        clip_norm=1.0,
+    )
+    sample = jnp.zeros((1, cfg.audio.n_samples), jnp.float32)
+    state = shard_state(init_fn(jax.random.key(0), sample))
+    rng_l = np.random.default_rng(0)
+    n = cfg.audio.n_samples
+    t = np.arange(n) / cfg.audio.sample_rate
+    losses = []
+    for _ in range(20):
+        waves = np.zeros((8, n), np.float32)
+        labels = np.zeros((8,), np.float32)
+        for i in range(8):
+            if i % 2 == 0:
+                waves[i] = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng_l.standard_normal(n)
+                labels[i] = 1.0
+            else:
+                waves[i] = 0.1 * rng_l.standard_normal(n)
+        state, loss = step_fn(state, waves, labels)
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_eval_step_and_metrics():
+    """make_eval_step + evaluate: metrics dict with sane ranges; AUROC = 1
+    when probabilities perfectly separate the labels."""
+    from adx_tpu.training.train import evaluate, make_eval_step
+
+    cfg = tiny_test_config()
+    mesh = training_mesh(n_data=4, n_model=2)
+    from adx_tpu.models.spectttra import init_params
+
+    params = init_params(cfg, jax.random.key(0))
+    eval_fn = make_eval_step(cfg, mesh)
+    rng_l = np.random.default_rng(2)
+    n = cfg.audio.n_samples
+    batches = [
+        {"wave": rng_l.standard_normal((8, n)).astype(np.float32) * 0.1,
+         "label": np.tile([0.0, 1.0], 4).astype(np.float32)}
+        for _ in range(2)
+    ]
+    m = evaluate(eval_fn, params, batches)
+    assert m["n"] == 16
+    assert 0.0 <= m["accuracy"] <= 1.0
+    assert 0.0 <= m["auroc"] <= 1.0
+    assert m["loss"] > 0.0
+
+    # separable sanity: fake probs strictly above real ones ⇒ AUROC 1
+    fake_fn = lambda p, w, l: (np.zeros(len(l)), np.where(l > 0.5, 0.9, 0.1))
+    m2 = evaluate(fake_fn, None, batches)
+    assert m2["auroc"] == 1.0 and m2["accuracy"] == 1.0
+
+
+def test_train_val_split_stratified():
+    from adx_tpu.training.data import train_val_split
+
+    items = [(f"r{i}.wav", 0.0) for i in range(8)] + \
+            [(f"f{i}.wav", 1.0) for i in range(12)]
+    train, val = train_val_split(items, val_fraction=0.25, seed=1)
+    assert len(train) + len(val) == 20
+    val_labels = [l for _, l in val]
+    assert val_labels.count(0.0) == 2 and val_labels.count(1.0) == 3
+    assert set(train).isdisjoint(val)
+
+    # tiny class still keeps one training item
+    train2, val2 = train_val_split([("a", 0.0), ("b", 0.0), ("c", 1.0)], 0.5)
+    assert ("c", 1.0) in train2 + val2
+    assert any(l == 0.0 for _, l in train2)
