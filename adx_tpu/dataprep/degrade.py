@@ -16,10 +16,21 @@ from adx_tpu.ops.audio import resample_poly
 
 
 def degrade_mp3_roundtrip(y: np.ndarray, sr: int, bitrate: str = "192k") -> np.ndarray:
-    """WAV → MP3(bitrate) → WAV round trip via ffmpeg; returns the input
-    unchanged when ffmpeg is unavailable (notebook's graceful fallback)."""
+    """WAV → MP3(bitrate) → WAV round trip (notebook cell 7
+    ``degrade_mp3_roundtrip``). Uses the in-process libmp3lame/libmpg123
+    codecs (``adx_tpu.io.mp3`` — the same encoder/decoder ffmpeg wraps),
+    falling back to an ffmpeg binary if present, else to the notebook's
+    graceful "return input unchanged"."""
+    kbps = int(str(bitrate).rstrip("kK"))
+    try:
+        from adx_tpu.io.mp3 import have_mp3, mp3_roundtrip
+
+        if have_mp3():
+            return mp3_roundtrip(y, sr, kbps)
+    except Exception as e:  # noqa: BLE001 — fall through to ffmpeg/identity
+        print(f"[Warning] native mp3 round trip failed ({e}); trying ffmpeg.")
     if shutil.which("ffmpeg") is None:
-        print("[Warning] ffmpeg unavailable; mp3_192 arm returns input unchanged.")
+        print("[Warning] no mp3 codec available; mp3_192 arm returns input unchanged.")
         return y
     try:
         from adx_tpu.io.audio_io import read_wav, write_wav

@@ -64,6 +64,13 @@ def write_wav(path: str | Path, y: np.ndarray, sr: int, subtype: str = "PCM_16")
 
 
 def _decode_via_ffmpeg(path: Path) -> Tuple[np.ndarray, int]:
+    if path.suffix.lower() == ".mp3":
+        # In-process codec first (the image has libmpg123 but no ffmpeg).
+        from adx_tpu.io.mp3 import decode_mp3, have_mp3
+
+        if have_mp3():
+            y, sr = decode_mp3(path.read_bytes())
+            return (y.T if y.ndim > 1 else y), sr
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         raise RuntimeError(

@@ -143,3 +143,69 @@ def test_pipeline_output_taxonomy(tmp_path, rng):
         extract_run_label(str(out / "minus23" / "noise_snr30" / "REAL" / "song.wav"))
         == "m23_noise_snr30"
     )
+
+
+def test_mp3_roundtrip_native_codec(rng):
+    """mp3_192 arm on the in-process libmp3lame/libmpg123 codecs
+    (notebook cell 7 degrade_mp3_roundtrip semantics: same sr, same
+    length, lossy but aligned)."""
+    from adx_tpu.dataprep.degrade import degrade_mp3_roundtrip
+    from adx_tpu.io.mp3 import have_mp3
+
+    if not have_mp3():
+        pytest.skip("mp3 codec libraries not in this image")
+    n = SR * 2
+    t = np.arange(n) / SR
+    y = (0.4 * np.sin(2 * np.pi * 330 * t)
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    y2 = degrade_mp3_roundtrip(y, SR, bitrate="192k")
+    assert y2.shape == y.shape and y2.dtype == np.float32
+    # gapless: no codec delay offset, high but imperfect correlation
+    seg = slice(SR // 2, SR // 2 + 4096)
+    corr = np.corrcoef(y2[seg], y[seg])[0, 1]
+    assert corr > 0.98
+    assert not np.allclose(y2, y)  # actually lossy, not the identity fallback
+    # stereo keeps channel layout
+    ys = np.stack([y, 0.5 * y])
+    ys2 = degrade_mp3_roundtrip(ys, SR)
+    assert ys2.shape == ys.shape
+
+
+def test_mp3_ingestion_load_audio(tmp_path, rng):
+    """.mp3 files decode through load_audio without ffmpeg (reference
+    ingests mp3 sources via librosa, analyzesongs.ipynb cell 7)."""
+    from adx_tpu.io.audio_io import load_audio
+    from adx_tpu.io.mp3 import encode_mp3, have_mp3
+
+    if not have_mp3():
+        pytest.skip("mp3 codec libraries not in this image")
+    n = SR * 2
+    t = np.arange(n) / SR
+    y = (0.3 * np.sin(2 * np.pi * 523 * t)).astype(np.float32)
+    p = tmp_path / "tone.mp3"
+    p.write_bytes(encode_mp3(y, SR))
+    out, sr = load_audio(p, sr=SR, duration=1.0)
+    assert sr == SR and out.shape == (SR,)
+    assert np.corrcoef(out[100:4196], y[100:4196])[0, 1] > 0.98
+
+
+def test_pipeline_mp3_arm(tmp_path, rng):
+    from adx_tpu.dataprep.pipeline import run_pipeline
+    from adx_tpu.io.audio_io import read_wav, write_wav
+    from adx_tpu.io.mp3 import have_mp3
+
+    if not have_mp3():
+        pytest.skip("mp3 codec libraries not in this image")
+    src = tmp_path / "src" / "REAL"
+    n = SR
+    t = np.arange(n) / SR
+    y = 0.2 * np.sin(2 * np.pi * 220 * t) + 0.01 * rng.standard_normal(n)
+    write_wav(src / "song.wav", y.astype(np.float32), SR)
+    out = tmp_path / "out"
+    run_pipeline([str(tmp_path / "src")], out, arms=["mp3_192"])
+    p = out / "minus14" / "mp3_192" / "REAL" / "song.wav"
+    assert p.exists()
+    base, _ = read_wav(out / "minus14" / "base" / "REAL" / "song.wav")
+    deg, _ = read_wav(p)
+    assert deg.shape == base.shape
+    assert not np.allclose(deg, base)  # the arm did real codec work
