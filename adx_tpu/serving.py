@@ -202,35 +202,62 @@ class ExplainBatcher:
     """Coalesce concurrent ``/explain`` requests into multi-track batched
     explanations (VERDICT r2 item 6): arrivals within ``window_ms`` of the
     first (up to ``max_batch``) are answered by ONE pass through the
-    engine's ``*_multi`` sweep programs via ``ExplainService.explain_many``."""
+    engine's ``*_multi`` sweep programs via ``ExplainService.explain_many``.
+
+    The batcher is *upload-aware*: the HTTP handler calls
+    ``upload_started()`` before reading a request body, and ``submit()``
+    retires that mark atomically with the enqueue.  While peer uploads are
+    still being read/decoded the batch is held open for them (bounded by
+    ``max_stall_s``) — a fixed window alone misses real concurrency on the
+    1-core host, where body read + WAV decode serialize on the GIL and skew
+    arrivals by several hundred ms (measured: 2 concurrent 120 s tracks
+    never coalesced at window 150 ms).  With no uploads in flight the
+    remaining fixed window is the only wait, so lone requests pay at most
+    ``window_ms``."""
 
     def __init__(self, service: ExplainService, window_ms: float = 150.0,
-                 max_batch: int = 4):
+                 max_batch: int = 4, max_stall_s: float = 10.0):
         self.service = service
         self.window = window_ms / 1000.0
         self.max_batch = int(max_batch)
+        self.max_stall = float(max_stall_s)
         self.n_batches = 0
         self.n_requests = 0
         self._queue: list = []
+        self._inflight = 0
         self._cv = threading.Condition()
         self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="explainbatcher")
         self._thread.start()
 
-    def submit(self, wave, sr: int, timeout: Optional[float] = None) -> dict:
+    def upload_started(self) -> None:
+        """Mark one request body as being read/decoded; pair with either
+        ``submit(uploaded=True)`` or ``upload_aborted()``."""
+        with self._cv:
+            self._inflight += 1
+
+    def upload_aborted(self) -> None:
+        with self._cv:
+            self._inflight = max(0, self._inflight - 1)
+            self._cv.notify_all()
+
+    def submit(self, wave, sr: int, timeout: Optional[float] = None,
+               uploaded: bool = False) -> dict:
         fut: Future = Future()
         with self._cv:
+            if uploaded:
+                self._inflight = max(0, self._inflight - 1)
             if self._closed:
                 raise RuntimeError("ExplainBatcher is closed")
             self._queue.append((np.asarray(wave, np.float32), int(sr), fut))
-            self._cv.notify()
+            self._cv.notify_all()
         return fut.result(timeout=timeout)
 
     def close(self):
         with self._cv:
             self._closed = True
-            self._cv.notify()
+            self._cv.notify_all()
         self._thread.join(timeout=5.0)
 
     def _run(self):
@@ -241,11 +268,17 @@ class ExplainBatcher:
                 if not self._queue and self._closed:
                     return
                 deadline = time.monotonic() + self.window
+                hard = time.monotonic() + self.max_stall
                 while len(self._queue) < self.max_batch and not self._closed:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
+                    now = time.monotonic()
+                    if now >= hard:
                         break
-                    self._cv.wait(remaining)
+                    if self._inflight > 0:
+                        self._cv.wait(min(hard - now, 0.25))
+                    elif now < deadline:
+                        self._cv.wait(deadline - now)
+                    else:
+                        break
                 batch = self._queue[: self.max_batch]
                 del self._queue[: self.max_batch]
             futs = [fut for _, _, fut in batch]
@@ -307,9 +340,16 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
             if path not in ("/predict", "/explain"):
                 self._send(404, {"error": f"unknown path {self.path!r}"})
                 return
+            # Tell the explain batcher a body is on the wire BEFORE the
+            # (slow, GIL-bound) read+decode so concurrent arrivals coalesce.
+            tracking = path == "/explain" and explain_batcher is not None
+            if tracking:
+                explain_batcher.upload_started()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
+                    if tracking:
+                        explain_batcher.upload_aborted()
                     self._send(400, {"error": "empty body; POST a WAV file"})
                     return
                 raw = self.rfile.read(length)
@@ -322,12 +362,15 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
                 if wave.ndim > 1:
                     wave = wave.mean(axis=-1)
             except Exception as e:  # noqa: BLE001 — malformed client input
+                if tracking:
+                    explain_batcher.upload_aborted()
                 self._send(400, {"error": f"could not decode WAV body: {e}"})
                 return
             if path == "/explain":
                 try:
                     if explain_batcher is not None:
-                        record = explain_batcher.submit(wave, sr)
+                        record = explain_batcher.submit(wave, sr,
+                                                        uploaded=True)
                     else:
                         record = explain_service.explain(wave, sr)
                 except Exception as e:  # noqa: BLE001 — surface compute errors

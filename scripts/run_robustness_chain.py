@@ -76,8 +76,10 @@ def main():
     ap.add_argument("--local-model", default="spectttra-alpha-120s")
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--arms", nargs="*",
-                    default=["resample22k", "noise_snr30", "reverb_room"],
-                    help="Degradation arms (mp3_192 needs ffmpeg — absent here)")
+                    default=["mp3_192", "resample22k", "noise_snr30",
+                             "reverb_room"],
+                    help="Degradation arms (mp3_192 uses the in-process "
+                         "lame/mpg123 codecs, adx_tpu.io.mp3)")
     ap.add_argument("--lufs", nargs="*", type=int, default=[14, 23],
                     help="LUFS bases (minusN)")
     ap.add_argument("--num-samples-lime", type=int, default=500)

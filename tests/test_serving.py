@@ -342,6 +342,62 @@ def test_explain_batcher_coalesces_and_matches_serial():
         srv.server_close()
 
 
+def test_explain_batcher_holds_for_inflight_uploads():
+    """Upload-aware coalescing: an arrival skewed past the fixed window
+    still joins the batch while its body is marked in-flight (the measured
+    hardware failure mode: GIL-serialized decode skews arrivals ~0.5 s, so
+    a 150 ms window alone never coalesces 120 s tracks)."""
+    import time as _time
+
+    from adx_tpu.serving import ExplainBatcher
+
+    class FakeService:
+        def __init__(self):
+            self.batch_sizes = []
+
+        def explain_many(self, items):
+            self.batch_sizes.append(len(items))
+            return [{"i": float(w.sum())} for w, _ in items]
+
+    svc = FakeService()
+    batcher = ExplainBatcher(svc, window_ms=50.0, max_batch=4)
+    try:
+        w = np.ones(8, np.float32)
+
+        # Slow uploader: marks in-flight, then takes 0.4 s (>> window) to
+        # finish "decoding" before submitting.
+        def slow():
+            batcher.upload_started()
+            _time.sleep(0.4)
+            return batcher.submit(w * 2, SR, uploaded=True)
+
+        def fast():
+            batcher.upload_started()
+            return batcher.submit(w, SR, uploaded=True)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_slow = pool.submit(slow)
+            _time.sleep(0.05)  # ensure slow's upload mark lands first
+            f_fast = pool.submit(fast)
+            r_fast, r_slow = f_fast.result(10), f_slow.result(10)
+        assert svc.batch_sizes == [2]
+        assert r_fast["i"] == pytest.approx(8.0)
+        assert r_slow["i"] == pytest.approx(16.0)
+
+        # An aborted upload releases the hold: a lone submit dispatches
+        # as a batch of 1 without waiting out max_stall.
+        batcher.upload_started()
+        batcher.upload_aborted()
+        t0 = _time.monotonic()
+        batcher.submit(w, SR)
+        assert _time.monotonic() - t0 < 2.0
+        assert svc.batch_sizes == [2, 1]
+    finally:
+        batcher.close()
+
+
 def test_post_explain_client_resident_worker(tmp_path):
     """`post_explain` (the --server ad-hoc CLI path) round-trips a WAV file
     through a resident explain worker and matches the in-process service."""
