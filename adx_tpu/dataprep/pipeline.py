@@ -59,9 +59,25 @@ def infer_group_from_path(fp: Path) -> str:
     return "UNKNOWN"
 
 
+_WINDOWS_BAD = str.maketrans({c: "_" for c in '<>:"/\\|?*'})
+
+
+def sanitize_stem(stem: str, max_len: int = 180) -> str:
+    """Windows-safe output stem (notebook cell 7 ``sanitize_stem_windows``):
+    reserved characters and non-printable-ASCII become ``_``, trailing
+    spaces/dots are stripped, over-long names are middle-elided."""
+    safe = stem.translate(_WINDOWS_BAD)
+    safe = "".join(ch if 32 <= ord(ch) <= 126 else "_" for ch in safe)
+    safe = safe.strip().rstrip(" .")
+    if len(safe) > max_len:
+        half = max_len // 2 - 2
+        safe = safe[:half] + "__" + safe[-half:]
+    return safe
+
+
 def _save_16bit(out_dir: Path, name: str, y: np.ndarray, sr: int, dither: bool = True) -> Path:
     out_dir.mkdir(parents=True, exist_ok=True)
-    out = out_dir / (Path(name).stem + ".wav")
+    out = out_dir / (sanitize_stem(Path(name).stem) + ".wav")
     y_out = tpdf_dither(y, 16) if dither else y
     write_wav(out, np.clip(y_out, -1.0, 1.0), sr)
     return out

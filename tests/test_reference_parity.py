@@ -512,3 +512,101 @@ def test_expand_band_level_results_parity():
         SimpleNamespace(), df.iloc[1:2]
     )
     assert empty_got.empty and empty_want.empty
+
+
+# ---------------------------------------------------------------------------
+# Notebook cell 7 (dataprep) pure-numpy surfaces
+# ---------------------------------------------------------------------------
+
+REF_NB = Path("/root/reference/Notebooks/0. AnalyzeSongs/analyzesongs.ipynb")
+
+
+def _load_notebook_defs(names, extra=None):
+    """AST-extract named defs from the dataprep notebook's code cells."""
+    import json as _json
+
+    nb = _json.loads(REF_NB.read_text())
+    src = "\n\n".join(
+        "".join(c["source"]) for c in nb["cells"] if c["cell_type"] == "code"
+    )
+    ns = {"np": np, "Dict": Dict, "List": List, "Tuple": Tuple,
+          "Optional": Optional}
+    ns.update(extra or {})
+    seen = set()
+    for node in ast.parse(src).body:
+        if isinstance(node, ast.FunctionDef) and node.name in names \
+                and node.name not in seen:
+            seen.add(node.name)
+            exec(compile(ast.get_source_segment(src, node), "nb", "exec"), ns)
+    missing = [n for n in names if n not in ns]
+    assert not missing, f"could not extract {missing} from notebook"
+    return ns
+
+
+@pytest.mark.skipif(not REF_NB.exists(), reason="reference notebook absent")
+def test_sanitize_stem_parity():
+    from adx_tpu.dataprep.pipeline import sanitize_stem
+
+    ref = _load_notebook_defs(["sanitize_stem_windows"])["sanitize_stem_windows"]
+    cases = [
+        "plain_name",
+        'bad<>:"/\\|?*chars',
+        "  spaced  . ",
+        "uniçøde—name",
+        "tab\there",
+        "x" * 300,
+        "mixed  <weird>/name." + "y" * 250,
+    ]
+    for s in cases:
+        assert sanitize_stem(s) == ref(s), s
+    for n in (179, 180, 181, 200):
+        s = "a" * n
+        assert sanitize_stem(s) == ref(s), n
+
+
+@pytest.mark.skipif(not REF_NB.exists(), reason="reference notebook absent")
+def test_degrade_reverb_parity():
+    from adx_tpu.dataprep.degrade import degrade_reverb_synthetic
+
+    import scipy.signal as _sig
+
+    ref = _load_notebook_defs(
+        ["degrade_reverb_synthetic"], extra={"sig": _sig}
+    )["degrade_reverb_synthetic"]
+    rng = np.random.default_rng(3)
+    sr = 22050
+    y = (0.3 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+         + 0.05 * rng.standard_normal(sr)).astype(np.float32)
+    np.testing.assert_array_equal(degrade_reverb_synthetic(y, sr), ref(y, sr))
+    ys = np.stack([y, 0.5 * y])
+    np.testing.assert_array_equal(degrade_reverb_synthetic(ys, sr), ref(ys, sr))
+
+
+@pytest.mark.skipif(not REF_NB.exists(), reason="reference notebook absent")
+def test_degrade_add_noise_parity():
+    """Bit parity under a shared seeded rng (the notebook draws its own
+    unseeded default_rng; pin it in the exec namespace)."""
+    from adx_tpu.dataprep.degrade import degrade_add_noise
+
+    class _PinnedNp:
+        def __getattr__(self, k):
+            return getattr(np, k)
+
+        @property
+        def random(self):
+            class R:
+                @staticmethod
+                def default_rng(*a):
+                    return np.random.default_rng(1234)
+            return R()
+
+    ref = _load_notebook_defs(["degrade_add_noise"], extra={"np": _PinnedNp()})[
+        "degrade_add_noise"
+    ]
+    rng = np.random.default_rng(7)
+    sr = 22050
+    y = (0.2 * np.sin(2 * np.pi * 330 * np.arange(sr) / sr)
+         + 0.02 * rng.standard_normal(sr)).astype(np.float32)
+    want = ref(y, 30)
+    got = degrade_add_noise(y, 30, rng=np.random.default_rng(1234))
+    np.testing.assert_array_equal(got, want)
