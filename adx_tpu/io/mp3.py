@@ -201,6 +201,8 @@ def decode_mp3(data: bytes) -> Tuple[np.ndarray, int]:
             # we fed everything, so any other status ends the stream.
             break
         pcm = np.frombuffer(b"".join(chunks), np.float32)
+        if pcm.size == 0 or rate.value <= 0:
+            raise ValueError("no MP3 frames decoded (not an MP3 stream?)")
         if n_ch.value > 1:
             pcm = pcm.reshape(-1, n_ch.value).T
         return np.ascontiguousarray(pcm), int(rate.value)
