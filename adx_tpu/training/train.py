@@ -144,7 +144,62 @@ def make_train_step(
         labels = jax.device_put(labels, label_sharding)
         return jitted_step(state, waves, labels)
 
+    # Device-resident dataset path: gather the batch + int16→float decode
+    # INSIDE the program (see make_cached_train_step).
+    def cached_step_fn(state: TrainState, waves_i16, labels_all, idx):
+        waves = waves_i16[idx].astype(jnp.float32) * (1.0 / 32768.0)
+        waves = jax.lax.with_sharding_constraint(waves, batch_sharding)
+        labels = jax.lax.with_sharding_constraint(labels_all[idx],
+                                                  label_sharding)
+        return step_fn(state, waves, labels)
+
+    wrapped_step.cached = jax.jit(cached_step_fn, donate_argnums=(0,))
+
     return init_fn, wrapped_step, shard_state
+
+
+class DeviceDataCache(NamedTuple):
+    """A whole training set resident in HBM: ``waves_i16 [N, n_samples]``
+    (int16 — exact for 16-bit-PCM sources, ≲3e-5 quantization otherwise)
+    and ``labels [N]`` float32, both replicated over the mesh."""
+
+    waves_i16: Any
+    labels: Any
+    n: int
+
+
+def upload_device_cache(mesh: Mesh, waves, labels) -> DeviceDataCache:
+    """Ship the dataset to the devices ONCE as int16.
+
+    On the axon tunnel (~18 MB/s) a single f32 [8, 5.3M] batch costs ~9 s
+    of H2D per step; a 48-track 120 s dataset is ~508 MB once as int16,
+    after which every step is pure device compute."""
+    import numpy as np
+
+    waves = np.asarray(waves, np.float32)
+    q = np.clip(np.round(waves * 32768.0), -32768, 32767).astype(np.int16)
+    rep = NamedSharding(mesh, P())
+    return DeviceDataCache(
+        jax.device_put(q, rep),
+        jax.device_put(np.asarray(labels, np.float32), rep),
+        len(labels),
+    )
+
+
+def make_cached_train_step(cfg: ModelConfig, mesh: Mesh, **kwargs):
+    """``make_train_step`` over a :class:`DeviceDataCache`.
+
+    Returns ``(init_fn, cached_step, shard_state)`` where
+    ``cached_step(state, cache, idx [B]) -> (state, loss)`` gathers batch
+    ``idx`` from the resident dataset and decodes int16→float inside the
+    jitted program — zero per-step host↔device traffic."""
+    init_fn, step, shard_state = make_train_step(cfg, mesh, **kwargs)
+
+    def cached_step(state, cache: DeviceDataCache, idx):
+        return step.cached(state, cache.waves_i16, cache.labels,
+                           jnp.asarray(idx, jnp.int32))
+
+    return init_fn, cached_step, shard_state
 
 
 def make_eval_step(cfg: ModelConfig, mesh: Mesh, dtype=jnp.float32):

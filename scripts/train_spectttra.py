@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     ap.add_argument("--save-every", type=int, default=200)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument(
+        "--device-cache", choices=["auto", "on", "off"], default="auto",
+        help="Keep the whole training set resident in HBM as int16 and "
+             "gather batches inside the jitted step (zero per-step H2D; "
+             "'auto' enables it when the dataset fits in ~4 GB)")
     args = ap.parse_args()
 
     cfg = tiny_test_config() if args.model in ("tiny", "spectttra-tiny") else resolve_preset(args.model)
@@ -79,10 +84,37 @@ def main():
     )
     print(f"Dataset: {len(items)} files ({len(train_items)} train / "
           f"{len(val_items)} val)")
-    batches = batch_iterator(
-        train_items, args.batch_size, cfg.audio.n_samples,
-        cfg.audio.sample_rate,
+    cache_bytes = len(train_items) * cfg.audio.n_samples * 2
+    use_cache = args.device_cache == "on" or (
+        args.device_cache == "auto" and 0 < cache_bytes <= 4 << 30
+        and len(train_items) >= args.batch_size
     )
+    if use_cache:
+        from adx_tpu.training.train import upload_device_cache
+
+        print(f"Uploading device-resident dataset: {len(train_items)} tracks "
+              f"({cache_bytes / 1e6:.0f} MB int16, one-time H2D)…")
+        host_batches = batch_iterator(
+            train_items, len(train_items), cfg.audio.n_samples,
+            cfg.audio.sample_rate, shuffle=False, epochs=1,
+        )
+        all_data = next(host_batches)
+        cache = upload_device_cache(mesh, all_data["wave"], all_data["label"])
+        rng = np.random.default_rng(0)
+
+        def cached_batches():
+            while True:
+                order = rng.permutation(len(train_items))
+                for lo in range(0, len(order) - args.batch_size + 1,
+                                args.batch_size):
+                    yield order[lo: lo + args.batch_size]
+
+        batches = cached_batches()
+    else:
+        batches = batch_iterator(
+            train_items, args.batch_size, cfg.audio.n_samples,
+            cfg.audio.sample_rate,
+        )
     eval_fn = make_eval_step(cfg, mesh, dtype=dtype) if val_items else None
 
     def run_eval(params):
@@ -101,7 +133,12 @@ def main():
     for step, batch in enumerate(batches):
         if step >= args.steps:
             break
-        state, loss = step_fn(state, batch["wave"], batch["label"])
+        if use_cache:
+            state, loss = step_fn.cached(state, cache.waves_i16,
+                                         cache.labels,
+                                         np.asarray(batch, np.int32))
+        else:
+            state, loss = step_fn(state, batch["wave"], batch["label"])
         losses.append(float(loss))
         if step % 10 == 0:
             rate = (step + 1) * args.batch_size / (time.time() - t0)

@@ -187,3 +187,38 @@ def test_train_val_split_stratified():
     train2, val2 = train_val_split([("a", 0.0), ("b", 0.0), ("c", 1.0)], 0.5)
     assert ("c", 1.0) in train2 + val2
     assert any(l == 0.0 for _, l in train2)
+
+
+def test_cached_train_step_matches_plain():
+    """Device-resident dataset path ≡ host-batch path: same params after a
+    step on the same batch (int16 quantization applied to both inputs)."""
+    from adx_tpu.training.train import make_cached_train_step, upload_device_cache
+
+    cfg = tiny_test_config()
+    mesh = training_mesh(n_data=4, n_model=2)
+    init_fn, step_fn, shard_state = make_train_step(cfg, mesh, learning_rate=3e-4)
+    _, cached_step, _ = make_cached_train_step(cfg, mesh, learning_rate=3e-4)
+
+    rng = np.random.default_rng(3)
+    n = cfg.audio.n_samples
+    waves = rng.standard_normal((12, n)).astype(np.float32) * 0.2
+    # quantize exactly as the cache does so both paths see identical data
+    waves = np.clip(np.round(waves * 32768.0), -32768, 32767) / 32768.0
+    waves = waves.astype(np.float32)
+    labels = (np.arange(12) % 2).astype(np.float32)
+
+    sample = jnp.zeros((1, n), jnp.float32)
+    state_a = shard_state(init_fn(jax.random.key(1), sample))
+    state_b = shard_state(init_fn(jax.random.key(1), sample))
+
+    cache = upload_device_cache(mesh, waves, labels)
+    idx = np.array([2, 5, 7, 1, 9, 0, 4, 11], np.int32)
+
+    state_a, loss_a = step_fn(state_a, waves[idx], labels[idx])
+    state_b, loss_b = cached_step(state_b, cache, idx)
+
+    assert float(loss_a) == float(loss_b)
+    da = jax.tree.leaves(state_a.params)
+    db = jax.tree.leaves(state_b.params)
+    for a, b in zip(da, db):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
