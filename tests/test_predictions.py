@@ -145,10 +145,17 @@ def test_load_audio_mp3_error_names_ffmpeg(tmp_path):
     bad = tmp_path / "x.mp3"
     bad.write_bytes(b"\x00\x01")
     import shutil as _sh
-    if _sh.which("ffmpeg"):
+    from adx_tpu.io.mp3 import have_mp3
+    if have_mp3():
+        # In-process codec path: undecodable bytes must raise, not return
+        # empty audio (see io/mp3.py::decode_mp3).
+        with pytest.raises(ValueError, match="no MP3 frames"):
+            load_audio(bad, sr=SR)
+    elif _sh.which("ffmpeg"):
         pytest.skip("ffmpeg present; gate not exercised")
-    with pytest.raises(RuntimeError, match="ffmpeg"):
-        load_audio(bad, sr=SR)
+    else:
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            load_audio(bad, sr=SR)
 
 
 def test_run_sonics_predictions_sharded_merges_to_single(predictor, dataset, tmp_path):
