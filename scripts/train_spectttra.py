@@ -129,6 +129,7 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
     losses = []
+    step_done = []  # wall clock after each step's loss sync (float() is a D2H)
     best_val = float("inf")
     for step, batch in enumerate(batches):
         if step >= args.steps:
@@ -140,6 +141,7 @@ def main():
         else:
             state, loss = step_fn(state, batch["wave"], batch["label"])
         losses.append(float(loss))
+        step_done.append(time.time())
         if step % 10 == 0:
             rate = (step + 1) * args.batch_size / (time.time() - t0)
             print(f"step {step:5d}  loss {np.mean(losses[-10:]):.4f}  {rate:.1f} ex/s")
@@ -156,6 +158,22 @@ def main():
         if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
             _save_checkpoint(state, out_dir / f"step_{step+1:06d}")
     print(f"Done: {len(losses)} steps, final loss {np.mean(losses[-10:]):.4f}")
+    if len(step_done) > 2:
+        # Steady state excludes step 0 (compile) and any step whose wall
+        # time includes an eval/checkpoint pause (median is robust to those).
+        dt = float(np.median(np.diff(step_done)))
+        # Train FLOPs ≈ 3× forward (fwd + 2× bwd) on the encoder stack —
+        # same analytic MAC count as bench.py's MFU floor.
+        m = cfg.model
+        d_ff = int(m.embed_dim * m.mlp_ratio)
+        macs = (4 * cfg.n_tokens * m.embed_dim ** 2
+                + 2 * cfg.n_tokens ** 2 * m.embed_dim
+                + 2 * cfg.n_tokens * m.embed_dim * d_ff) * m.num_layers
+        train_tflops = 3 * 2 * macs * args.batch_size / 1e12
+        print(f"steady-state: {dt * 1e3:.0f} ms/step, "
+              f"{args.batch_size / dt:.2f} ex/s, "
+              f"~{train_tflops / dt:.1f} TF/s "
+              f"({100 * train_tflops / dt / 197.0:.1f}% of v5e bf16 peak)")
 
 
 def _save_checkpoint(state, path: Path):
