@@ -105,6 +105,9 @@ def encode_mp3(y: np.ndarray, sr: int, bitrate_kbps: int = 192) -> bytes:
         raise RuntimeError("libmp3lame is not available")
     y = np.asarray(y, np.float32)
     if y.ndim == 1:
+        # The encode loop does raw pointer arithmetic — a strided view
+        # would be read as if contiguous and encode the wrong samples.
+        y = np.ascontiguousarray(y)
         chans = [y, y]
         n_ch = 1
     elif y.ndim == 2 and y.shape[0] in (1, 2):
