@@ -610,3 +610,119 @@ def test_degrade_add_noise_parity():
     want = ref(y, 30)
     got = degrade_add_noise(y, 30, rng=np.random.default_rng(1234))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not REF_NB.exists(), reason="reference notebook absent")
+def test_apply_gain_and_soft_limiter_parity():
+    from adx_tpu.dataprep.loudness import apply_gain, soft_limiter
+
+    ns = _load_notebook_defs(["apply_gain", "soft_limiter"])
+    rng = np.random.default_rng(3)
+    y = (rng.standard_normal(4096) * 1.4).astype(np.float64)
+    np.testing.assert_array_equal(apply_gain(y, -3.7), ns["apply_gain"](y, -3.7))
+    for ceiling, knee in ((-1.0, 1.0), (-0.5, 2.0)):
+        np.testing.assert_array_equal(
+            soft_limiter(y, ceiling_dbfs=ceiling, knee_db=knee),
+            ns["soft_limiter"](y, ceiling_dbfs=ceiling, knee_db=knee),
+        )
+
+
+@pytest.mark.skipif(not REF_NB.exists(), reason="reference notebook absent")
+def test_tpdf_dither_parity():
+    from adx_tpu.dataprep.loudness import tpdf_dither
+
+    ref = _load_notebook_defs(["tpdf_dither"])["tpdf_dither"]
+    y = np.linspace(-0.9, 0.9, 2048).astype(np.float64)
+    for depth in (16, 24, 32):
+        np.random.seed(99)
+        want = ref(y, bit_depth=depth)
+        np.random.seed(99)
+        got = tpdf_dither(y, bit_depth=depth)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not REF_NB.exists(), reason="reference notebook absent")
+def test_infer_group_from_path_parity():
+    from adx_tpu.dataprep.pipeline import KNOWN_GROUPS, infer_group_from_path
+
+    ref_ns = _load_notebook_defs(
+        ["infer_group_from_path"],
+        extra={"KNOWN_GROUPS": list(KNOWN_GROUPS), "Path": Path},
+    )
+    ref = ref_ns["infer_group_from_path"]
+    cases = [
+        "/data/REAL/a/b.wav", "/data/real/x.wav", "/d/SUNO_PRO/t.wav",
+        "/d/SUNO/t.wav", r"C:\music\UDIO\y.wav", "/d/ElevenLabs/z.wav",
+        "/d/elevenlabs/z.wav", "/d/unrelated/z.wav", "/d/SUNOx/z.wav",
+    ]
+    for c in cases:
+        assert infer_group_from_path(Path(c)) == ref(Path(c)), c
+    # SUNO_PRO must win over its SUNO substring (list order contract)
+    assert infer_group_from_path(Path("/d/SUNO_PRO/s.wav")) == "SUNO_PRO"
+
+
+@pytest.mark.skipif(not REF_NB.exists(), reason="reference notebook absent")
+def test_true_peak_dbtp_parity():
+    """Formula parity modulo the resampler: the notebook's librosa
+    kaiser_best upsample is stubbed with our polyphase resampler on BOTH
+    sides, so max/abs/log math and the channel reduction must agree
+    bit-for-bit."""
+    from types import SimpleNamespace
+
+    from adx_tpu.dataprep.loudness import true_peak_dbtp
+    from adx_tpu.ops.audio import resample_poly
+
+    fake_librosa = SimpleNamespace(
+        resample=lambda x, orig_sr, target_sr, res_type=None: resample_poly(
+            np.asarray(x, np.float32), orig_sr, target_sr
+        )
+    )
+    ref = _load_notebook_defs(
+        ["true_peak_dbtp"], extra={"librosa": fake_librosa}
+    )["true_peak_dbtp"]
+    sr = 22050
+    t = np.arange(sr) / sr
+    mono = (0.7 * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    stereo = np.stack([mono, 0.5 * mono])
+    for y in (mono, stereo):
+        assert true_peak_dbtp(y, sr) == ref(y, sr)
+    assert ref(np.zeros(1024, np.float32), sr) == -np.inf
+    assert true_peak_dbtp(np.zeros(1024, np.float32), sr) == -np.inf
+
+
+@pytest.mark.skipif(not REF_NB.exists(), reason="reference notebook absent")
+def test_normalize_to_lufs_with_tp_parity():
+    """Control-flow parity of the LUFS+TP normalize loop: the reference
+    logic is exec'd with OUR meter/TP/limiter primitives injected, so any
+    divergence isolates to the orchestration (gain math, limit decisions,
+    ±trim threshold, telemetry dict)."""
+    from typing import Any
+
+    from adx_tpu.dataprep import loudness as L
+
+    ns = _load_notebook_defs(
+        ["normalize_to_lufs_with_tp", "apply_gain", "soft_limiter"],
+        extra={
+            "Any": Any,
+            "integrated_lufs": L.integrated_lufs,
+            "to_mono": L.to_mono,
+            "true_peak_dbtp": L.true_peak_dbtp,
+        },
+    )
+    ref = ns["normalize_to_lufs_with_tp"]
+    sr = 44100
+    rng = np.random.default_rng(11)
+    t = np.arange(3 * sr) / sr
+    # loud near-full-scale content → triggers the limiter branch
+    loud = (0.95 * np.sin(2 * np.pi * 220 * t)
+            + 0.05 * rng.standard_normal(3 * sr)).astype(np.float64)
+    # quiet content → pure-gain branch (+ possible trim)
+    quiet = (0.01 * np.sin(2 * np.pi * 330 * t)).astype(np.float64)
+    for y, target in ((loud, -14.0), (quiet, -14.0), (loud, -23.0)):
+        want_y, want_info = ref(y, sr, target)
+        got_y, got_info = L.normalize_to_lufs_with_tp(y, sr, target)
+        np.testing.assert_array_equal(got_y, want_y)
+        assert set(want_info) <= set(got_info)
+        for k in want_info:
+            np.testing.assert_allclose(got_info[k], want_info[k], rtol=0,
+                                       atol=0)
