@@ -69,6 +69,38 @@ def main():
 
     import jax
 
+    # Fail fast (not forever) when the accelerator pool is unreachable:
+    # FIRST backend init blocks indefinitely during a pool outage (observed
+    # live: 2 h+ of UNAVAILABLE on the axon tunnel). Run the init in a
+    # watchdog thread so the driver records a clear failure instead of a
+    # hang; a healthy boot (worst measured first-touch ~9 min) is unaffected.
+    import os
+    import threading
+
+    init_done = threading.Event()
+    init_err: list = []
+
+    def _init_backend():
+        try:
+            jax.devices()
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            init_err.append(e)
+        finally:
+            init_done.set()
+
+    threading.Thread(target=_init_backend, daemon=True).start()
+    budget_s = float(os.environ.get("ADX_BENCH_INIT_TIMEOUT_S", "2400"))
+    if not init_done.wait(budget_s):
+        print(
+            f"bench: backend init did not complete within {budget_s:.0f} s "
+            "(accelerator pool unreachable?) — aborting",
+            file=sys.stderr,
+        )
+        os._exit(1)
+    if init_err:
+        print(f"bench: backend init failed: {init_err[0]}", file=sys.stderr)
+        os._exit(1)
+
     if cli.dtype == "f32":
         from adx_tpu.predict import enable_fidelity_mode
 
