@@ -21,10 +21,13 @@ def degrade_mp3_roundtrip(y: np.ndarray, sr: int, bitrate: str = "192k") -> np.n
     codecs (``adx_tpu.io.mp3`` — the same encoder/decoder ffmpeg wraps),
     falling back to an ffmpeg binary if present, else to the notebook's
     graceful "return input unchanged"."""
-    kbps = int(str(bitrate).rstrip("kK"))
     try:
         from adx_tpu.io.mp3 import have_mp3, mp3_roundtrip
 
+        # parse inside the fallback chain: a non-"<int>k" bitrate spelling
+        # must degrade gracefully like every other failure here, not abort
+        # the dataprep arm
+        kbps = int(str(bitrate).rstrip("kK"))
         if have_mp3():
             return mp3_roundtrip(y, sr, kbps)
     except Exception as e:  # noqa: BLE001 — fall through to ffmpeg/identity

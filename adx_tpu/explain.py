@@ -259,7 +259,7 @@ def explain_tracks(
     t_start = time.time()
     waves: list = []
     names: list = []
-    for tr in tracks:
+    for ti, tr in enumerate(tracks):
         if isinstance(tr, (str, Path)):
             y_host, _ = load_audio(tr, sr=sr, duration=duration, mono=True)
             waves.append(y_host)
@@ -267,7 +267,10 @@ def explain_tracks(
         else:
             y_host = np.asarray(tr, np.float32)[: int(round(duration * sr))]
             waves.append(y_host)
-            names.append((None, ""))
+            # unique stem per raw-waveform input so out_dir writes don't
+            # overwrite each other (path inputs keep their file stem)
+            names.append((None, f"track_{ti:03d}"))
+    decode_s = round(time.time() - t_start, 3)
 
     bands = FREQUENCY_BAND_PRESETS[band_preset]
     gains = _cached_gains(sr, n_fft, band_preset, attenuation)
@@ -280,6 +283,7 @@ def explain_tracks(
         by_len.setdefault(len(w), []).append(i)
 
     for idx in by_len.values():
+        g_start = time.time()
         stage_s: dict = {}
         t_stage = time.time()
         # ship the group's waves H2D ONCE (int16 where PCM-representable);
@@ -333,7 +337,9 @@ def explain_tracks(
         probs_list = engine.stem_mix_probs_multi(stems_stack, [data] * len(idx))
         stage_s["lime"] = round(time.time() - t_stage, 3)
 
-        batch_elapsed = time.time() - t_start
+        # per-group elapsed only — decode time for the whole call is
+        # reported separately so later groups don't absorb earlier sweeps
+        batch_elapsed = time.time() - g_start
         for j, i in enumerate(idx):
             baseline = float(baselines[j])
             f = factorizations[j]
@@ -365,6 +371,7 @@ def explain_tracks(
                 "num_samples": num_samples_lime,
             }
             record["explain_seconds"] = batch_elapsed
+            record["decode_seconds"] = decode_s
             record["stage_seconds"] = stage_s
             record["batch_size"] = len(idx)
             if out_dir is not None:

@@ -30,6 +30,24 @@ _CACHE_DIR = Path(
 )
 
 _lib_cache: dict = {}
+_arch_tag: Optional[bytes] = None
+
+
+def _native_arch_tag() -> bytes:
+    """Hashable fingerprint of what ``-march=native`` compiles to here."""
+    global _arch_tag
+    if _arch_tag is None:
+        try:
+            out = subprocess.run(
+                ["g++", "-march=native", "-dM", "-E", "-x", "c++", "-"],
+                stdin=subprocess.DEVNULL, capture_output=True, timeout=30,
+            ).stdout
+            _arch_tag = hashlib.sha256(out).hexdigest()[:16].encode()
+        except Exception:
+            import platform
+
+            _arch_tag = platform.machine().encode() or b"unknown"
+    return _arch_tag
 
 
 def _build_shared(src_name: str) -> Optional[ctypes.CDLL]:
@@ -44,7 +62,12 @@ def _build_shared(src_name: str) -> Optional[ctypes.CDLL]:
     try:
         src = _SRC_DIR / src_name
         code = src.read_bytes()
-        tag = hashlib.sha256(code).hexdigest()[:16]
+        # key by the compiler's resolved -march=native ISA too: a binary
+        # built on one machine would SIGILL on a weaker one sharing the
+        # cache dir (e.g. NFS homes); the -dM macro dump captures every
+        # ISA define (AVX level etc.), unlike platform.machine()
+        arch = _native_arch_tag()
+        tag = hashlib.sha256(code + b"\0" + arch).hexdigest()[:16]
         _CACHE_DIR.mkdir(parents=True, exist_ok=True)
         so_path = _CACHE_DIR / f"{src.stem}-{tag}.so"
         if not so_path.exists():

@@ -1020,13 +1020,34 @@ class PerturbationEngine:
             return jnp.stack([self.to_device_wave(y) for y in tracks])
         return self.to_device_wave(tracks)
 
-    def analyze_and_baseline_multi(self, tracks):
-        """[T] tracks → (S stack, S_db stack, baseline probs ``[T]``) in
-        ONE dispatch. Per-track ``ref=max`` dB semantics are preserved
-        (vmapped analyze), so row t equals ``analyze_and_baseline(y_t)``."""
+    def analyze_and_baseline_multi(self, tracks, track_batch: Optional[int] = None):
+        """[T] tracks → (S stack, S_db stack, baseline probs ``[T]``).
+        Per-track ``ref=max`` dB semantics are preserved (vmapped analyze),
+        so row t equals ``analyze_and_baseline(y_t)``.
+
+        ``track_batch`` (default 4) bounds how many tracks' STFT buffers +
+        classifier attention working sets coexist in one dispatch — the
+        same HBM guard as :meth:`fbp_probs_multi`; FBP's per-file
+        precompute routes T files × 4 components through here, so an
+        unbounded vmap would scale the transient working set with the
+        dataset. Tail groups repeat the last track so one traced program
+        serves every dispatch."""
         ys = self.stack_waves(tracks)
+        T = int(ys.shape[0])
+        tb = max(1, min(track_batch or 4, T))
         with self.profiler.section("Computing spectrogram"):
-            S, S_db, probs = self._analyze_baseline_multi(ys)
+            if tb >= T:
+                S, S_db, probs = self._analyze_baseline_multi(ys)
+            else:
+                parts = []
+                for grp in self._track_groups(T, tb):
+                    ii = jnp.asarray(grp)
+                    parts.append(
+                        self._analyze_baseline_multi(jnp.take(ys, ii, axis=0))
+                    )
+                S = jnp.concatenate([p[0] for p in parts])[:T]
+                S_db = jnp.concatenate([p[1] for p in parts])[:T]
+                probs = jnp.concatenate([p[2] for p in parts])[:T]
             S.block_until_ready()
         probs = np.asarray(probs)
         self.profiler.count("perturbation_forwards", len(probs))
@@ -1106,13 +1127,18 @@ class PerturbationEngine:
         self.profiler.count("perturbation_forwards", T * n)
         return out
 
-    def stem_mix_probs_multi(self, stems_stack, rows_list) -> list:
-        """LIME sweeps of ``[T]`` tracks' stems in one batched program.
+    def stem_mix_probs_multi(
+        self, stems_stack, rows_list, track_batch: Optional[int] = None,
+    ) -> list:
+        """LIME sweeps of ``[T]`` tracks' stems in batched programs.
 
         Each track's mask rows are deduped exactly as in
         :meth:`stem_mix_probs` (≤ 2^S distinct rows behind LIME's design
         matrix); the per-track unique rows are padded to one common
         power-of-two width so a single vmapped program serves all tracks.
+        ``track_batch`` (default 4) bounds how many tracks' stem buffers +
+        mix forwards coexist per dispatch (the same HBM guard as the other
+        ``*_multi`` APIs — each 120 s track carries 4 full-length stems).
         Returns a list of per-input-row probability vectors."""
         T = len(rows_list)
         uniqs, invs = [], []
@@ -1129,10 +1155,20 @@ class PerturbationEngine:
             rows_pad[t, : len(u)] = u
         stems_d = (stems_stack if isinstance(stems_stack, jax.Array)
                    else jnp.asarray(np.asarray(stems_stack), jnp.float32))
+        rows_d = jnp.asarray(rows_pad)
+        tb = max(1, min(track_batch or 4, T))
         with self.profiler.section("Predicting audio"):
-            probs = np.asarray(
-                self._stem_mix_multi(stems_d, jnp.asarray(rows_pad), chunk)
-            )
+            if tb >= T:
+                probs = np.asarray(self._stem_mix_multi(stems_d, rows_d, chunk))
+            else:
+                parts = []
+                for grp in self._track_groups(T, tb):
+                    ii = jnp.asarray(grp)
+                    parts.append(np.asarray(self._stem_mix_multi(
+                        jnp.take(stems_d, ii, axis=0),
+                        jnp.take(rows_d, ii, axis=0), chunk,
+                    )))
+                probs = np.concatenate(parts)[:T]
         self.profiler.count("perturbation_forwards",
                             int(sum(len(u) for u in uniqs)))
         return [probs[t, : len(uniqs[t])][invs[t]] for t in range(T)]

@@ -173,17 +173,24 @@ class ExplainService:
         """Batched explanation of ``[(wave, sr), ...]`` — the track axis is
         folded into the engine's multi-track sweep programs
         (``adx_tpu.explain.explain_tracks``), so T coalesced requests cost
-        far less than T serial ones. Waves are resampled host-side to the
-        engine rate first (the same polyphase the file decode path uses)."""
+        far less than T serial ones. Each wave takes the SAME PCM16
+        quantize→dequantize→polyphase-resample trip the serial
+        :meth:`explain` path takes through its temp WAV, so a request
+        returns identical numbers whether or not it happened to coalesce."""
         from adx_tpu.explain import explain_tracks
         from adx_tpu.io.results import convert_to_native
         from adx_tpu.ops.audio import resample_poly
 
         target_sr = int(self.kwargs.get("sr", 44100))
-        waves = [
-            resample_poly(np.asarray(w, np.float32), int(sr), target_sr)
-            for w, sr in items
-        ]
+        waves = []
+        for w, sr in items:
+            w = np.asarray(w, np.float32)
+            # in-memory twin of write_wav(PCM_16) + read_wav
+            w = np.clip(np.round(w * 32767.0), -32768, 32767).astype(
+                np.int16).astype(np.float32) / 32768.0
+            if int(sr) != target_sr:
+                w = resample_poly(w, int(sr), target_sr)
+            waves.append(w)
         with self._lock:
             self._get_engine()
             records = explain_tracks(
@@ -458,13 +465,21 @@ def make_server(
 
 
 def wav_bytes(y: np.ndarray, sr: int) -> bytes:
-    """Encode a float waveform as in-memory 16-bit PCM WAV bytes."""
+    """Encode a float waveform as in-memory 16-bit PCM WAV bytes.
+
+    Multi-channel input (``[ch, n]`` or ``[n, ch]``) is downmixed to mono
+    first — the server's decode path works on mono, and writing a
+    ``[ch, n]`` buffer as one channel would interleave whole channels
+    back-to-back (double-length garbage audio)."""
     import struct
     import wave as _wave
 
+    y = np.asarray(y, np.float32)
+    if y.ndim > 1:
+        y = y.mean(axis=0 if y.shape[0] < y.shape[-1] else -1)
     # same quantization as io.audio_io.write_wav (round, not truncate)
     pcm = np.clip(
-        np.round(np.asarray(y, np.float32) * 32767.0), -32768, 32767
+        np.round(y * 32767.0), -32768, 32767
     ).astype("<i2")
     buf = io.BytesIO()
     with _wave.open(buf, "wb") as w:

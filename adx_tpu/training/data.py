@@ -52,11 +52,18 @@ def batch_iterator(
     shuffle: bool = True,
     seed: int = 0,
     epochs: Optional[int] = None,
+    drop_last: bool = True,
 ) -> Iterator[dict]:
     """Decode → resample to the model rate → fix length → fixed-shape batches.
 
     Decoding happens on host while the previous batch trains on device (the
     natural pipeline from Python's eager loop + JAX async dispatch).
+
+    ``drop_last=True`` (the default) keeps every batch exactly
+    ``batch_size`` wide — the jitted train step needs fixed shapes.  Eval
+    passes ``drop_last=False`` so the tail items still count: the final
+    batch is then narrower than ``batch_size`` (``eval_fn`` pads to the
+    data axis itself and trims per-example outputs, so no item is lost).
     """
     from adx_tpu.ops.audio import resample_poly
 
@@ -66,10 +73,12 @@ def batch_iterator(
         order = np.arange(len(items))
         if shuffle:
             rng.shuffle(order)
-        for lo in range(0, len(order) - batch_size + 1, batch_size):
-            waves = np.zeros((batch_size, n_samples), np.float32)
-            labels = np.zeros((batch_size,), np.float32)
-            for bi, idx in enumerate(order[lo : lo + batch_size]):
+        stop = len(order) - batch_size + 1 if drop_last else len(order)
+        for lo in range(0, max(stop, 0), batch_size):
+            width = min(batch_size, len(order) - lo)
+            waves = np.zeros((width, n_samples), np.float32)
+            labels = np.zeros((width,), np.float32)
+            for bi, idx in enumerate(order[lo : lo + width]):
                 path, label = items[idx]
                 y, _ = load_audio(path, sr=input_sr, mono=True)
                 if input_sr != sr:

@@ -121,7 +121,7 @@ def main():
         val_batches = batch_iterator(
             val_items, min(args.batch_size, len(val_items)),
             cfg.audio.n_samples, cfg.audio.sample_rate,
-            shuffle=False, epochs=1,
+            shuffle=False, epochs=1, drop_last=False,
         )
         return evaluate(eval_fn, params, val_batches)
 

@@ -171,6 +171,22 @@ def test_mp3_roundtrip_native_codec(rng):
     assert ys2.shape == ys.shape
 
 
+def test_mp3_roundtrip_bad_bitrate_degrades_gracefully(rng, capsys):
+    """A non-'<int>k' bitrate spelling must fall through the warning chain
+    (the notebook's graceful fallback), never raise out of the dataprep arm."""
+    from adx_tpu.dataprep.degrade import degrade_mp3_roundtrip
+
+    import shutil
+
+    y = (0.1 * rng.standard_normal(SR)).astype(np.float32)
+    y2 = degrade_mp3_roundtrip(y, SR, bitrate="192kbps")
+    assert "Warning" in capsys.readouterr().out
+    if shutil.which("ffmpeg") is None:
+        np.testing.assert_array_equal(y2, y)  # identity fallback, not a crash
+    else:  # an ffmpeg that tolerates the spelling may return lossy audio
+        assert y2.shape == y.shape
+
+
 def test_mp3_ingestion_load_audio(tmp_path, rng):
     """.mp3 files decode through load_audio without ffmpeg (reference
     ingests mp3 sources via librosa, analyzesongs.ipynb cell 7)."""

@@ -447,6 +447,16 @@ def test_analyze_baseline_multi_matches_single(engine, tracks):
         assert abs(probs_m[t] - prob) < 1e-5
 
 
+def test_analyze_baseline_multi_track_batched(engine, tracks):
+    # track_batch 2 over 3 tracks exercises the HBM-bounded group path
+    # (incl. the repeated-tail padding) — must equal the one-dispatch result
+    S_m, Sdb_m, probs_m = engine.analyze_and_baseline_multi(tracks)
+    S_b, Sdb_b, probs_b = engine.analyze_and_baseline_multi(tracks, track_batch=2)
+    np.testing.assert_allclose(np.asarray(S_b), np.asarray(S_m), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Sdb_b), np.asarray(Sdb_m), atol=1e-5)
+    np.testing.assert_allclose(probs_b, probs_m, atol=1e-6)
+
+
 def test_fbp_probs_multi_matches_single(engine, tracks):
     from adx_tpu.ops import band_gain_matrix, fft_frequencies
 
@@ -492,3 +502,7 @@ def test_stem_mix_probs_multi_matches_single(engine, tracks):
     for t in range(len(tracks)):
         p = engine.stem_mix_probs(stems_stack[t], rows_list[t])
         np.testing.assert_allclose(out[t], p, atol=2e-5)
+    # HBM-bounded track groups (2 over 3 → repeated-tail pad) are exact
+    out_b = engine.stem_mix_probs_multi(stems_stack, rows_list, track_batch=2)
+    for t in range(len(tracks)):
+        np.testing.assert_allclose(out_b[t], out[t], atol=1e-6)

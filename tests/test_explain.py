@@ -92,6 +92,46 @@ def test_explain_tracks_matches_single(tmp_path, rng):
         assert (tmp_path / "out" / f"{multi['track_stem']}_explanation.json").exists()
     # the two full-length tracks shared one batch; the short one ran alone
     assert [m["batch_size"] for m in multis] == [2, 2, 1]
+    # per-record timing is per-GROUP elapsed, not cumulative across groups:
+    # each group's stages nest inside its own window, and the groups'
+    # windows are disjoint (a cumulative clock would double-count group 1
+    # inside group 2's figure)
+    group_elapsed = {m["explain_seconds"] for m in multis}
+    assert len(group_elapsed) == 2  # one figure per length group
+    for m in multis:
+        assert m["explain_seconds"] >= sum(m["stage_seconds"].values()) - 0.05
+        assert "decode_seconds" in m
+    total_wall = sum(group_elapsed) + multis[0]["decode_seconds"]
+    for m in multis:
+        assert m["explain_seconds"] < total_wall
+
+
+def test_explain_tracks_waveform_inputs_get_unique_stems(tmp_path, rng):
+    """Raw-waveform inputs must write distinct out_dir files (a shared ''
+    stem silently overwrote every record but the last)."""
+    from adx_tpu.explain import explain_tracks
+
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    dur = predictor.cfg.audio.duration
+    n = int(SR * dur)
+    t = np.arange(n) / SR
+    waves = [
+        (0.3 * np.sin(2 * np.pi * f * t)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        for f in (260.0, 390.0)
+    ]
+    out = tmp_path / "out"
+    recs = explain_tracks(
+        waves, predictor=predictor, sr=SR, duration=dur,
+        n_fft=256, hop_length=128, win_length=256,
+        patch_time_frames=8, stride_time_frames=8,
+        patch_freq_percent=50.0, stride_freq_percent=50.0,
+        num_samples_lime=16, save_figures=False, out_dir=out,
+    )
+    stems = [r["track_stem"] for r in recs]
+    assert len(set(stems)) == 2 and all(stems)
+    for stem in stems:
+        assert (out / f"{stem}_explanation.json").exists()
 
 
 def test_explain_track_shorter_than_duration(tmp_path, rng):

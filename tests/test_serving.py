@@ -342,6 +342,55 @@ def test_explain_batcher_coalesces_and_matches_serial():
         srv.server_close()
 
 
+def test_explain_many_matches_serial_path_exactly():
+    """The batched path (explain_many) must return the same numbers as the
+    serialized path (explain) for the SAME request: both now take an
+    identical PCM16 quantize→dequantize trip, so whether a request happened
+    to coalesce cannot change its explanation."""
+    from adx_tpu.serving import ExplainService
+
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    svc = ExplainService(
+        predictor,
+        sr=SR, duration=predictor.cfg.audio.duration,
+        n_fft=256, hop_length=128, win_length=256,
+        patch_time_frames=8, stride_time_frames=8,
+        patch_freq_percent=50.0, stride_freq_percent=50.0,
+        num_samples_lime=16,
+    )
+    n = int(SR * predictor.cfg.audio.duration)
+    rng = np.random.default_rng(23)
+    # deliberately NOT PCM16-exact: quantization must be applied by both paths
+    w = (0.3 * np.sin(2 * np.pi * 330 * np.arange(n) / SR)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    serial = svc.explain(w, SR)
+    batched = svc.explain_many([(w, SR)])[0]
+    assert batched["baseline_pred"] == pytest.approx(
+        serial["baseline_pred"], abs=2e-5)
+    for bs, bg in zip(serial["fbp"]["bands"], batched["fbp"]["bands"]):
+        assert bg["importance"] == pytest.approx(bs["importance"], abs=5e-5)
+    for comp, wgt in serial["lime"]["component_influences"].items():
+        assert batched["lime"]["component_influences"][comp] == pytest.approx(
+            wgt, abs=5e-4)
+
+
+def test_wav_bytes_downmixes_multichannel():
+    """[ch, n] input must downmix to mono, not be serialized as one channel
+    of back-to-back whole channels (double-length garbage)."""
+    from adx_tpu.io.audio_io import read_wav
+    from adx_tpu.serving import wav_bytes
+
+    n = 1000
+    t = np.arange(n) / SR
+    stereo = np.stack([np.sin(2 * np.pi * 220 * t),
+                       np.sin(2 * np.pi * 440 * t)]).astype(np.float32)
+    for layout in (stereo, stereo.T):  # [ch, n] and [n, ch]
+        y, sr = read_wav(io.BytesIO(wav_bytes(layout, SR)))
+        assert sr == SR
+        assert y.ndim == 1 and len(y) == n
+        np.testing.assert_allclose(y, stereo.mean(axis=0), atol=1.5 / 32768)
+
+
 def test_explain_batcher_holds_for_inflight_uploads():
     """Upload-aware coalescing: an arrival skewed past the fixed window
     still joins the batch while its body is marked in-flight (the measured

@@ -82,6 +82,15 @@ def test_scan_dataset_and_batches(tmp_path, rng):
     assert len(batches) == 2
     assert batches[0]["wave"].shape == (2, 4000)
 
+    # eval path: drop_last=False keeps the 5th item in a narrower tail batch
+    # (the old drop-last iterator silently skipped it, biasing val metrics)
+    full = list(batch_iterator(items, batch_size=2, n_samples=4000, sr=8000,
+                               input_sr=8000, epochs=1, shuffle=False,
+                               drop_last=False))
+    assert [b["wave"].shape[0] for b in full] == [2, 2, 1]
+    assert sum(len(b["label"]) for b in full) == 5
+    np.testing.assert_array_equal(full[0]["wave"], batches[0]["wave"])
+
 
 def test_eval_helpers(tmp_path):
     from adx_tpu.predict import LocalSonics
