@@ -224,6 +224,56 @@ def test_append_update_explanations_byte_parity(ref_lime, tmp_path):
     assert set(merged["SUNO"]["t2"]["segments"]) == {"0", "1"}
 
 
+def test_append_update_features_byte_parity(tmp_path):
+    """Same merge-policy byte parity for the FEATURES writer (reference
+    src/feature_calculate.py:20-77 — keyed on 'features', with the
+    empty-entry policy evaluated per segment)."""
+    import json as _json
+
+    from adx_tpu.io.results import append_update_features
+
+    ref = _load_reference_defs(
+        REF_SRC / "feature_calculate.py",
+        ["append_update_features", "convert_to_native"],
+        extra={"json": _json, "Path": Path},
+    )
+    step1 = {
+        "SUNO": {
+            "t0": {"type": "full_track", "features": {"jitter": np.float32(0.25)}},
+            "t1": {"type": "full_track", "features": {}},
+            "t2": {"type": "segment",
+                   "segments": {"0": {"features": {"hnr": 3.0}},
+                                "1": {"features": {}}}},
+        }
+    }
+    step2 = {
+        "SUNO": {
+            # non-empty full_track survives; empty one is replaced
+            "t0": {"type": "full_track", "features": {"jitter": -9.0}},
+            "t1": {"type": "full_track", "features": {"shimmer": np.float64(0.5)}},
+            # segment 0 non-empty survives, empty 1 is replaced, 2 merges in
+            "t2": {"type": "segment",
+                   "segments": {"0": {"features": {"hnr": -1.0}},
+                                "1": {"features": {"rhythm": 0.7}},
+                                "2": {"features": {"f0": 220.0}}}},
+        },
+        "REAL": {"r0": {"type": "full_track", "features": {"jitter": 0.0}}},
+    }
+    ref_path = tmp_path / "ref" / "features.json"
+    our_path = tmp_path / "ours" / "features.json"
+    for step in (step1, step2):
+        ref["append_update_features"](step, ref_path)
+        append_update_features(step, our_path)
+    assert ref_path.read_bytes() == our_path.read_bytes()
+    merged = _json.loads(our_path.read_text())
+    assert merged["SUNO"]["t0"]["features"] == {"jitter": 0.25}
+    assert merged["SUNO"]["t1"]["features"] == {"shimmer": 0.5}
+    segs = merged["SUNO"]["t2"]["segments"]
+    assert segs["0"]["features"] == {"hnr": 3.0}
+    assert segs["1"]["features"] == {"rhythm": 0.7}
+    assert segs["2"]["features"] == {"f0": 220.0}
+
+
 def test_convert_to_native_parity(ref_lime):
     from adx_tpu.io.results import convert_to_native, to_native_dict
 
