@@ -123,6 +123,8 @@ def plot_inventory(df, out_dir: Path):
     import matplotlib.pyplot as plt
     import seaborn as sns
 
+    import adx_tpu.viz  # noqa: F401 — enables the fast-PNG savefig default
+
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     df = df[df.get("error").isna()] if "error" in df.columns else df
