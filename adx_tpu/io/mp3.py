@@ -187,6 +187,7 @@ def decode_mp3(data: bytes) -> Tuple[np.ndarray, int]:
         rate = C.c_long(0)
         n_ch = C.c_int(0)
         enc = C.c_int(0)
+        first_fmt = None
         chunks = []
         buf = C.create_string_buffer(1 << 18)
         done = C.c_size_t(0)
@@ -197,6 +198,16 @@ def decode_mp3(data: bytes) -> Tuple[np.ndarray, int]:
             if rc == _MPG123_NEW_FORMAT:
                 _mpg.mpg123_getformat(h, C.byref(rate), C.byref(n_ch),
                                       C.byref(enc))
+                if first_fmt is None:
+                    first_fmt = (int(rate.value), int(n_ch.value))
+                elif (int(rate.value), int(n_ch.value)) != first_fmt:
+                    # A mid-stream rate/channel change means mpg123 resynced
+                    # onto garbage ("Frankenstein stream") after the real
+                    # track — keep the leading coherent stream and stop,
+                    # like ffmpeg. Letting the loop continue would label
+                    # ALL the PCM with the tail's format (e.g. a corrupt
+                    # tail relabeling 44.1 kHz audio as 8 kHz).
+                    break
                 continue
             if rc == _MPG123_OK:
                 continue
@@ -204,11 +215,12 @@ def decode_mp3(data: bytes) -> Tuple[np.ndarray, int]:
             # we fed everything, so any other status ends the stream.
             break
         pcm = np.frombuffer(b"".join(chunks), np.float32)
-        if pcm.size == 0 or rate.value <= 0:
+        if pcm.size == 0 or first_fmt is None or first_fmt[0] <= 0:
             raise ValueError("no MP3 frames decoded (not an MP3 stream?)")
-        if n_ch.value > 1:
-            pcm = pcm.reshape(-1, n_ch.value).T
-        return np.ascontiguousarray(pcm), int(rate.value)
+        sr_out, ch_out = first_fmt
+        if ch_out > 1:
+            pcm = pcm.reshape(-1, ch_out).T
+        return np.ascontiguousarray(pcm), sr_out
     finally:
         _mpg.mpg123_close(h)
         _mpg.mpg123_delete(h)

@@ -187,6 +187,43 @@ def test_mp3_roundtrip_bad_bitrate_degrades_gracefully(rng, capsys):
         assert y2.shape == y.shape
 
 
+def test_mp3_decode_corrupt_streams(rng):
+    """decode_mp3 against hostile bytes: never crashes the process, raises
+    ValueError on non-MP3 data, and — the regression — keeps the leading
+    coherent stream when mpg123 resyncs onto a Frankenstein tail instead
+    of relabeling all PCM with the garbage frames' rate/channels."""
+    from adx_tpu.io.mp3 import decode_mp3, encode_mp3, have_mp3
+
+    if not have_mp3():
+        pytest.skip("mp3 codec libraries not in this image")
+    sr = 44100
+    y = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    blob = encode_mp3(y, sr, bitrate_kbps=128)
+    clean, sr_c = decode_mp3(blob)
+    assert sr_c == sr and clean.ndim == 1
+
+    # valid stream + random tail: identical leading audio, same format
+    out, sr_o = decode_mp3(blob + rng.bytes(10000))
+    assert sr_o == sr and out.ndim == 1
+    np.testing.assert_array_equal(out[: len(clean)], clean)
+    assert abs(len(out) - len(clean)) < 4000  # no garbage-tail "audio"
+
+    # non-MP3 data raises (never returns silence or segfaults)
+    for data in (b"", rng.bytes(4096), b"ID3\x04\x00\x00\x00\x00\x00\x00",
+                 bytes(64 * 1024)):
+        with pytest.raises((ValueError, RuntimeError)):
+            decode_mp3(data)
+
+    # heavily bit-flipped stream: whatever decodes must still be at the
+    # true rate (prefix recovery), or raise — never the wrong format
+    flipped = bytes(b ^ 0xFF if i % 97 == 0 else b for i, b in enumerate(blob))
+    try:
+        o, s = decode_mp3(flipped)
+        assert s == sr
+    except (ValueError, RuntimeError):
+        pass
+
+
 def test_mp3_ingestion_load_audio(tmp_path, rng):
     """.mp3 files decode through load_audio without ffmpeg (reference
     ingests mp3 sources via librosa, analyzesongs.ipynb cell 7)."""
