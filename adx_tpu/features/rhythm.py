@@ -37,7 +37,14 @@ def tempo_estimate(
     prior[bpms > max_tempo] = 0.0
     prior[bpms < 20] = 0.0
     score = ac[1:] * prior
-    best = int(np.argmax(score)) + 1
+    if not np.isfinite(score).any() or score.max() <= 0:
+        # degenerate envelope (constant / zero flux → all-zero
+        # autocorrelation): librosa's argmax of log1p(tempogram)+logprior
+        # then reduces to the PRIOR's peak (≈ start_bpm), not lag 1
+        # (which would report ~2584 BPM at the 22050/512 defaults)
+        best = int(np.argmax(prior)) + 1
+    else:
+        best = int(np.argmax(score)) + 1
     return float(60.0 * sr / (hop_length * best))
 
 

@@ -83,7 +83,10 @@ def spectral_rolloff(S_mag: jnp.ndarray, sr: int, n_fft: int, roll_percent: floa
 
 
 def spectral_flatness(S_mag: jnp.ndarray, amin: float = 1e-10, power: float = 2.0) -> jnp.ndarray:
-    Sp = jnp.maximum(S_mag, amin) ** power
+    # librosa floors the POWER spectrum at amin (np.maximum(amin, S**power)),
+    # not the magnitude — flooring first would lower the floor to amin**2
+    # and shrink flatness wherever quiet bins sit between amin and sqrt(amin)
+    Sp = jnp.maximum(S_mag.astype(jnp.float32) ** power, amin)
     gmean = jnp.exp(jnp.mean(jnp.log(Sp), axis=-2))
     amean = jnp.mean(Sp, axis=-2)
     return gmean / amean
@@ -106,27 +109,38 @@ def spectral_contrast(
     octa = np.zeros(n_bands + 2)
     octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
 
-    rows = []
+    # librosa band selection: band k > 0 reaches one bin below its lower
+    # edge; the last band extends to Nyquist; every band but the last drops
+    # its top bin after sorting-selection; the quantile count comes from the
+    # EXTENDED band width. The dB form is 10·log10 on MAGNITUDES (power=1
+    # spectrogram through power_to_db), with the default top_db=80 clamp
+    # applied to the full peak/valley arrays.
+    valleys, peaks = [], []
     for k in range(n_bands + 1):
         f_low, f_high = octa[k], octa[k + 1]
         current = (freqs >= f_low) & (freqs <= f_high)
         idx = np.flatnonzero(current)
         if len(idx) == 0:
             idx = np.array([0])
-        sub = S_mag[..., idx, :]
-        n = len(idx)
-        n_q = int(np.maximum(np.rint(quantile * n), 1))
+            current[0] = True
+        if k > 0 and idx[0] > 0:
+            current[idx[0] - 1] = True
+        if k == n_bands:
+            current[idx[-1] + 1 :] = True
+        sel = np.flatnonzero(current)
+        sub = S_mag[..., sel, :]
+        if k < n_bands:
+            sub = sub[..., :-1, :]
+        n_q = int(np.maximum(np.rint(quantile * int(current.sum())), 1))
         sorted_sub = jnp.sort(sub, axis=-2)
-        valley = jnp.mean(sorted_sub[..., :n_q, :], axis=-2)
-        peak = jnp.mean(sorted_sub[..., -n_q:, :], axis=-2)
-        if linear:
-            rows.append(peak - valley)
-        else:
-            rows.append(
-                power_to_db(jnp.maximum(peak, 1e-10) ** 2, ref=1.0, top_db=None)
-                - power_to_db(jnp.maximum(valley, 1e-10) ** 2, ref=1.0, top_db=None)
-            )
-    return jnp.stack(rows, axis=-2)
+        valleys.append(jnp.mean(sorted_sub[..., :n_q, :], axis=-2))
+        peaks.append(jnp.mean(sorted_sub[..., -n_q:, :], axis=-2))
+    valley = jnp.stack(valleys, axis=-2)
+    peak = jnp.stack(peaks, axis=-2)
+    if linear:
+        return peak / valley
+    return (power_to_db(peak, ref=1.0, top_db=80.0)
+            - power_to_db(valley, ref=1.0, top_db=80.0))
 
 
 def hpss(
@@ -138,9 +152,20 @@ def hpss(
     and invert for librosa.effects.harmonic/percussive equivalents.
     """
     def rolling_median(x, size, axis):
-        shifts = range(-(size // 2), size // 2 + 1)
-        stacked = jnp.stack([jnp.roll(x, s, axis) for s in shifts], axis=0)
-        return jnp.median(stacked, axis=0)
+        # symmetric edge padding = scipy.ndimage's default 'reflect' mode
+        # (librosa's median_filter call); a wrapped roll would couple the
+        # track's start/end and make the masks differ from the scipy host
+        # path near the edges
+        axis = axis % x.ndim
+        half = size // 2
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (half, half)
+        xp = jnp.pad(x, pad, mode="symmetric")
+        n = x.shape[axis]
+        windows = [
+            jax.lax.slice_in_dim(xp, s, s + n, axis=axis) for s in range(size)
+        ]
+        return jnp.median(jnp.stack(windows, axis=0), axis=0)
 
     H = rolling_median(S_mag, kernel_harm, axis=-1)
     P = rolling_median(S_mag, kernel_perc, axis=-2)
@@ -187,8 +212,11 @@ def mfcc(y: jnp.ndarray, sr: int, n_mfcc: int = 13, n_fft: int = 2048,
     """MFCCs: DCT-II (ortho) of the dB mel spectrogram (librosa defaults)."""
     from adx_tpu.ops.db import power_to_db as _p2db
 
+    # librosa.feature.mfcc: power_to_db with DEFAULTS — ref=1.0 AND the
+    # top_db=80 clamp (dropping it changes every coefficient on any track
+    # whose mel dynamic range exceeds 80 dB, i.e. almost all of them)
     M = melspectrogram(y, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels)
-    S_db = _p2db(M, ref=1.0, top_db=None)
+    S_db = _p2db(M, ref=1.0, top_db=80.0)
     n = S_db.shape[-2]
     k = np.arange(n_mfcc)[:, None]
     m = np.arange(n)[None, :]
@@ -201,10 +229,17 @@ def onset_strength(
     y: jnp.ndarray, sr: int, n_fft: int = 2048, hop_length: int = 512, n_mels: int = 128
 ) -> jnp.ndarray:
     """librosa.onset.onset_strength: mel-dB spectral flux (positive part,
-    mean over bands, lag-1 reference)."""
+    mean over bands, lag-1 reference), with librosa's centering
+    compensation — the envelope is front-padded by
+    ``lag + n_fft // (2 * hop_length)`` frames and trimmed back to the
+    spectrogram frame count, so onsets align with the centered STFT grid
+    (padding only the lag leaves the envelope ~2 frames early at the
+    2048/512 defaults and keeps tail flux librosa discards)."""
+    lag = 1
     M = melspectrogram(y, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels)
-    S_db = power_to_db(M, ref="max")
-    diff = S_db[..., :, 1:] - S_db[..., :, :-1]
+    S_db = power_to_db(M, ref="max")  # flux diffs are ref-invariant; top_db=80 as librosa
+    diff = S_db[..., :, lag:] - S_db[..., :, :-lag]
     flux = jnp.mean(jnp.maximum(0.0, diff), axis=-2)
-    pad = [(0, 0)] * (flux.ndim - 1) + [(1, 0)]
-    return jnp.pad(flux, pad)
+    pad_width = lag + n_fft // (2 * hop_length)
+    pad = [(0, 0)] * (flux.ndim - 1) + [(pad_width, 0)]
+    return jnp.pad(flux, pad)[..., : M.shape[-1]]

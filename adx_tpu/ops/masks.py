@@ -107,7 +107,13 @@ def occlusion_patch_grid(
     """
     patch_freq = max(1, int(round(patch_freq_percent / 100.0 * n_freq)))
     stride_freq = max(1, int(round(stride_freq_percent / 100.0 * n_freq)))
-    t_patch = patch_time_frames
+    # clamp to the spectrogram: the reference truncates each patch with
+    # t_end = min(t_start + t_patch, n_time) (:666-667), which only binds
+    # when the patch exceeds the axis (e.g. a 10 s clip at the default
+    # 2048-frame patch → ONE full-span patch). The engine's fixed-size
+    # dynamic_slice needs the clamp up front or it fails at trace time.
+    patch_freq = min(patch_freq, n_freq)
+    t_patch = min(patch_time_frames, n_time)
     t_stride = stride_time_frames
     starts = [
         (t, f)

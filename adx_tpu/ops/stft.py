@@ -188,7 +188,9 @@ def _finish_istft(frames, w, hop_length, n_frames, n_fft, center, length):
     if center:
         y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
     if length is not None:
-        y = _fix_length_last(y, length)
+        from adx_tpu.ops.audio import fix_length
+
+        y = fix_length(y, length)
     return y
 
 
@@ -394,16 +396,6 @@ def griffin_lim_matmul(
         window=window, center=center, length=length,
         compute_dtype=compute_dtype,
     )
-
-
-def _fix_length_last(y: jnp.ndarray, length: int) -> jnp.ndarray:
-    n = y.shape[-1]
-    if n > length:
-        return y[..., :length]
-    if n < length:
-        pad = [(0, 0)] * (y.ndim - 1) + [(0, length - n)]
-        return jnp.pad(y, pad)
-    return y
 
 
 @functools.partial(

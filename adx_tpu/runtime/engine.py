@@ -38,7 +38,7 @@ from adx_tpu.ops.audio import match_rms
 from adx_tpu.ops.db import amplitude_to_db, power_to_db
 from adx_tpu.ops.mel import mel_to_stft, melspectrogram
 from adx_tpu.ops.stft import griffin_lim, griffin_lim_matmul, istft, magphase, stft
-from adx_tpu.parallel.mesh import batch_sharding, pad_batch
+from adx_tpu.parallel.mesh import pad_batch
 from adx_tpu.predict import LocalSonics
 from adx_tpu.runtime.profiler import TimeAggregator
 
@@ -107,7 +107,6 @@ class PerturbationEngine:
         self.gl_synth_dtype = gl_synth_dtype
         self.profiler = profiler or TimeAggregator()
         self.n_samples = int(round(sr * duration))
-        self._mask_sharding = batch_sharding(predictor.mesh, 3)
 
         eng = self
 
@@ -290,10 +289,15 @@ class PerturbationEngine:
             # OLA spill tail is discarded), then zero-padded to n_out
             L_valid = min(hop * (T - 1), n_out)
 
-            # per-patch inverse DFT as f32 matmuls — XLA's TPU irfft runs on
+            # per-patch inverse DFT as matmuls — XLA's TPU irfft runs on
             # the VPU and dominated the per-patch cost (same trick as RISE's
-            # istft_matmul, kept in f32 here: occlusion maps are the
-            # headline fidelity artifact)
+            # istft_matmul). Buffers stay f32; the dots themselves run at
+            # the BACKEND DEFAULT precision (bf16 passes on TPU) in normal
+            # mode — deliberate, the bf16 encoder forward dominates any
+            # end-to-end error — and are upgraded to true f32 whenever
+            # fidelity mode is on (enable_fidelity_mode sets the global
+            # jax_default_matmul_precision=HIGHEST, which these plain @
+            # calls inherit; parity_check / bench --dtype f32 use it).
             from adx_tpu.ops.stft import _inverse_rdft_matrices
 
             Cr_np, Ci_np = _inverse_rdft_matrices(n_fft)

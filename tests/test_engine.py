@@ -65,6 +65,24 @@ def test_predict_resamples_other_rates(predictor, track):
     assert abs(p1 - p2) < 0.2
 
 
+def test_occlusion_patch_larger_than_spectrogram(engine, track):
+    """A patch wider than the time axis (the reference truncates it with
+    t_end = min(t_start + t_patch, n_time), e.g. a 10 s clip at the default
+    2048-frame patch) must clamp to ONE full-span patch, not crash the
+    fixed-size dynamic_slice at trace time."""
+    from adx_tpu.ops import occlusion_patch_grid
+
+    S, _ = engine.analyze(track)
+    F, T = int(S.shape[-2]), int(S.shape[-1])
+    starts, pf, pt = occlusion_patch_grid(F, T, 10 * T, 10 * T, 50.0, 50.0)
+    assert pt == T  # clamped to the axis
+    assert pf <= F
+    probs = engine.occlusion_probs(S, starts, pf, pt, 0.0, len(track))
+    assert probs.shape == (len(starts),)
+    assert np.isfinite(probs).all()
+    assert np.all((probs >= 0) & (probs <= 1))
+
+
 def test_fbp_probs_match_serial_loop(engine, predictor, track):
     """Batched FBP == serial mask→istft→predict loop, band by band."""
     S, S_db = engine.analyze(track)

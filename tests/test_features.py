@@ -65,6 +65,95 @@ def test_spectral_rolloff_ordering():
     assert abs(r85 - 0.85 * SR / 2) < 0.1 * SR / 2
 
 
+def test_hpss_rolling_median_matches_scipy_reflect():
+    """The device median masks must use edge (reflect) semantics like
+    librosa's scipy median_filter — a wrapped roll coupled track start/end
+    and made TPU-vs-CPU hnr values differ near the edges."""
+    from scipy.ndimage import median_filter
+
+    rng = np.random.default_rng(1)
+    S = rng.random((40, 60)).astype(np.float32)
+    mask_h, mask_p = sp.hpss(jnp.asarray(S), kernel_harm=31, kernel_perc=31)
+    H = median_filter(S, size=(1, 31), mode="reflect")
+    P = median_filter(S, size=(31, 1), mode="reflect")
+    Hp, Pp = H**2.0, P**2.0
+    want_h = np.where(Hp + Pp > 0, Hp / np.where(Hp + Pp > 0, Hp + Pp, 1.0), 0.5)
+    np.testing.assert_allclose(np.asarray(mask_h), want_h, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(mask_p), 1.0 - want_h, atol=2e-6)
+
+
+def test_spectral_contrast_librosa_semantics():
+    """librosa transcription oracle: magnitude dB (10·log10), band-edge
+    extension (k>0 reaches one bin down, last band to Nyquist, drop top
+    bin for k<n_bands), quantile count from the extended band."""
+    from adx_tpu.ops.mel import fft_frequencies
+    from adx_tpu.ops.stft import stft as _stft
+
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(SR).astype(np.float32)
+    S = np.abs(np.asarray(_stft(jnp.asarray(y), n_fft=2048, hop_length=512)))
+    got = np.asarray(sp.spectral_contrast(jnp.asarray(S), SR, 2048))
+
+    def p2db(x):
+        db = 10.0 * np.log10(np.maximum(x, 1e-10))
+        return np.maximum(db, db.max() - 80.0)
+
+    freq = fft_frequencies(SR, 2048)
+    n_bands, fmin, quantile = 6, 200.0, 0.02
+    octa = np.zeros(n_bands + 2)
+    octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
+    valley = np.zeros((n_bands + 1, S.shape[-1]))
+    peak = np.zeros_like(valley)
+    for k, (f_low, f_high) in enumerate(zip(octa[:-1], octa[1:])):
+        current = np.logical_and(freq >= f_low, freq <= f_high)
+        idx = np.flatnonzero(current)
+        if k > 0:
+            current[idx[0] - 1] = True
+        if k == n_bands:
+            current[idx[-1] + 1:] = True
+        sub = S[current]
+        if k < n_bands:
+            sub = sub[:-1]
+        n_q = int(np.maximum(np.rint(quantile * np.sum(current)), 1))
+        srt = np.sort(sub, axis=0)
+        valley[k] = np.mean(srt[:n_q], axis=0)
+        peak[k] = np.mean(srt[-n_q:], axis=0)
+    want = p2db(peak) - p2db(valley)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_spectral_flatness_floor_on_power():
+    # bins between amin=1e-10 and sqrt(amin)=1e-5 must floor at amin on the
+    # POWER spectrum (librosa), not amin**2
+    S = np.full((5, 4), 1e-7, np.float32)
+    S[0] = 0.5
+    got = np.asarray(sp.spectral_flatness(jnp.asarray(S)))
+    Sp = np.maximum(S.astype(np.float64) ** 2, 1e-10)
+    want = np.exp(np.mean(np.log(Sp), axis=0)) / np.mean(Sp, axis=0)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_onset_strength_centering_pad():
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(SR).astype(np.float32)
+    env = np.asarray(sp.onset_strength(jnp.asarray(y), SR))
+    from adx_tpu.ops.mel import melspectrogram
+
+    n_frames = np.asarray(melspectrogram(jnp.asarray(y), sr=SR)).shape[-1]
+    # librosa: front pad = lag + n_fft // (2*hop) = 3, trimmed to n_frames
+    assert env.shape[-1] == n_frames
+    assert np.all(env[:3] == 0.0)
+    assert env[3] > 0.0
+
+
+def test_tempo_estimate_degenerate_envelope_falls_to_prior():
+    from adx_tpu.features.rhythm import tempo_estimate
+
+    flat = np.ones(400, np.float64)  # constant nonzero flux
+    bpm = tempo_estimate(flat, sr=SR, hop_length=512)
+    assert 60.0 <= bpm <= 240.0  # prior peak, NOT lag-1 (~2584 BPM)
+
+
 def test_spectral_flatness_range():
     t = np.arange(SR) / SR
     tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)

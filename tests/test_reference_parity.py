@@ -152,12 +152,20 @@ def test_patch_grid_parity(n_freq, n_time, t_patch, t_stride, f_pct, f_stride_pc
     starts, pf, pt = occlusion_patch_grid(
         n_freq, n_time, t_patch, t_stride, f_pct, f_stride_pct
     )
-    assert pf == ns["patch_freq"]
-    assert pt == ns["t_patch"]
+    # our grid bakes the reference's per-patch truncation
+    # (t_end = min(t_start + t_patch, n_time), :666-667) into the returned
+    # patch sizes (the engine's fixed-size slices need it up front), so
+    # compare the EFFECTIVE occluded regions, not the raw loop variables
+    assert pf == min(ns["patch_freq"], n_freq)
+    assert pt == min(ns["t_patch"], n_time)
     want = np.asarray(ns["patch_positions"], dtype=np.int32)
     assert starts.shape == want.shape
     np.testing.assert_array_equal(starts, want)
     assert len(starts) == ns["t_patches"] * ns["f_patches"]
+    for (t0, f0) in np.asarray(starts):
+        # effective region equals the reference's truncated patch
+        assert min(t0 + ns["t_patch"], n_time) == t0 + min(pt, n_time - t0)
+        assert min(f0 + ns["patch_freq"], n_freq) == f0 + min(pf, n_freq - f0)
 
 
 # ---- explanations-JSON merge: BYTE parity with the reference writer ---------
