@@ -16,6 +16,8 @@ from typing import Any, Dict, Tuple
 import numpy as np
 from scipy.signal import lfilter
 
+from adx_tpu.ops.audio import to_mono  # noqa: F401 — canonical downmix, re-exported
+
 
 def _k_weighting_coeffs(fs: float):
     """Biquad coefficients for the two K-weighting stages at rate ``fs``
@@ -87,10 +89,6 @@ def integrated_lufs(y_mono: np.ndarray, sr: int) -> float:
     if not gated.any():
         return -np.inf
     return float(-0.691 + 10.0 * np.log10(np.mean(block_ms[gated]) + 1e-12))
-
-
-def to_mono(y: np.ndarray) -> np.ndarray:
-    return y if y.ndim == 1 else np.mean(y, axis=0)
 
 
 def true_peak_dbtp(y: np.ndarray, sr: int, oversample: int = 4) -> float:

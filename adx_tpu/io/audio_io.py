@@ -96,8 +96,11 @@ def load_audio(
     """librosa.load-compatible decode: returns (float32 mono wave, sr).
 
     ``sr=None`` keeps the native rate. ``duration``/``offset`` are applied
-    *after* resampling (matching librosa's sample-accurate semantics at the
-    target rate for WAV input).
+    at the NATIVE rate before resampling — librosa seeks
+    ``int(offset·sr_native)`` and reads ``int(duration·sr_native)`` frames,
+    then resamples only the excerpt, so boundary samples see the
+    resampler's zero edge rather than the rest of the file. (For files
+    already at the target rate the two orders are identical.)
     """
     path = Path(path)
     if path.suffix.lower() in (".wav", ".wave"):
@@ -109,13 +112,13 @@ def load_audio(
             y = to_mono(y.T)  # read gives [n, ch]
         else:
             y = y.T
+    if offset:
+        y = y[..., int(offset * native_sr) :]
+    if duration is not None:
+        y = y[..., : int(duration * native_sr)]
     target_sr = sr or native_sr
     if target_sr != native_sr:
         y = resample_poly(y.astype(np.float32), native_sr, target_sr)
-    if offset:
-        y = y[..., int(round(offset * target_sr)) :]
-    if duration is not None:
-        y = y[..., : int(round(duration * target_sr))]
     if y.shape[-1] == 0:
         print(f"⚠️ Warning: decoded 0 samples from {path} (duration={duration}, offset={offset})")
     return np.ascontiguousarray(y, dtype=np.float32), int(target_sr)

@@ -111,18 +111,39 @@ class LocalSonics:
         """Fake probability for one waveform (any length / rate)."""
         return float(self.predict_batch(np.asarray(audio_wave)[None, :], sr)[0])
 
-    def predict_batch(self, waves: np.ndarray, sr: int) -> np.ndarray:
+    def predict_batch(
+        self, waves: np.ndarray, sr: int,
+        lengths: Optional[Sequence[int]] = None,
+    ) -> np.ndarray:
         """Fake probabilities for ``[B, n]`` waveforms (chunked to the
-        compiled batch size; last chunk zero-padded, not recompiled)."""
+        compiled batch size; last chunk zero-padded, not recompiled).
+
+        ``lengths`` gives each row's true (pre-padding) sample count. When
+        resampling occurs, the device resample of a zero-padded row rings
+        past the row's true content (the anti-aliasing filter tail), so
+        the rows would differ slightly from their single-file results;
+        masking each row past ``ceil(len_i·sr_model/sr)`` restores EXACT
+        equality with the unbatched path (the resampler zero-extends its
+        input, so the valid prefix already matches bit-for-bit)."""
         waves = np.asarray(waves, dtype=np.float32)
         if waves.ndim == 1:
             waves = waves[None]
+        sr_model = int(self.cfg.audio.sample_rate)
         out = np.empty((waves.shape[0],), np.float32)
         for lo in range(0, waves.shape[0], self.max_batch):
             chunk = waves[lo : lo + self.max_batch]
             padded, n = pad_batch(chunk, self.max_batch)
             dev = jax.device_put(jnp.asarray(padded), self._wave_sharding)
             dev = self._to_model_rate(dev, int(sr))
+            if lengths is not None and int(sr) != sr_model:
+                valid = [
+                    -(-int(m) * sr_model) // int(sr)  # ceil, resampler convention
+                    for m in list(lengths[lo : lo + self.max_batch]) + [0] * self.max_batch
+                ][: dev.shape[0]]
+                iota = jnp.arange(dev.shape[-1])
+                dev = jnp.where(
+                    iota[None, :] < jnp.asarray(valid, jnp.int32)[:, None], dev, 0.0
+                )
             probs = self.forward_device(dev)
             out[lo : lo + n] = np.asarray(probs)[:n]
         return out
@@ -150,9 +171,9 @@ class LocalSonics:
         Files are loaded host-side in ``max_batch`` groups, zero-padded to
         the group's longest waveform, and classified with ONE chunked
         forward per group — ⌈N / max_batch⌉ dispatches total instead of N.
-        Zero-padding is prediction-neutral: the model path fixes every
-        input to ``n_samples`` anyway, and the polyphase resampler is
-        linear, so trailing zeros match the single-file path exactly.
+        Per-row true lengths ride along so ``predict_batch`` can zero each
+        row's resample tail — batched results equal the single-file path
+        EXACTLY even when group members have different lengths.
         """
         probs: List[float] = []
         paths = list(audio_paths)
@@ -177,7 +198,9 @@ class LocalSonics:
                 batch = np.zeros((len(loaded), n_max), np.float32)
                 for i, w in enumerate(loaded):
                     batch[i, : w.shape[-1]] = w
-                ok = self.predict_batch(batch, sr)
+                ok = self.predict_batch(
+                    batch, sr, lengths=[w.shape[-1] for w in loaded]
+                )
                 group_probs[[i for i, w in enumerate(waves) if w is not None]] = ok
             for p in group_probs:
                 probs.append(float(p))
@@ -326,8 +349,23 @@ class RemoteSonics:
                 return self._call_space(str(audio_path))
             except Exception as e:  # noqa: BLE001 — retry envelope
                 last_err = e
+                # gradio_client/requests carry e.response.status_code;
+                # urllib.error.HTTPError carries .code (the plain-HTTP
+                # mode) — checking only the former left the documented
+                # backoff dead for every urllib 502/503/504
                 status = getattr(getattr(e, "response", None), "status_code", None)
-                retryable = status in (502, 503, 504) or "Timeout" in type(e).__name__
+                if status is None:
+                    status = getattr(e, "code", None)
+                import urllib.error as _uerr
+
+                retryable = (
+                    status in (502, 503, 504)
+                    or "Timeout" in type(e).__name__
+                    # connect-phase failures (refused/reset/DNS) while a
+                    # server restarts surface as URLError without a code
+                    or (isinstance(e, _uerr.URLError)
+                        and not isinstance(e, _uerr.HTTPError))
+                )
                 if retryable and attempt < self.max_retries - 1:
                     delay = self._backoff(attempt)
                     print(

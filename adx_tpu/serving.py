@@ -49,9 +49,9 @@ class MicroBatcher:
     A collector thread drains the queue: it waits ``window_ms`` after the
     first arrival (or until ``max_batch`` requests are pending), groups by
     sample rate, zero-pads each group to its longest waveform and issues
-    one ``predict_batch`` per group. Zero-padding is prediction-neutral
-    (the model path fixes inputs to ``n_samples``; the resampler is
-    linear), so results match unbatched ``predict`` exactly.
+    one ``predict_batch`` per group with the true per-row lengths, so each
+    row's resample tail is zeroed and results match unbatched ``predict``
+    exactly.
     """
 
     def __init__(self, predictor, window_ms: float = 10.0, max_batch: Optional[int] = None):
@@ -106,7 +106,9 @@ class MicroBatcher:
                     arr = np.zeros((len(items), n_max), np.float32)
                     for i, (w, _) in enumerate(items):
                         arr[i, : w.shape[-1]] = w
-                    probs = self.predictor.predict_batch(arr, sr)
+                    probs = self.predictor.predict_batch(
+                        arr, sr, lengths=[w.shape[-1] for w, _ in items]
+                    )
                     self.n_batches += 1
                     self.n_requests += len(items)
                     for (_, fut), p in zip(items, probs):
@@ -298,9 +300,22 @@ class ExplainBatcher:
                 for fut, rec in zip(futs, records):
                     fut.set_result(rec)
             except Exception as e:  # noqa: BLE001 — propagate to callers
-                for fut in futs:
-                    if not fut.done():
-                        fut.set_exception(e)
+                if len(batch) == 1:
+                    if not futs[0].done():
+                        futs[0].set_exception(e)
+                    continue
+                # one degenerate track must not 500 its coalesced peers
+                # (the unbatched path isolates failures per request):
+                # retry each item alone so only the bad one errors
+                for w, sr, fut in batch:
+                    try:
+                        rec = self.service.explain_many([(w, sr)])[0]
+                        self.n_batches += 1
+                        self.n_requests += 1
+                        fut.set_result(rec)
+                    except Exception as ee:  # noqa: BLE001
+                        if not fut.done():
+                            fut.set_exception(ee)
 
 
 def _make_handler(predictor, lock: threading.Lock, model_name: str,

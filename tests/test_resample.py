@@ -62,3 +62,30 @@ def test_resample_batched():
     one = np.asarray(resample_poly_device(jnp.asarray(x[0]), 160, 441))
     assert got.shape == (3, one.shape[0])
     np.testing.assert_allclose(got[0], one, atol=1e-5)
+
+
+def test_load_audio_trims_at_native_rate(tmp_path):
+    """librosa.load seeks int(offset*sr_native) and reads
+    int(duration*sr_native) native frames, THEN resamples the excerpt —
+    boundary samples must match resampling the native-trimmed signal, not
+    slicing a full-file resample."""
+    from adx_tpu.io.audio_io import load_audio, write_wav
+    from adx_tpu.ops.audio import resample_poly
+
+    native_sr, target_sr = 8000, 16000
+    rng = np.random.default_rng(4)
+    y = (0.4 * rng.standard_normal(3 * native_sr)).astype(np.float32)
+    p = tmp_path / "x.wav"
+    write_wav(p, y, native_sr)
+    y_q = np.clip(np.round(y * 32767.0), -32768, 32767) / 32768.0  # PCM16
+
+    got, sr_out = load_audio(p, sr=target_sr, offset=0.5, duration=1.25)
+    assert sr_out == target_sr
+    excerpt = y_q[int(0.5 * native_sr): int(0.5 * native_sr) + int(1.25 * native_sr)]
+    want = resample_poly(excerpt.astype(np.float32), native_sr, target_sr)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+    # no-resample path: identical to plain native slicing
+    got_n, _ = load_audio(p, sr=native_sr, offset=0.5, duration=1.25)
+    np.testing.assert_allclose(got_n, excerpt, atol=1e-7)

@@ -141,9 +141,9 @@ def test_microbatcher_coalesces_and_matches_serial():
     calls = []
     orig = predictor.predict_batch
 
-    def counting(arr, sr):
+    def counting(arr, sr, lengths=None):
         calls.append(arr.shape[0])
-        return orig(arr, sr)
+        return orig(arr, sr, lengths=lengths)
 
     predictor.predict_batch = counting
     try:
@@ -445,6 +445,105 @@ def test_explain_batcher_holds_for_inflight_uploads():
         assert svc.batch_sizes == [2, 1]
     finally:
         batcher.close()
+
+
+def test_remote_sonics_retries_urllib_503():
+    """urllib.error.HTTPError carries .code (not .response.status_code) —
+    the documented 502/503/504 backoff must fire in plain-HTTP mode."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from adx_tpu.io.audio_io import write_wav
+    from adx_tpu.predict import RemoteSonics
+
+    calls = {"n": 0}
+
+    class Flaky(BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            calls["n"] += 1
+            if calls["n"] < 3:
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = json.dumps({"confidences": [
+                {"label": "Fake", "confidence": 0.77},
+                {"label": "Real", "confidence": 0.23},
+            ]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        import tempfile
+
+        client = RemoteSonics(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            max_retries=5, initial_delay=0.01, max_delay=0.02, timeout=10.0,
+        )
+        with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+            write_wav(tmp.name, np.zeros(256, np.float32), SR)
+            p = client.predict_from_file(tmp.name)
+        assert p == pytest.approx(0.77)
+        assert calls["n"] == 3  # two 503s retried, third succeeded
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_explain_batcher_isolates_bad_request():
+    """One degenerate request in a coalesced batch must not 500 its peers
+    (per-item fallback after a batched failure)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from adx_tpu.serving import ExplainBatcher
+
+    class FlakyService:
+        def explain_many(self, items):
+            if any(w.size == 0 for w, _ in items):
+                raise ValueError("empty wave")
+            return [{"i": float(w.sum())} for w, _ in items]
+
+    svc = FlakyService()
+    batcher = ExplainBatcher(svc, window_ms=200.0, max_batch=4)
+    try:
+        good = np.ones(8, np.float32)
+        bad = np.zeros(0, np.float32)
+        with ThreadPoolExecutor(2) as pool:
+            f_good = pool.submit(batcher.submit, good, SR)
+            f_bad = pool.submit(batcher.submit, bad, SR)
+            assert f_good.result(10)["i"] == pytest.approx(8.0)
+            with pytest.raises(ValueError):
+                f_bad.result(10)
+    finally:
+        batcher.close()
+
+
+def test_predict_batch_lengths_mask_matches_single_under_resample():
+    """Mixed-length rows resampled in one batch must equal their
+    single-file predictions exactly (resample-tail mask)."""
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=4)
+    src_sr = 2 * SR  # force the resample path
+    rng = np.random.default_rng(9)
+    n_long = int(src_sr * predictor.cfg.audio.duration)
+    waves = [
+        (0.3 * np.sin(2 * np.pi * 330 * np.arange(n_long) / src_sr)
+         + 0.02 * rng.standard_normal(n_long)).astype(np.float32),
+        (0.3 * np.sin(2 * np.pi * 440 * np.arange(n_long // 2) / src_sr)
+         + 0.02 * rng.standard_normal(n_long // 2)).astype(np.float32),
+    ]
+    singles = [predictor.predict(w, src_sr) for w in waves]
+    n_max = max(len(w) for w in waves)
+    batch = np.zeros((2, n_max), np.float32)
+    for i, w in enumerate(waves):
+        batch[i, : len(w)] = w
+    got = predictor.predict_batch(batch, src_sr, lengths=[len(w) for w in waves])
+    np.testing.assert_allclose(got, singles, atol=2e-6)
 
 
 def test_post_explain_client_resident_worker(tmp_path):
