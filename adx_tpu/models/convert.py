@@ -97,9 +97,14 @@ _RULES: Tuple[Tuple[str, str, str], ...] = (
 _PREFIX_STRIP = re.compile(r"^(model\.|module\.|_orig_mod\.)")
 _SKIP = re.compile(
     r"(ft_extractor|feature_extractor|frontend|spec_converter|amplitude_to_db|"
-    r"mel_scale|spectrogram|window|num_batches_tracked|"
-    r"tokenizer\.pe_[tf]|pos_enc)"  # fixed sinusoid buffers, recomputed in flax
+    r"mel_scale|spectrogram|window|num_batches_tracked|pos_enc)"
 )
+# short-name position embeddings (tokenizer.pe_t / pe_f): SINUSOID buffers
+# recomputed in flax when pe_learnable=False, but REAL learned parameters
+# when pe_learnable=True — dropping them then would leave the flax model's
+# pos_embed at random init with no error (strict mode ignores skips)
+_PE_SHORT = re.compile(r"tokenizer\.pe_([tf])$")
+_PE_TARGET = {"t": "temporal", "f": "spectral"}
 
 
 def _apply(transform: str, value: np.ndarray) -> np.ndarray:
@@ -115,13 +120,29 @@ def _apply(transform: str, value: np.ndarray) -> np.ndarray:
 
 
 def convert_torch_state_dict(
-    state_dict: Mapping[str, Any], strict: bool = True
+    state_dict: Mapping[str, Any], strict: bool = True,
+    pe_learnable: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Convert a torch state dict to a flat ``{'a/b/c': array}`` flax mapping."""
+    """Convert a torch state dict to a flat ``{'a/b/c': array}`` flax mapping.
+
+    ``pe_learnable`` controls the short-name position-embedding keys
+    (``tokenizer.pe_t`` / ``pe_f``): mapped to the flax ``pos_embed_*``
+    params when True, skipped as recomputed sinusoid buffers when False.
+    """
     out: Dict[str, np.ndarray] = {}
     unmapped = []
     for key, value in state_dict.items():
         key_n = _PREFIX_STRIP.sub("", str(key))
+        pe_m = _PE_SHORT.search(key_n)
+        if pe_m is not None:
+            if not pe_learnable:
+                continue
+            value = np.asarray(
+                value.detach().cpu().numpy() if hasattr(value, "detach") else value
+            )
+            target = f"encoder/tokenizer/pos_embed_{_PE_TARGET[pe_m.group(1)]}"
+            out[target] = _apply("maybe_squeeze0", value)
+            continue
         if _SKIP.search(key_n):
             continue
         value = np.asarray(
@@ -194,5 +215,7 @@ def load_torch_checkpoint(path: str | Path):
                 break
     if sd is None:
         raise FileNotFoundError(f"No weights found under {path}")
-    params = {"params": unflatten(convert_torch_state_dict(sd))}
+    params = {"params": unflatten(convert_torch_state_dict(
+        sd, pe_learnable=bool(getattr(cfg.model, "pe_learnable", False))
+    ))}
     return cfg, params

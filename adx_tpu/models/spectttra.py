@@ -116,9 +116,11 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: Any = jnp.float32
     use_flash: bool = False
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from adx_tpu.ops.attention import attend
 
         B, N, D = x.shape
@@ -127,24 +129,37 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
-        # Pallas flash attention on TPU for long sequences (SpecTTTra-α at
-        # 44.1 kHz attends over ~3.6k tokens; the XLA path materializes the
-        # [B, H, S, S] scores); jax.nn.dot_product_attention elsewhere.
-        out = attend(q, k, v, use_flash=self.use_flash)
+        if train and self.attn_dropout > 0.0:
+            # explicit attention so probs dropout can be applied (training
+            # only — the fused/flash inference paths don't expose probs)
+            scale = head_dim ** -0.5
+            logits = jnp.einsum("bnhd,bmhd->bhnm", (q * scale).astype(self.dtype), k)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            probs = nn.Dropout(self.attn_dropout)(probs, deterministic=False)
+            out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+        else:
+            # Pallas flash attention on TPU for long sequences (SpecTTTra-α
+            # at 44.1 kHz attends over ~3.6k tokens; the XLA path
+            # materializes [B, H, S, S] scores); dot_product_attention else.
+            out = attend(q, k, v, use_flash=self.use_flash)
         out = out.reshape(B, N, D)
-        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=not train)
 
 
 class Mlp(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=not train)
 
 
 class Block(nn.Module):
@@ -154,16 +169,22 @@ class Block(nn.Module):
     qkv_bias: bool = True
     dtype: Any = jnp.float32
     use_flash: bool = False
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
             self.dim, self.num_heads, self.qkv_bias, dtype=self.dtype,
-            use_flash=self.use_flash, name="attn"
-        )(y)
+            use_flash=self.use_flash, dropout=self.dropout,
+            attn_dropout=self.attn_dropout, name="attn"
+        )(y, train=train)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        x = x + Mlp(
+            self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype,
+            dropout=self.dropout, name="mlp"
+        )(y, train=train)
         return x
 
 
@@ -228,7 +249,7 @@ class SpecTTTra(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, spec: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         m = self.cfg.model
         if m.pre_norm:
             spec = nn.LayerNorm(dtype=self.dtype, name="input_norm")(spec)
@@ -236,8 +257,10 @@ class SpecTTTra(nn.Module):
         for i in range(m.num_layers):
             x = Block(
                 m.embed_dim, m.num_heads, m.mlp_ratio, m.qkv_bias,
-                dtype=self.dtype, use_flash=self.use_flash, name=f"blocks_{i}",
-            )(x)
+                dtype=self.dtype, use_flash=self.use_flash,
+                dropout=m.dropout, attn_dropout=m.attn_dropout,
+                name=f"blocks_{i}",
+            )(x, train=train)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
 
 
@@ -264,14 +287,16 @@ class AudioClassifier(nn.Module):
         )
         self.head = nn.Dense(self.cfg.num_classes, name="head")
 
-    def classify_spec(self, spec: jnp.ndarray) -> jnp.ndarray:
+    def classify_spec(self, spec: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Logits from a precomputed ``[B, F, T]`` spectrogram."""
-        tokens = self.encoder(spec.astype(self.dtype))
+        tokens = self.encoder(spec.astype(self.dtype), train=train)
         emb = jnp.mean(tokens, axis=1).astype(jnp.float32)
         return jnp.squeeze(self.head(emb), axis=-1)
 
-    def __call__(self, wave: jnp.ndarray) -> jnp.ndarray:
-        return self.classify_spec(self.frontend(wave))
+    def __call__(self, wave: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """``train=True`` enables the config's dropout/attn_dropout (needs
+        a ``{'dropout': key}`` rng); inference paths default to False."""
+        return self.classify_spec(self.frontend(wave), train=train)
 
 
 def init_params(cfg: ModelConfig, key: Optional[jax.Array] = None, dtype=jnp.float32):

@@ -68,6 +68,14 @@ def batch_iterator(
     from adx_tpu.ops.audio import resample_poly
 
     rng = np.random.default_rng(seed)
+    if drop_last and len(items) < batch_size:
+        # with epochs=None this would otherwise spin forever yielding
+        # nothing (stop <= 0 every epoch) — fail loudly instead
+        raise ValueError(
+            f"batch_iterator: {len(items)} items < batch_size={batch_size} "
+            f"with drop_last=True would never yield a batch; lower "
+            f"batch_size or pass drop_last=False"
+        )
     epoch = 0
     while epochs is None or epoch < epochs:
         order = np.arange(len(items))

@@ -95,14 +95,36 @@ def make_train_step(
     # flash attention is forward-only; training uses the XLA attention path
     model = AudioClassifier(cfg, dtype=dtype, use_flash=False)
     sched = lr_schedule(learning_rate, total_steps, warmup_steps)
+
+    def _decay_mask(params):
+        # the standard transformer recipe decays only weight MATRICES —
+        # biases, LayerNorm scales/biases (ndim 1) and the learnable
+        # position embeddings are excluded
+        def mask_for(path_tuple, leaf):
+            path = "/".join(
+                str(p.key) if hasattr(p, "key") else str(p) for p in path_tuple
+            )
+            return leaf.ndim >= 2 and "pos_embed" not in path
+
+        return jax.tree_util.tree_map_with_path(mask_for, params)
+
     parts = []
     if clip_norm is not None:
         parts.append(optax.clip_by_global_norm(clip_norm))
-    parts.append(optax.adamw(sched, weight_decay=weight_decay))
+    parts.append(optax.adamw(sched, weight_decay=weight_decay, mask=_decay_mask))
     tx = optax.chain(*parts)
 
-    def loss_fn(params, waves, labels):
-        logits = model.apply(params, waves)
+    has_dropout = (float(cfg.model.dropout) > 0.0
+                   or float(cfg.model.attn_dropout) > 0.0)
+
+    def loss_fn(params, waves, labels, rng):
+        # train=True enables the config's dropout (no-op at rate 0); the
+        # per-step rng is derived from the step counter — deterministic
+        # and resume-safe
+        logits = model.apply(
+            params, waves, train=has_dropout,
+            rngs={"dropout": rng} if has_dropout else None,
+        )
         loss = optax.sigmoid_binary_cross_entropy(logits, labels)
         return jnp.mean(loss)
 
@@ -112,7 +134,10 @@ def make_train_step(
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     def step_fn(state: TrainState, waves, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, waves, labels)
+        rng = jax.random.fold_in(jax.random.key(0), state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, waves, labels, rng
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -120,6 +145,7 @@ def make_train_step(
     # shardings: params per TP spec, batch over 'data'
     def shard_state(state: TrainState) -> TrainState:
         pspec = param_partition_spec(state.params)
+        param_treedef = jax.tree.structure(state.params)
 
         def put(tree, spec_tree):
             return jax.tree.map(
@@ -127,11 +153,23 @@ def make_train_step(
             )
 
         params = put(state.params, pspec)
-        # optimizer state mirrors the param tree structure where it embeds it
-        def opt_put(x):
-            return jax.device_put(x, NamedSharding(mesh, P()))
 
-        opt_state = jax.tree.map(opt_put, state.opt_state)
+        # optimizer moments (adam mu/nu) embed the FULL param tree — shard
+        # them with the param spec so TP does not pay 2× replicated
+        # optimizer memory per device (and the first step needn't reshard)
+        def shard_opt(node):
+            try:
+                if jax.tree.structure(node) == param_treedef:
+                    return put(node, pspec)
+            except Exception:  # noqa: BLE001 — not a params-shaped subtree
+                pass
+            if isinstance(node, tuple) and hasattr(node, "_fields"):
+                return type(node)(*[shard_opt(x) for x in node])
+            if isinstance(node, (list, tuple)):
+                return type(node)(shard_opt(x) for x in node)
+            return jax.device_put(node, NamedSharding(mesh, P()))
+
+        opt_state = shard_opt(state.opt_state)
         return TrainState(params, opt_state, state.step)
 
     batch_sharding = NamedSharding(mesh, P("data", None))
@@ -218,6 +256,7 @@ def make_eval_step(cfg: ModelConfig, mesh: Mesh, dtype=jnp.float32):
         return loss, jax.nn.sigmoid(logits)
 
     n_data = int(mesh.shape["data"])
+    seen_width = [0]
 
     def eval_fn(params, waves, labels):
         import numpy as np
@@ -225,8 +264,15 @@ def make_eval_step(cfg: ModelConfig, mesh: Mesh, dtype=jnp.float32):
         waves = np.asarray(waves)
         labels = np.asarray(labels, np.float32)
         b = len(labels)
-        # pad to the data-axis size (per-example outputs: trim is exact)
-        pad = (-b) % n_data
+        # pad to the data-axis multiple AND to the widest batch seen so far:
+        # per-example outputs make the trim exact, and reusing one padded
+        # width means a narrower tail batch (the drop_last=False eval path)
+        # reuses the compiled program instead of triggering a second
+        # minutes-long XLA compile on the real TPU
+        width = b + ((-b) % n_data)
+        width = max(width, seen_width[0])
+        seen_width[0] = width
+        pad = width - b
         if pad:
             waves = np.concatenate([waves, np.zeros((pad,) + waves.shape[1:],
                                                     waves.dtype)])

@@ -289,10 +289,18 @@ def draw_comparison_table(
     feat_list, real_vals, means_v, pct_df, sources, title_str, out_file,
     figsize_w: float = 14.0, row_height: float = 0.40, dpi: int = 180,
     col_header_colors: Optional[dict] = None, strip_stat_suffix: bool = True,
-    baseline_label: str = "REAL",
+    baseline_label: str = "REAL", spacing_quirk: bool = True,
 ):
     """Dark-themed PNG table: rows = features, columns = baseline + sources,
-    cells colored by % deviation from the baseline."""
+    cells colored by % deviation from the baseline.
+
+    ``spacing_quirk=True`` reproduces the overall-family reference's
+    column spacing, which divides the already-normalized width by
+    ``tot_w`` AGAIN (run_overall_features_vis.py:1545) — compressing wide
+    tables so cells overlap. The LIME family's reference uses the fixed
+    form ``w * 0.99`` (run_LIME_features_vis.py:1847), so LIME callers
+    pass False.
+    """
     import matplotlib.patches as mpatches
 
     n_rows = len(feat_list)
@@ -311,7 +319,7 @@ def draw_comparison_table(
     x = 0.01
     for w in col_widths:
         col_lefts.append(x)
-        x += w * 0.99 / tot_w
+        x += w * 0.99 / tot_w if spacing_quirk else w * 0.99
 
     def cell(r_idx, c_idx, text, color=TBL_TEXT, bg=TBL_BG, fs=8.5, bold=False, align="right"):
         x0, cw = col_lefts[c_idx], col_widths[c_idx]
@@ -395,6 +403,7 @@ def comparison_table_suite(
     multi_stat_groups: Optional[list] = None,
     sort_by_deviation: bool = True,
     title_prefix: str = "OVERALL",
+    spacing_quirk: bool = True,
 ):
     """Per-semantic-group dark comparison tables vs REAL, with by-prediction
     and by-sample-type decompositions (reference: plot_overall_comparison_table)."""
@@ -465,6 +474,7 @@ def comparison_table_suite(
         draw_comparison_table(
             feat_list, real_vals, means_v, pct_df_full, sources, title,
             grp_dir / f"{name}.png", strip_stat_suffix=strip,
+            spacing_quirk=spacing_quirk,
         )
         ms, cs, chc = _pred_split(feat_list)
         if not ms.empty:
@@ -472,6 +482,7 @@ def comparison_table_suite(
                 feat_list, real_vals, ms, pct_vs_baseline(ms, real_vals, cs, feat_list), cs,
                 f"{title} – decomposition by prediction", grp_dir / f"{name}_by_pred.png",
                 figsize_w=14.0 * 1.6, col_header_colors=chc, strip_stat_suffix=strip,
+                spacing_quirk=spacing_quirk,
             )
         if "data_type" in df.columns:
             tv_means, tv_pct, tv_sources, tv_colors = _type_split(feat_list)
@@ -479,6 +490,7 @@ def comparison_table_suite(
                 feat_list, real_vals, tv_means, tv_pct, tv_sources,
                 f"{title} – sample type vs REAL", grp_dir / f"{name}_by_type.png",
                 col_header_colors=tv_colors, strip_stat_suffix=strip,
+                spacing_quirk=spacing_quirk,
             )
 
     for grp in list(feature_groups.keys()) + ["other"]:

@@ -464,9 +464,15 @@ def load_audio_lime_explanations(file_paths: Sequence[str]):
                         }
                     )
         df_run = pd.DataFrame(rows)
+        if df_run.empty:
+            print(f"⚠️ Warning: no LIME rows loaded from {p} (run: {run_label})")
         dfs.append(df_run)
         print(f"✅ Loaded {len(df_run)} rows from {p} (run: {run_label})")
     df_all = pd.concat(dfs, ignore_index=True)
+    if df_all.empty or "run" not in df_all.columns:
+        # match the FBP/occlusion loaders' clear failure instead of a
+        # KeyError('run') out of the groupby below
+        raise ValueError("No LIME data loaded from any run!")
     df_common = _common_keys(df_all, ["data_source", "file_name", "component"])
     df_common = df_common.sort_values(
         ["data_source", "component", "file_index", "run"]

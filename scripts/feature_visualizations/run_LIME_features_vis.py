@@ -186,7 +186,11 @@ def plot_feature_comparison_table(features_df, lime_json_path, comp_version, out
         if cdf.empty:
             continue
         comparison_table_suite(
-            cdf, root_out / comp_name, title_prefix=f"LIME {comp_name.upper()}"
+            cdf, root_out / comp_name, title_prefix=f"LIME {comp_name.upper()}",
+            # the LIME reference uses the FIXED column spacing
+            # (run_LIME_features_vis.py:1847: w * (0.99 / tot_w * tot_w)),
+            # unlike the overall family's double-division quirk
+            spacing_quirk=False,
         )
 
 

@@ -55,7 +55,19 @@ def main():
              "'auto' enables it when the dataset fits in ~4 GB)")
     args = ap.parse_args()
 
-    cfg = tiny_test_config() if args.model in ("tiny", "spectttra-tiny") else resolve_preset(args.model)
+    # resolve the model config BEFORE building the train step: a converted
+    # checkpoint's config.json is authoritative (it may differ from the
+    # --model preset in duration/n_fft/arch — building step_fn from the
+    # preset and then swapping cfg would train a mismatched model, and
+    # opt_state would be init'd against the wrong params)
+    params = None
+    if args.init_checkpoint:
+        from adx_tpu.models.convert import load_torch_checkpoint
+
+        cfg, params = load_torch_checkpoint(args.init_checkpoint)
+    else:
+        cfg = (tiny_test_config() if args.model in ("tiny", "spectttra-tiny")
+               else resolve_preset(args.model))
     n_dev = len(jax.devices())
     mesh = training_mesh(n_data=n_dev // args.tp, n_model=args.tp)
     print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices")
@@ -68,14 +80,9 @@ def main():
     )
 
     sample = jnp.zeros((1, cfg.audio.n_samples), jnp.float32)
-    if args.init_checkpoint:
-        from adx_tpu.models.convert import load_torch_checkpoint
-
-        cfg, params = load_torch_checkpoint(args.init_checkpoint)
-        state = init_fn(jax.random.key(0), sample)
+    state = init_fn(jax.random.key(0), sample)
+    if params is not None:
         state = state._replace(params=params)
-    else:
-        state = init_fn(jax.random.key(0), sample)
     state = shard_state(state)
 
     items = scan_dataset(args.dataset)

@@ -231,3 +231,109 @@ def test_cached_train_step_matches_plain():
     db = jax.tree.leaves(state_b.params)
     for a, b in zip(da, db):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_iterator_too_few_items_raises():
+    """drop_last with fewer items than batch_size must raise, not busy-loop
+    forever yielding nothing (epochs=None would spin at 100% CPU)."""
+    import pytest as _pytest
+
+    from adx_tpu.training.data import batch_iterator
+
+    items = [("a.wav", 0.0)] * 3
+    with _pytest.raises(ValueError, match="never yield"):
+        next(batch_iterator(items, batch_size=8, n_samples=100, sr=8000))
+
+
+def test_dropout_is_wired_through_training():
+    """config.dropout must actually regularize: train=True with different
+    rngs gives different logits; train=False is deterministic dropout-free."""
+    import dataclasses
+
+    from adx_tpu.models.config import tiny_test_config
+    from adx_tpu.models.spectttra import AudioClassifier
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dropout=0.3, attn_dropout=0.2)
+    )
+    model = AudioClassifier(cfg)
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (2, cfg.audio.n_samples)).astype(np.float32) * 0.1
+    )
+    params = model.init(jax.random.key(0), wave)
+    eval1 = model.apply(params, wave)
+    eval2 = model.apply(params, wave, train=False)
+    np.testing.assert_allclose(np.asarray(eval1), np.asarray(eval2), atol=0)
+    tr1 = model.apply(params, wave, train=True, rngs={"dropout": jax.random.key(1)})
+    tr2 = model.apply(params, wave, train=True, rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    assert not np.allclose(np.asarray(tr1), np.asarray(eval1))
+
+
+def test_weight_decay_mask_excludes_norms_and_biases():
+    from adx_tpu.models.config import tiny_test_config
+    from adx_tpu.models.spectttra import init_params
+    from adx_tpu.training.train import make_train_step  # noqa: F401 — mask lives inside
+
+    cfg = tiny_test_config()
+    params = init_params(cfg)
+
+    # reproduce the mask rule: decay only matrices, never pos_embed
+    import jax as _jax
+
+    def mask_for(path_tuple, leaf):
+        path = "/".join(str(p.key) if hasattr(p, "key") else str(p)
+                        for p in path_tuple)
+        return leaf.ndim >= 2 and "pos_embed" not in path
+
+    mask = _jax.tree_util.tree_map_with_path(mask_for, params)
+    flat = {
+        "/".join(str(p.key) for p in kp): v
+        for kp, v in _jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    assert any(v for k, v in flat.items() if "kernel" in k)
+    assert not any(v for k, v in flat.items() if "bias" in k)
+    assert not any(v for k, v in flat.items() if "norm" in k and "scale" in k)
+
+
+def test_tp_opt_state_sharded_like_params():
+    """adam mu/nu must mirror the TP param sharding, not replicate
+    (2x optimizer memory per device otherwise)."""
+    cfg = tiny_test_config()
+    mesh = training_mesh(n_data=4, n_model=2)
+    init_fn, _step, shard_state = make_train_step(cfg, mesh)
+    sample = jnp.zeros((1, cfg.audio.n_samples), jnp.float32)
+    state = shard_state(init_fn(jax.random.key(0), sample))
+
+    def find_qkv(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for kp, leaf in flat:
+            path = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in kp)
+            if "qkv" in path and "kernel" in path:
+                return leaf
+        raise AssertionError("qkv kernel not found")
+
+    p_leaf = find_qkv(state.params)
+    mu_leaf = find_qkv(state.opt_state)
+    assert mu_leaf.sharding == p_leaf.sharding
+    assert "model" in str(p_leaf.sharding.spec)
+
+
+def test_convert_pe_learnable_maps_short_names():
+    from adx_tpu.models.convert import convert_torch_state_dict
+
+    pe = np.random.default_rng(0).standard_normal((1, 6, 16)).astype(np.float32)
+    # learnable: mapped (with the leading batch dim squeezed)
+    out = convert_torch_state_dict(
+        {"encoder.tokenizer.pe_t": pe, "encoder.tokenizer.pe_f": pe * 2},
+        pe_learnable=True,
+    )
+    np.testing.assert_array_equal(
+        out["encoder/tokenizer/pos_embed_temporal"], pe[0])
+    np.testing.assert_array_equal(
+        out["encoder/tokenizer/pos_embed_spectral"], (pe * 2)[0])
+    # sinusoid mode: skipped silently (recomputed in flax)
+    assert convert_torch_state_dict(
+        {"encoder.tokenizer.pe_t": pe}, pe_learnable=False) == {}
