@@ -156,15 +156,20 @@ def process_file(
     out_root: Path,
     sr: int = 44100,
     arms: Optional[List[str]] = None,
+    lufs_targets: Optional[List[float]] = None,
 ) -> List[Dict[str, Any]]:
-    """Base normalization at −14/−23 LUFS plus the enabled degradation arms."""
+    """Base normalization at the LUFS targets (notebook default −14/−23)
+    plus the enabled degradation arms."""
     arms = list(ARMS) if arms is None else arms
+    targets = list(BASE_TARGETS_LUFS) if lufs_targets is None else [
+        -abs(float(t)) for t in lufs_targets
+    ]
     y, sr = load_audio(fp, sr=sr, mono=True)
     group = infer_group_from_path(fp)
     name = fp.name
     logs = []
 
-    for target in BASE_TARGETS_LUFS:
+    for target in targets:
         y_base, info = normalize_to_lufs_with_tp(
             y, sr, target_lufs=target,
             tp_limit_db=TRUE_PEAK_LIMIT_DBTP, oversample_tp=OVERSAMPLE_TP,
@@ -196,6 +201,7 @@ def run_pipeline(
     out_root: str | Path,
     sr: int = 44100,
     arms: Optional[List[str]] = None,
+    lufs_targets: Optional[List[float]] = None,
 ) -> None:
     import pandas as pd
 
@@ -205,7 +211,8 @@ def run_pipeline(
     for fp in files:
         print(f"[INFO] Processing: {fp}")
         try:
-            all_logs.extend(process_file(fp, out_root, sr=sr, arms=arms))
+            all_logs.extend(process_file(fp, out_root, sr=sr, arms=arms,
+                                         lufs_targets=lufs_targets))
         except Exception as e:  # noqa: BLE001 — per-file resilience
             print(f"[ERROR] file={fp}, err={e}")
             all_logs.append({"input_path": str(fp), "error": str(e)})

@@ -141,14 +141,17 @@ def main():
     lime_rows = lime_mask_batch(jax.random.key(0), LIME_SAMPLES, LIME_STEMS)
 
     # one-time H2D: the track and stems stay device-resident across stages
-    # (a 21 MB transfer per stage otherwise dominates the short stages)
+    # (a 21 MB transfer per stage otherwise dominates the short stages).
+    # Multi-track mode never calls full_explain, so skip its ~105 MB of
+    # single-track buffers there (the tunnel moves ~15-22 MB/s — that
+    # transfer would inflate setup_s by seconds and squat on HBM).
     import jax.numpy as jnp
 
-    track = jnp.asarray(track)
-    stems = jnp.asarray(stems)
-    track.block_until_ready()
-
     T = max(1, cli.tracks)
+    if T == 1:
+        track = jnp.asarray(track)
+        stems = jnp.asarray(stems)
+        track.block_until_ready()
     if T > 1:
         # T distinct tracks (different fundamentals) + per-track stems,
         # device-resident once, like the single-track path
@@ -229,6 +232,11 @@ def main():
         t0 = time.time()
         warm = full_explain_multi()
         compile_s = time.time() - t0
+        if cli.profile:
+            with jax.profiler.trace(cli.profile):
+                full_explain_multi()
+            print(f"# profiler trace written to {cli.profile}",
+                  file=sys.stderr, flush=True)
         times = []
         for _ in range(REPEATS):
             t0 = time.time()
@@ -269,7 +277,9 @@ def main():
     if cli.profile:
         with jax.profiler.trace(cli.profile):
             full_explain()
-        print(f"# profiler trace written to {cli.profile}", flush=True)
+        # stderr: stdout must stay ONE JSON line (driver contract)
+        print(f"# profiler trace written to {cli.profile}",
+              file=sys.stderr, flush=True)
 
     times = []
     for _ in range(REPEATS):

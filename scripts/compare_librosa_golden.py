@@ -106,9 +106,13 @@ def main():
     report["tempo_rel_err"] = float(rel)
     t_l = librosa.frames_to_time(beats_l, sr=sr)
     t_a = librosa.frames_to_time(beats_a, sr=sr)
-    hits = sum(1 for tb in t_a if len(t_l) and np.min(np.abs(t_l - tb)) < 0.07)
-    prec = hits / max(1, len(t_a))
-    rec = hits / max(1, len(t_l))
+    # precision matches predictions to references; recall matches
+    # references to predictions (reusing the prediction hit count for
+    # recall lets duplicate predictions push recall past 1.0)
+    hits_p = sum(1 for tb in t_a if len(t_l) and np.min(np.abs(t_l - tb)) < 0.07)
+    hits_r = sum(1 for tb in t_l if len(t_a) and np.min(np.abs(t_a - tb)) < 0.07)
+    prec = hits_p / max(1, len(t_a))
+    rec = hits_r / max(1, len(t_l))
     report["beat_f_measure"] = 2 * prec * rec / max(1e-9, prec + rec)
 
     # ---- spectral features -------------------------------------------------

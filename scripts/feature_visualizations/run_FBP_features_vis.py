@@ -358,12 +358,16 @@ def main():
     if viz_cfg.get("feature_vs_importance", False):
         viz_feature_values_vs_importance_by_freq_band(features_df, output_root)
 
-    plot_fbp_predictions_influence_features(
-        features_df=features_df, fbp_json_path=Path(explanations_path), output_dir=output_root
-    )
-    plot_fbp_3rows_multicolumn(
-        features_df=features_df, fbp_json_path=Path(explanations_path), output_dir=output_root
-    )
+    if explanations_path:  # same guard as the LIME vis runner
+        plot_fbp_predictions_influence_features(
+            features_df=features_df, fbp_json_path=Path(explanations_path), output_dir=output_root
+        )
+        plot_fbp_3rows_multicolumn(
+            features_df=features_df, fbp_json_path=Path(explanations_path), output_dir=output_root
+        )
+    else:
+        print("⚠️ No explanations_data.explanations_path in config — "
+              "skipping prediction-vs-influence families")
 
 
 if __name__ == "__main__":

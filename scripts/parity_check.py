@@ -46,7 +46,8 @@ def _walk_numbers(obj, prefix=""):
         yield prefix, float(obj)
 
 
-def compare_json(path_a: Path, path_b: Path, tol: float, label: str):
+def compare_json(path_a: Path, path_b: Path, tol: float, label: str,
+                 allow_missing: bool = False):
     a = dict(_walk_numbers(_load(path_a)))
     b = dict(_walk_numbers(_load(path_b)))
     common = sorted(set(a) & set(b))
@@ -61,28 +62,37 @@ def compare_json(path_a: Path, path_b: Path, tol: float, label: str):
             worst, worst_key = d, k
         if d > tol:
             n_fail += 1
-    status = "OK" if n_fail == 0 and common else ("EMPTY" if not common else "FAIL")
+    # missing keys and value-free file pairs are FAILURES by default: a
+    # truncated tree must not pass the SURVEY §7.2.11 gate just because the
+    # values it DID produce agree
+    structural_ok = allow_missing or (missing_a == 0 and missing_b == 0)
+    ok = n_fail == 0 and bool(common) and structural_ok
+    status = "OK" if ok else ("EMPTY" if not common else "FAIL")
     print(
         f"[{status:5s}] {label}: {len(common)} shared values, "
         f"max |Δ| = {worst:.3e} at {worst_key or '-'}; "
         f"{n_fail} over tol={tol:g}; missing: {missing_b} (ours) / {missing_a} (theirs)"
     )
-    return n_fail == 0
+    return ok
 
 
-def find_and_compare(root_a: Path, root_b: Path, rel_glob: str, tol: float):
+def find_and_compare(root_a: Path, root_b: Path, rel_glob: str, tol: float,
+                     allow_missing: bool = False):
     ok = True
     files_a = {p.relative_to(root_a): p for p in root_a.rglob(rel_glob)}
     files_b = {p.relative_to(root_b): p for p in root_b.rglob(rel_glob)}
     shared = sorted(set(files_a) & set(files_b), key=str)
     for rel in shared:
-        ok &= compare_json(files_a[rel], files_b[rel], tol, str(rel))
+        ok &= compare_json(files_a[rel], files_b[rel], tol, str(rel),
+                           allow_missing=allow_missing)
     only_a = set(files_a) - set(files_b)
     only_b = set(files_b) - set(files_a)
     for rel in sorted(only_b, key=str):
         print(f"[MISS ] {rel}: present only in tree B")
     for rel in sorted(only_a, key=str):
         print(f"[MISS ] {rel}: present only in tree A")
+    if (only_a or only_b) and not allow_missing:
+        ok = False  # a file one tree never produced is a parity failure
     return ok, len(shared)
 
 
@@ -91,6 +101,11 @@ def main():
     ap.add_argument("tree_a", help="Result tree A (e.g. reference outputs)")
     ap.add_argument("tree_b", help="Result tree B (e.g. adx_tpu outputs)")
     ap.add_argument("--tol", type=float, default=1e-3, help="Absolute tolerance")
+    ap.add_argument(
+        "--allow-missing", action="store_true",
+        help="Report missing files/keys without failing the gate (default: "
+             "a key or file present in only one tree FAILS)",
+    )
     ap.add_argument(
         "--families", nargs="*", default=[
             "fbp_results.json", "spectrogram_results_*.json", "explanations.json",
@@ -106,7 +121,8 @@ def main():
     print(f"Comparing {root_a}  vs  {root_b}  (tol {args.tol:g})")
     print("-" * 70)
     for fam in args.families:
-        ok, n = find_and_compare(root_a, root_b, fam, args.tol)
+        ok, n = find_and_compare(root_a, root_b, fam, args.tol,
+                                 allow_missing=args.allow_missing)
         all_ok &= ok
         total += n
     print("-" * 70)

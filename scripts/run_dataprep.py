@@ -26,13 +26,19 @@ def main():
         help="Degradation arms to run (default: all)",
     )
     ap.add_argument("--inventory-only", action="store_true", help="Only write audio_inventory.csv")
+    ap.add_argument(
+        "--lufs", nargs="*", type=float, default=None,
+        help="LUFS normalization bases as positive numbers (minusN trees; "
+             "default: 14 23, the notebook's targets)",
+    )
     args = ap.parse_args()
 
     df = audio_inventory(args.inputs, Path(args.out_root) / "audio_inventory.csv")
     plot_inventory(df, Path(args.out_root) / "inventory_plots")
     if args.inventory_only:
         return
-    run_pipeline(args.inputs, args.out_root, sr=args.sr, arms=args.arms)
+    run_pipeline(args.inputs, args.out_root, sr=args.sr, arms=args.arms,
+                 lufs_targets=args.lufs)
 
 
 if __name__ == "__main__":

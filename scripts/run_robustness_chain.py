@@ -113,7 +113,8 @@ def main():
         rc, _ = run_stage(
             "scripts/run_dataprep.py",
             [str(src_dataset), "--out-root", str(data_root),
-             "--sr", str(cli.sr), "--arms", *cli.arms],
+             "--sr", str(cli.sr), "--arms", *cli.arms,
+             "--lufs", *[str(l) for l in cli.lufs]],
         )
         timings.append(("dataprep", rc, time.time() - t0))
         if rc != 0:

@@ -92,9 +92,15 @@ def main():
     print(f"Dataset: {len(items)} files ({len(train_items)} train / "
           f"{len(val_items)} val)")
     cache_bytes = len(train_items) * cfg.audio.n_samples * 2
+    if len(train_items) < args.batch_size:
+        # fewer files than one batch: cached_batches would spin forever
+        # yielding nothing (and batch_iterator now raises for the same)
+        sys.exit(
+            f"❌ {len(train_items)} training files < --batch-size "
+            f"{args.batch_size}; lower the batch size"
+        )
     use_cache = args.device_cache == "on" or (
         args.device_cache == "auto" and 0 < cache_bytes <= 4 << 30
-        and len(train_items) >= args.batch_size
     )
     if use_cache:
         from adx_tpu.training.train import upload_device_cache
