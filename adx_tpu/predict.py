@@ -353,11 +353,11 @@ class RemoteSonics:
                 # urllib.error.HTTPError carries .code (the plain-HTTP
                 # mode) — checking only the former left the documented
                 # backoff dead for every urllib 502/503/504
+                import urllib.error as _uerr
+
                 status = getattr(getattr(e, "response", None), "status_code", None)
                 if status is None:
                     status = getattr(e, "code", None)
-                import urllib.error as _uerr
-
                 retryable = (
                     status in (502, 503, 504)
                     or "Timeout" in type(e).__name__

@@ -55,18 +55,20 @@ def main():
         checkpoint_dir = output_dir / "checkpoints"
         checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
-    if args.visualize_only:
-        print("\n📊 Generating aggregate visualizations only...")
+    def _results_csvs():
         # exclude the ever-growing progress CSV: it sorts after every
         # timestamped final CSV ('p' > digits) and accumulates rows across
         # runs, so "latest" would render stale, mixed-run aggregates (the
         # reference has the same defect — deviate where it is broken,
         # like the LIME features path fix); fall back to it only when no
         # timestamped CSV exists (an interrupted first run)
-        csv_files = sorted(p for p in output_dir.glob("spectrogram_results_*.csv")
-                           if not p.name.endswith("_progress.csv"))
-        if not csv_files:
-            csv_files = sorted(output_dir.glob("spectrogram_results_progress.csv"))
+        final = sorted(p for p in output_dir.glob("spectrogram_results_*.csv")
+                       if not p.name.endswith("_progress.csv"))
+        return final or sorted(output_dir.glob("spectrogram_results_progress.csv"))
+
+    if args.visualize_only:
+        print("\n📊 Generating aggregate visualizations only...")
+        csv_files = _results_csvs()
         if not csv_files:
             print("❌ No results CSV found!")
             sys.exit(1)
@@ -168,8 +170,7 @@ def main():
     print(f"💾 Configuration: {config_path}")
     print(f"🗺️  Saliency maps: {output_dir / 'saliency_maps'}")
     print(f"📈 Aggregate visualizations: {viz_dir}")
-    print("📄 Results CSV: "
-          f"{sorted(p for p in output_dir.glob('spectrogram_results_*.csv') if not p.name.endswith('_progress.csv'))[-1]}")
+    print(f"📄 Results CSV: {_results_csvs()[-1]}")
     print("=" * 70 + "\n")
 
 

@@ -41,8 +41,6 @@ def main():
         ap.error(f"audio file not found: {args.audio}")
 
     if args.server:
-        import sys as _sys
-
         from adx_tpu.serving import post_explain
 
         # the sweep runs at the SERVER's configuration — flags that only
@@ -58,16 +56,18 @@ def main():
         if ignored:
             print(f"⚠️ {' '.join(ignored)} ignored with --server: the sweep "
                   "runs at the resident worker's configuration",
-                  file=_sys.stderr)
-        record = post_explain(args.server, args.audio)
+                  file=sys.stderr)
+        payload = json.dumps(
+            convert_to_native(post_explain(args.server, args.audio)),
+            indent=2, ensure_ascii=False,
+        )
         if args.out_dir:  # still honor the local artifact request
             out = Path(args.out_dir)
             out.mkdir(parents=True, exist_ok=True)
-            stem = Path(args.audio).stem
-            with open(out / f"{stem}_explanation.json", "w", encoding="utf-8") as f:
-                json.dump(convert_to_native(record), f, indent=2, ensure_ascii=False)
-            print(f"💾 {out / f'{stem}_explanation.json'}", file=_sys.stderr)
-        print(json.dumps(convert_to_native(record), indent=2, ensure_ascii=False))
+            dest = out / f"{Path(args.audio).stem}_explanation.json"
+            dest.write_text(payload, encoding="utf-8")
+            print(f"💾 {dest}", file=sys.stderr)
+        print(payload)
         return
 
     from adx_tpu.predict import LocalSonics
