@@ -75,6 +75,20 @@ def lr_schedule(
     )
 
 
+def decay_mask(params):
+    """adamw weight-decay mask: the standard transformer recipe decays only
+    weight MATRICES — biases, LayerNorm scales/biases (ndim 1) and the
+    learnable position embeddings are excluded."""
+
+    def mask_for(path_tuple, leaf):
+        path = "/".join(
+            str(p.key) if hasattr(p, "key") else str(p) for p in path_tuple
+        )
+        return leaf.ndim >= 2 and "pos_embed" not in path
+
+    return jax.tree_util.tree_map_with_path(mask_for, params)
+
+
 def make_train_step(
     cfg: ModelConfig,
     mesh: Mesh,
@@ -96,22 +110,10 @@ def make_train_step(
     model = AudioClassifier(cfg, dtype=dtype, use_flash=False)
     sched = lr_schedule(learning_rate, total_steps, warmup_steps)
 
-    def _decay_mask(params):
-        # the standard transformer recipe decays only weight MATRICES —
-        # biases, LayerNorm scales/biases (ndim 1) and the learnable
-        # position embeddings are excluded
-        def mask_for(path_tuple, leaf):
-            path = "/".join(
-                str(p.key) if hasattr(p, "key") else str(p) for p in path_tuple
-            )
-            return leaf.ndim >= 2 and "pos_embed" not in path
-
-        return jax.tree_util.tree_map_with_path(mask_for, params)
-
     parts = []
     if clip_norm is not None:
         parts.append(optax.clip_by_global_norm(clip_norm))
-    parts.append(optax.adamw(sched, weight_decay=weight_decay, mask=_decay_mask))
+    parts.append(optax.adamw(sched, weight_decay=weight_decay, mask=decay_mask))
     tx = optax.chain(*parts)
 
     has_dropout = (float(cfg.model.dropout) > 0.0

@@ -9,11 +9,16 @@ import os
 # imported jax, so the env var alone is not enough — jax.config.update
 # overrides the platform as long as no backend has been initialized yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The suite hard-codes 8 devices (training_mesh(4, 2), dryrun asserts,
+# engine mesh-invariance tests) — REPLACE any pre-existing device-count
+# flag (e.g. left over from a dryrun) instead of keeping a wrong value.
+flags = [
+    f for f in os.environ.get("XLA_FLAGS", "").split()
+    if not f.startswith("--xla_force_host_platform_device_count")
+]
+os.environ["XLA_FLAGS"] = " ".join(
+    flags + ["--xla_force_host_platform_device_count=8"]
+)
 
 import jax
 
@@ -23,13 +28,16 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh, identically-seeded generator PER TEST: shared session state
+    would make every test's data depend on which tests ran before it
+    (irreproducible failures in isolation vs in the suite)."""
     return np.random.default_rng(1234)
 
 
 @pytest.fixture(scope="session")
-def short_audio(rng):
+def short_audio():
     """~1.5 s of band-limited noise + tones at 44.1 kHz (fast test signal)."""
     sr = 44100
     n = 65536
@@ -37,6 +45,6 @@ def short_audio(rng):
     y = (
         0.5 * np.sin(2 * np.pi * 440.0 * t)
         + 0.25 * np.sin(2 * np.pi * 1760.0 * t + 0.3)
-        + 0.1 * rng.standard_normal(n)
+        + 0.1 * np.random.default_rng(1234).standard_normal(n)
     ).astype(np.float32)
     return y, sr

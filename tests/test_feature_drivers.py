@@ -13,7 +13,8 @@ SR = 8000
 
 
 @pytest.fixture(scope="module")
-def dataset(tmp_path_factory, rng):
+def dataset(tmp_path_factory):
+    rng = np.random.default_rng(1234)
     root = tmp_path_factory.mktemp("FeatMini")
     n = SR
     t = np.arange(n) / SR

@@ -21,7 +21,8 @@ def predictor():
 
 
 @pytest.fixture(scope="module")
-def mixture(rng):
+def mixture():
+    rng = np.random.default_rng(1234)
     n = SR  # 1 s
     t = np.arange(n) / SR
     return (
@@ -118,7 +119,8 @@ def test_device_factorization_matches_host(predictor, mixture):
 
 
 @pytest.fixture(scope="module")
-def dataset(tmp_path_factory, rng):
+def dataset(tmp_path_factory):
+    rng = np.random.default_rng(1234)
     root = tmp_path_factory.mktemp("LimeMini")
     n = SR
     t = np.arange(n) / SR

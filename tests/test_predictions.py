@@ -18,7 +18,8 @@ def predictor():
 
 
 @pytest.fixture(scope="module")
-def dataset(tmp_path_factory, rng):
+def dataset(tmp_path_factory):
+    rng = np.random.default_rng(1234)
     root = tmp_path_factory.mktemp("PredMini")
     n = SR // 2
     t = np.arange(n) / SR

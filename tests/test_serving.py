@@ -16,8 +16,15 @@ SR = 8000
 
 
 @pytest.fixture(scope="module")
-def server():
-    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+def tiny_predictor():
+    """ONE tiny predictor for the whole module — each from_pretrained pays
+    param init + jit retracing, pure wasted wall-clock on the 1-core host."""
+    return LocalSonics.from_pretrained("tiny", max_batch=8)
+
+
+@pytest.fixture(scope="module")
+def server(tiny_predictor):
+    predictor = tiny_predictor
     srv = make_server(predictor, host="127.0.0.1", port=0, model_name="tiny")
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
@@ -111,11 +118,15 @@ def test_remote_client_against_own_server(server, tmp_path):
     local = predictor.predict(y_q.astype(np.float32), SR)
     assert remote == pytest.approx(local, abs=1e-4)
 
-    # HTTPError from the server must surface as non-retryable garbage-input
+    # a 400 from the server must surface as a NON-retryable HTTPError
+    # (bare `Exception` would also accept an unrelated client bug)
+    import urllib.error
+
     bad = tmp_path / "bad.wav"
     bad.write_bytes(b"definitely not wav")
-    with pytest.raises(Exception):
+    with pytest.raises(urllib.error.HTTPError) as exc:
         RemoteSonics(url, max_retries=2, initial_delay=0.0).predict_from_file(bad)
+    assert exc.value.code == 400
 
 
 # ---------------------------------------------------------------------------
@@ -123,12 +134,12 @@ def test_remote_client_against_own_server(server, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_microbatcher_coalesces_and_matches_serial():
+def test_microbatcher_coalesces_and_matches_serial(tiny_predictor):
     from concurrent.futures import ThreadPoolExecutor
 
     from adx_tpu.serving import MicroBatcher
 
-    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    predictor = tiny_predictor
     n = predictor.cfg.audio.n_samples
     rng = np.random.default_rng(3)
     waves = [
@@ -162,12 +173,12 @@ def test_microbatcher_coalesces_and_matches_serial():
     assert batcher.n_requests == 8 and batcher.n_batches == len(calls)
 
 
-def test_microbatcher_groups_by_sample_rate():
+def test_microbatcher_groups_by_sample_rate(tiny_predictor):
     from concurrent.futures import ThreadPoolExecutor
 
     from adx_tpu.serving import MicroBatcher
 
-    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    predictor = tiny_predictor
     n = predictor.cfg.audio.n_samples
     w1 = (0.3 * np.sin(2 * np.pi * 330 * np.arange(n) / SR)).astype(np.float32)
     w2 = (0.3 * np.sin(2 * np.pi * 330 * np.arange(2 * n) / (2 * SR))).astype(np.float32)
@@ -184,11 +195,11 @@ def test_microbatcher_groups_by_sample_rate():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
-def test_server_with_batching_window():
+def test_server_with_batching_window(tiny_predictor):
     import urllib.error
     from concurrent.futures import ThreadPoolExecutor
 
-    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    predictor = tiny_predictor
     srv = make_server(predictor, host="127.0.0.1", port=0, model_name="tiny",
                       batch_window_ms=150.0)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -239,8 +250,8 @@ def test_explain_endpoint_disabled_by_default(server):
     assert "not enabled" in json.loads(exc.value.read())["error"]
 
 
-def test_explain_endpoint_full_record():
-    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+def test_explain_endpoint_full_record(tiny_predictor):
+    predictor = tiny_predictor
     srv = make_server(
         predictor, host="127.0.0.1", port=0, model_name="tiny",
         explain_kwargs=dict(
@@ -286,12 +297,12 @@ def test_explain_endpoint_full_record():
         srv.server_close()
 
 
-def test_explain_batcher_coalesces_and_matches_serial():
+def test_explain_batcher_coalesces_and_matches_serial(tiny_predictor):
     """Concurrent /explain requests coalesce into ONE multi-track batched
     explanation (VERDICT r2 item 6) and match the serialized endpoint."""
     from concurrent.futures import ThreadPoolExecutor
 
-    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    predictor = tiny_predictor
     explain_kwargs = dict(
         sr=SR, duration=predictor.cfg.audio.duration,
         n_fft=256, hop_length=128, win_length=256,
@@ -342,14 +353,14 @@ def test_explain_batcher_coalesces_and_matches_serial():
         srv.server_close()
 
 
-def test_explain_many_matches_serial_path_exactly():
+def test_explain_many_matches_serial_path_exactly(tiny_predictor):
     """The batched path (explain_many) must return the same numbers as the
     serialized path (explain) for the SAME request: both now take an
     identical PCM16 quantize→dequantize trip, so whether a request happened
     to coalesce cannot change its explanation."""
     from adx_tpu.serving import ExplainService
 
-    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    predictor = tiny_predictor
     svc = ExplainService(
         predictor,
         sr=SR, duration=predictor.cfg.audio.duration,
@@ -428,7 +439,12 @@ def test_explain_batcher_holds_for_inflight_uploads():
 
         with ThreadPoolExecutor(2) as pool:
             f_slow = pool.submit(slow)
-            _time.sleep(0.05)  # ensure slow's upload mark lands first
+            # wait until slow's upload mark has actually landed — a fixed
+            # sleep races on a loaded 1-core host
+            deadline = _time.monotonic() + 5.0
+            while batcher._inflight == 0 and _time.monotonic() < deadline:
+                _time.sleep(0.005)
+            assert batcher._inflight > 0
             f_fast = pool.submit(fast)
             r_fast, r_slow = f_fast.result(10), f_slow.result(10)
         assert svc.batch_sizes == [2]
@@ -546,13 +562,13 @@ def test_predict_batch_lengths_mask_matches_single_under_resample():
     np.testing.assert_allclose(got, singles, atol=2e-6)
 
 
-def test_post_explain_client_resident_worker(tmp_path):
+def test_post_explain_client_resident_worker(tmp_path, tiny_predictor):
     """`post_explain` (the --server ad-hoc CLI path) round-trips a WAV file
     through a resident explain worker and matches the in-process service."""
     from adx_tpu.io.audio_io import write_wav
     from adx_tpu.serving import post_explain, wav_bytes
 
-    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    predictor = tiny_predictor
     explain_kwargs = dict(
         sr=SR, duration=predictor.cfg.audio.duration,
         n_fft=256, hop_length=128, win_length=256,

@@ -187,6 +187,9 @@ def test_istft_matmul_matches_fft_istft(short_audio):
                                 compute_dtype=jnp.float32)
     assert out.shape == (2, len(y))
     np.testing.assert_allclose(np.asarray(out[0]), want, atol=2e-5)
+    # row 1 must be computed from ITS OWN spectrogram (the whole pipeline
+    # is linear in S, so the half-scaled input gives half the waveform)
+    np.testing.assert_allclose(np.asarray(out[1]), 0.5 * want, atol=2e-5)
 
 
 def test_stft_matmul_matches_fft_stft(short_audio):

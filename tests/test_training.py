@@ -273,29 +273,27 @@ def test_dropout_is_wired_through_training():
 
 
 def test_weight_decay_mask_excludes_norms_and_biases():
-    from adx_tpu.models.config import tiny_test_config
+    """The PRODUCTION mask (train.py::decay_mask, the one adamw receives)
+    must decay matrices only — never biases, norm scales, or pos embeds."""
+    import dataclasses
+
     from adx_tpu.models.spectttra import init_params
-    from adx_tpu.training.train import make_train_step  # noqa: F401 — mask lives inside
+    from adx_tpu.training.train import decay_mask
 
     cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, pe_learnable=True)
+    )
     params = init_params(cfg)
-
-    # reproduce the mask rule: decay only matrices, never pos_embed
-    import jax as _jax
-
-    def mask_for(path_tuple, leaf):
-        path = "/".join(str(p.key) if hasattr(p, "key") else str(p)
-                        for p in path_tuple)
-        return leaf.ndim >= 2 and "pos_embed" not in path
-
-    mask = _jax.tree_util.tree_map_with_path(mask_for, params)
+    mask = decay_mask(params)
     flat = {
         "/".join(str(p.key) for p in kp): v
-        for kp, v in _jax.tree_util.tree_flatten_with_path(mask)[0]
+        for kp, v in jax.tree_util.tree_flatten_with_path(mask)[0]
     }
     assert any(v for k, v in flat.items() if "kernel" in k)
     assert not any(v for k, v in flat.items() if "bias" in k)
     assert not any(v for k, v in flat.items() if "norm" in k and "scale" in k)
+    assert not any(v for k, v in flat.items() if "pos_embed" in k)
 
 
 def test_tp_opt_state_sharded_like_params():
