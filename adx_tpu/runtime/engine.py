@@ -49,6 +49,12 @@ class PerturbationEngine:
     # v5e: chunk 2 for 120 s tracks, the full chunk 8 for ≤30 s tracks.
     MEL_SYNTH_COL_BUDGET = 24_000
 
+    # Counter semantics: profiler.count("perturbation_forwards", …) tallies
+    # USEFUL forwards — LIME dedup-aware, but excluding chunk-padding rows
+    # and repeated-tail tracks the programs also execute (those add < one
+    # chunk per sweep). bench.py derives its throughput/MFU figures from
+    # its own analytic counts, not this counter.
+
     def __init__(
         self,
         predictor: LocalSonics,
@@ -400,10 +406,20 @@ class PerturbationEngine:
             n_fft_m, hop_m = int(am.n_fft), int(am.hop_length)
 
             # ---- static window geometry ----------------------------------
+            # Window margins must cover the polyphase filter's ring-out:
+            # resample_poly_device spreads an impulse ±half_taps=32 INPUT
+            # samples, so each side of the delta needs ≥ 32 input samples
+            # of margin or the windowed resample truncates the tail that
+            # the full-length resample would produce (only binds when the
+            # reduced `down` < ~32 — e.g. a 2:1 rate pair; the margins are
+            # in units of `down`-blocks to keep the translation-invariance
+            # alignment). Same-rate mode has no resample, so one block.
+            c_taps = 32  # resample_poly_device default half_taps
+            blocks_l = 1 if same_rate else max(1, -(-c_taps // down))
             # left margin (multiple of `down`) so window starts stay ≥ 0
-            Lm = ((n_fft_a // 2) // down + 2) * down
+            Lm = ((n_fft_a // 2) // down + 1 + blocks_l) * down
             Lm_m = Lm * up // down
-            W_in = -(-(seg_len + 3 * down) // down) * down
+            W_in = -(-(seg_len + (blocks_l + 1) * down + 2 * c_taps) // down) * down
             W_out = W_in * up // down
             margin_r = W_out + max(0, res_len - n_samp) + up
             wb_ext = jnp.pad(w_base, (Lm_m, margin_r))
@@ -424,8 +440,8 @@ class PerturbationEngine:
                 idx_full = off - n_fft_a // 2 + jnp.arange(seg_len)
                 dseg = dseg * ((idx_full >= 0) & (idx_full < L_valid))
 
-                d0e = off - n_fft_a // 2 + Lm          # ext coords (≥ down)
-                w_start = (d0e // down - 1) * down      # down-aligned, ≥ 0
+                d0e = off - n_fft_a // 2 + Lm          # ext coords (≥ blocks_l·down)
+                w_start = (d0e // down - blocks_l) * down  # down-aligned, ≥ 0
                 delta_win = jax.lax.dynamic_update_slice(
                     jnp.zeros((W_in,), jnp.float32), dseg, (d0e - w_start,)
                 )
@@ -819,9 +835,19 @@ class PerturbationEngine:
         self.profiler.count("perturbation_forwards", 1)
         return S, S_db, float(np.asarray(prob)[0])
 
+    def _auto_occlusion_chunk(self, patch_t: int, n_starts: int) -> int:
+        """STFT-occlusion auto chunk: per-element footprint ∝ ``patch_t``
+        delta columns, budget 96 × 1024 columns (measured safe on one
+        v5e chip), clamped so tiny sweeps don't pad to a 96-wide batch."""
+        ck = max(self.chunk, min(96, (96 * 1024) // max(patch_t, 1) // 8 * 8))
+        per_dev = -(-n_starts // self.n_devices)
+        return min(ck, max(-(-per_dev // 8) * 8, self.chunk))
+
     def baseline(self, y: np.ndarray) -> float:
         with self.profiler.section("Predicting audio"):
-            prob = self._baseline_fn(jnp.asarray(y, jnp.float32)[None])
+            # to_device_wave: device-array passthrough + int16 wire format
+            # for PCM16-representable tracks (half the tunnel bytes)
+            prob = self._baseline_fn(self.to_device_wave(y)[None])
             out = float(np.asarray(prob)[0])
         self.profiler.count("perturbation_forwards", 1)
         return out
@@ -853,12 +879,7 @@ class PerturbationEngine:
             ck = self.occlusion_chunk
             if ck is None:
                 if self.spec_type == "stft":
-                    # per-element footprint ∝ patch_t delta columns; budget
-                    # 96 × 1024 columns (measured safe on one v5e chip)
-                    ck = max(self.chunk, min(96, (96 * 1024) // max(patch_t, 1) // 8 * 8))
-                    # no point padding past the actual per-device patch count
-                    per_dev = -(-len(starts) // self.n_devices)
-                    ck = min(ck, max(-(-per_dev // 8) * 8, self.chunk))
+                    ck = self._auto_occlusion_chunk(patch_t, len(starts))
                 else:
                     # mel mode resynthesizes the FULL spectrogram per element
                     # (Griffin-Lim keeps several [B, n_fft/2+1, T] complex
@@ -1110,15 +1131,15 @@ class PerturbationEngine:
         tb = max(1, min(track_batch or 4, T))
         ck = self.occlusion_chunk
         if ck is None:
-            # same 96×1024-delta-column budget as the single-track path...
-            ck = max(self.chunk, min(96, (96 * 1024) // max(patch_t, 1) // 8 * 8))
-        # ...shared across the track group, so the per-dispatch forward
-        # batch (tb·ck) stays at the proven single-track budget
+            # same budget (and small-sweep clamp) as the single-track path,
+            # shared across the track group so the per-dispatch forward
+            # batch (tb·ck) stays at the proven single-track budget
+            ck = self._auto_occlusion_chunk(patch_t, len(starts))
         ck = max(1, ck // tb)
         occl = jnp.float32(occlusion_value)
         padded, n = pad_batch(np.asarray(starts, np.int32), ck)
         out = np.empty((T, n), np.float32)
-        with self.profiler.section("Computing importance map"):
+        with self.profiler.section("Computing occlusion map"):
             for grp in self._track_groups(T, tb):
                 ii = jnp.asarray(grp)
                 probs = self._occlusion_multi(
@@ -1157,8 +1178,15 @@ class PerturbationEngine:
         rows_pad = np.zeros((T, width, uniqs[0].shape[-1]), np.float32)
         for t, u in enumerate(uniqs):
             rows_pad[t, : len(u)] = u
-        stems_d = (stems_stack if isinstance(stems_stack, jax.Array)
-                   else jnp.asarray(np.asarray(stems_stack), jnp.float32))
+        if isinstance(stems_stack, jax.Array):
+            stems_d = stems_stack
+        elif isinstance(stems_stack, (list, tuple)):
+            # per-track device stems arrive as a list from separation —
+            # jnp.stack keeps them on device (np.asarray would round-trip
+            # ~85 MB/track over the ~15-22 MB/s tunnel)
+            stems_d = jnp.stack([jnp.asarray(s, jnp.float32) for s in stems_stack])
+        else:
+            stems_d = jnp.asarray(np.asarray(stems_stack), jnp.float32)
         rows_d = jnp.asarray(rows_pad)
         tb = max(1, min(track_batch or 4, T))
         with self.profiler.section("Predicting audio"):
@@ -1181,23 +1209,45 @@ class PerturbationEngine:
         self, S, starts: np.ndarray, patch_f: int, patch_t: int, n_out: int
     ) -> np.ndarray:
         """Audio for spectrograms zeroed everywhere except each patch."""
+        ck = self.chunk
+        if self.spec_type == "mel":
+            # same HBM guard as occlusion_probs / rise_map: a mel chunk
+            # runs Griffin-Lim resynthesis, whose working set scales with
+            # batch × spectrogram columns — uncapped chunks crashed the
+            # v5e worker at 120 s scale (MEL_SYNTH_COL_BUDGET note)
+            ck = max(1, min(ck, self.MEL_SYNTH_COL_BUDGET // max(S.shape[-1], 1)))
         out = np.empty((len(starts), n_out), np.float32)
-        for lo in range(0, len(starts), self.chunk):
-            part = starts[lo : lo + self.chunk]
-            padded, n = pad_batch(part, self.chunk)
+        for lo in range(0, len(starts), ck):
+            part = starts[lo : lo + ck]
+            padded, n = pad_batch(part, ck)
             y = self._keep_patch_chunk(S, jnp.asarray(padded), patch_f, patch_t, n_out)
             out[lo : lo + n] = np.asarray(y)[:n]
         return out
 
+    def _require_stft(self, what: str) -> None:
+        # the gain-row programs treat S as a MAGNITUDE spectrogram; a mel
+        # engine's S is a POWER mel spectrogram, so gains would scale power
+        # (amplitude by sqrt(g)) and amplitude_to_db would double the dB
+        # scale — refuse loudly instead of returning wrong numbers
+        # (FrequencyBandPerturbation already rejects mel at its own level)
+        if self.spec_type != "stft":
+            raise NotImplementedError(
+                f"{what} requires an STFT engine (spec_type='stft'); gain "
+                f"rows have magnitude semantics that do not apply to the "
+                f"mel power spectrogram"
+            )
+
     def masked_db(self, S, gain_rows: np.ndarray) -> np.ndarray:
         """Host dB spectrograms of gain-masked magnitudes ``[B, F, T]``
         (bf16 on the wire, f32 on the host — see ``_masked_db``)."""
+        self._require_stft("masked_db")
         return np.asarray(self._masked_db(S, jnp.asarray(gain_rows))).astype(np.float32)
 
     def synthesize_masked(self, S, gain_rows: np.ndarray, n_out: int) -> np.ndarray:
         """Host-facing: synthesize audio for magnitude gain rows (used when
         exporting band-isolated / band-removed WAVs). The compute runs as
         one jitted program — see ``_synthesize_gain_rows``."""
+        self._require_stft("synthesize_masked")
         y = self._synthesize_gain_rows(
             S, jnp.asarray(gain_rows, jnp.float32), int(n_out)
         )
@@ -1207,6 +1257,7 @@ class PerturbationEngine:
         """Like ``synthesize_masked`` but peak-normalized (0.99) and
         quantized to int16 on device — ready for the 16-bit WAV writer,
         at a quarter of the device→host bytes."""
+        self._require_stft("synthesize_masked_pcm16")
         q = self._synthesize_gain_rows_pcm16(
             S, jnp.asarray(gain_rows, jnp.float32), int(n_out)
         )
@@ -1248,8 +1299,14 @@ def cached_engine(predictor, profiler: Optional[TimeAggregator] = None, **kwargs
     fresh engine per explainer re-traces every program — tens of seconds
     each even with a warm XLA disk cache. Explainers and the one-call API
     route construction through here; the profiler (per-explainer state) is
-    rebound on each call and excluded from the cache key. Keyed weakly so
-    dropping the predictor frees its engines.
+    rebound on each call and excluded from the cache key.
+
+    Lifetime: entries live until :func:`clear_engine_cache` (or process
+    exit). The weak keying CANNOT auto-evict — every engine's jitted
+    closures strongly reference the predictor they were built from, so the
+    cached value keeps its own key alive; a long-lived process that
+    rebuilds predictors repeatedly should call ``clear_engine_cache()``
+    between generations.
 
     Kwargs are normalized against ``PerturbationEngine.__init__``'s
     defaults before keying, so callers passing semantically identical
@@ -1269,3 +1326,9 @@ def cached_engine(predictor, profiler: Optional[TimeAggregator] = None, **kwargs
     if profiler is not None:
         eng.profiler = profiler
     return eng
+
+
+def clear_engine_cache() -> None:
+    """Release every cached engine (and the predictors their compiled sweep
+    programs pin) — see the lifetime note on :func:`cached_engine`."""
+    _ENGINE_CACHE.clear()

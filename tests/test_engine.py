@@ -354,11 +354,13 @@ def test_rise_mesh_size_invariance(predictor, engine, track):
     np.testing.assert_allclose(i8, i1, atol=1e-4)
 
 
-@pytest.mark.parametrize("sr_analysis", [SR, 12000])
+@pytest.mark.parametrize("sr_analysis", [SR, 12000, 16000])
 def test_occlusion_hoist_matches_wave_path(predictor, track, sr_analysis):
     """The frontend-hoisted occlusion (windowed delta resample + mel column
-    splice) equals the full resynth+forward path — same-rate AND the
-    up/down = 2/3 resampled config (aligned-window polyphase exactness)."""
+    splice) equals the full resynth+forward path — same-rate, the
+    up/down = 2/3 config, AND the reduced down=2 config whose tiny
+    down-blocks used to truncate the polyphase ring-out (the window margin
+    is now sized by the filter half-width, not by `down`)."""
     import jax
 
     from adx_tpu.ops.masks import occlusion_patch_grid
@@ -524,3 +526,11 @@ def test_stem_mix_probs_multi_matches_single(engine, tracks):
     out_b = engine.stem_mix_probs_multi(stems_stack, rows_list, track_batch=2)
     for t in range(len(tracks)):
         np.testing.assert_allclose(out_b[t], out[t], atol=1e-6)
+    # a LIST of per-track device stems (separation's natural output) stays
+    # on device via jnp.stack and gives identical results
+    import jax.numpy as jnp
+
+    stems_list = [jnp.asarray(s) for s in stems_stack]
+    out_l = engine.stem_mix_probs_multi(stems_list, rows_list)
+    for t in range(len(tracks)):
+        np.testing.assert_allclose(out_l[t], out[t], atol=1e-6)
