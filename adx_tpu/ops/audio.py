@@ -16,6 +16,11 @@ def match_rms(ref: jnp.ndarray, x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarra
     """
     r_ref = jnp.sqrt(jnp.mean(ref**2, axis=-1, keepdims=True) + eps)
     r_x = jnp.sqrt(jnp.mean(x**2, axis=-1, keepdims=True) + eps)
+    # NOTE: the `r_x < eps` identity branch is unreachable (r_x >= sqrt(eps)
+    # = 1e-4 because eps sits inside the sqrt) — the REFERENCE has the same
+    # dead guard, so this is kept bit-faithful rather than "fixed": silent
+    # x is rescaled toward RMS r_ref/1e-4-capped exactly as the reference
+    # does, and the exec-parity test pins that behavior.
     scale = jnp.where(r_x < eps, 1.0, r_ref / jnp.where(r_x < eps, 1.0, r_x))
     return x * scale
 
@@ -127,6 +132,19 @@ def resample_fourier(y: jnp.ndarray, n_out: int) -> jnp.ndarray:
     F = jnp.fft.rfft(y, axis=-1)
     n_keep = min(n_in, n_out) // 2 + 1
     F = F[..., :n_keep]
+    # scipy's even-length Nyquist-bin handling: irfft counts the Nyquist
+    # bin ONCE for an even-length transform and interior bins TWICE
+    # (conjugate symmetry). Upsampling from even n_in moves the old
+    # Nyquist bin into the interior → halve it; downsampling to even
+    # n_out folds an interior bin onto the new Nyquist → real part doubled
+    # in scipy's full-FFT formulation, which the rfft path reproduces by
+    # keeping the real part and doubling.
+    if n_out > n_in and n_in % 2 == 0:
+        F = F.at[..., n_in // 2].mul(0.5)
+    if n_out < n_in and n_out % 2 == 0:
+        F = F.at[..., n_out // 2].set(
+            2.0 * jnp.real(F[..., n_out // 2])
+        )
     if n_out > n_in:
         pad = [(0, 0)] * (F.ndim - 1) + [(0, n_out // 2 + 1 - n_keep)]
         F = jnp.pad(F, pad)

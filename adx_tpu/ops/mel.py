@@ -148,11 +148,13 @@ def melspectrogram(
 
 @functools.lru_cache(maxsize=8)
 def _dft_matrices_np(n_fft: int):
-    """Real-DFT basis matrices ``cos/sin [n_fft, 1 + n_fft//2]``."""
-    n = np.arange(n_fft)[:, None]
-    k = np.arange(n_fft // 2 + 1)[None, :]
-    ang = 2.0 * np.pi * n * k / n_fft
-    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+    """Real-DFT basis matrices ``cos/-sin [n_fft, 1 + n_fft//2]`` — ONE
+    cached copy shared with the stft module (the tables are 8.4 MB each at
+    n_fft=2048; two independent lru_caches doubled that and let the copies
+    drift)."""
+    from adx_tpu.ops.stft import _forward_rdft_matrices
+
+    return _forward_rdft_matrices(n_fft)
 
 
 @functools.partial(
@@ -175,21 +177,26 @@ def stft_dft_realimag(
     The MXU-friendly STFT core shared by ``melspectrogram_dft`` and the
     LIME frontend hoist (the real/imag layout also avoids complex arrays,
     which some TPU runtimes cannot transfer). Accumulates in f32."""
-    from adx_tpu.ops.stft import frame_signal, get_window
+    from adx_tpu.ops.stft import (
+        _matmul_precision, _pad_mode, frame_signal, get_window,
+    )
 
     win_length = win_length or n_fft
     w = get_window("hann", win_length, n_fft, dtype=jnp.float32)
     if center:
         pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
-        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
-        y = jnp.pad(y, pad, mode=mode)
+        y = jnp.pad(y, pad, mode=_pad_mode(pad_mode))
     frames = frame_signal(y.astype(jnp.float32), n_fft, hop_length) * w  # [..., T, n_fft]
     frames = frames.astype(compute_dtype)
     cos_m, sin_m = _dft_matrices_np(n_fft)
+    # f32 requests HIGHEST like stft_matmul — TPU f32 dots default to FAST
+    # (bf16 passes), which would silently break the documented 1e-4 parity
+    # with the FFT melspectrogram; bf16 keeps the backend default
+    prec = _matmul_precision(compute_dtype)
     re = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(cos_m, compute_dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
     im = jnp.einsum("...tn,nk->...tk", frames, jnp.asarray(sin_m, compute_dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
     return re, im
 
 
@@ -270,6 +277,12 @@ def mel_to_stft(
     """
     n_mels = n_mels or M.shape[-2]
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk, norm)  # [m, F]
+    # NOTE: the PG iteration's matmuls run at the BACKEND DEFAULT precision
+    # (bf16 passes on TPU) deliberately — NNLS is an approximate iterative
+    # solver whose projected-gradient steps tolerate bf16-pass noise, and
+    # forcing HIGHEST would cost 3-6× on the mel sweep path that was
+    # specifically optimized (78560b0); fidelity mode's global override
+    # still upgrades these dots when exactness is being measured.
     gram = fb.T @ fb  # [F, F]
     # power-iteration bound on the spectral norm for the PG step size
     v = jnp.ones((gram.shape[0],), jnp.float32) / np.sqrt(gram.shape[0])
@@ -280,11 +293,9 @@ def mel_to_stft(
     lips = jnp.dot(v, gram @ v)
     step = 1.0 / (lips + 1e-12)
 
-    # warm start from the transpose projection (a decent unconstrained guess)
-    x0 = jnp.einsum("mf,...mt->...ft", fb, M)
-    x0 = x0 / (jnp.sum(fb * fb) / n_mels + 1e-12)
-
     bt = jnp.einsum("mf,...mt->...ft", fb, M)  # fb^T M
+    # warm start from the transpose projection (a decent unconstrained guess)
+    x0 = bt / (jnp.sum(fb * fb) / n_mels + 1e-12)
 
     def body(_, x):
         grad = jnp.einsum("fg,...gt->...ft", gram, x) - bt

@@ -64,10 +64,23 @@ def get_window(window, win_length: int, n_fft: int, dtype=jnp.float32) -> jnp.nd
     return _pad_center(w, n_fft)
 
 
+def _pad_mode(pad_mode: str) -> str:
+    """Validate the supported STFT pad modes with a descriptive error."""
+    if pad_mode not in ("constant", "reflect"):
+        raise ValueError(
+            f"Unsupported pad_mode {pad_mode!r}: only 'constant' and "
+            f"'reflect' are implemented (librosa accepts any np.pad mode)"
+        )
+    return pad_mode
+
+
 def n_frames_for(n_samples: int, n_fft: int, hop_length: int, center: bool = True) -> int:
     """Number of STFT frames produced for a signal of ``n_samples``."""
     if center:
-        return 1 + n_samples // hop_length
+        # the center pad adds 2·(n_fft//2) samples — for odd n_fft that is
+        # n_fft − 1, so the common `1 + n//hop` shortcut overcounts by one
+        padded = n_samples + 2 * (n_fft // 2)
+        return 1 + (padded - n_fft) // hop_length
     return 1 + (n_samples - n_fft) // hop_length
 
 
@@ -79,6 +92,12 @@ def frame_signal(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndar
     gather); otherwise it falls back to a gather.
     """
     n = y.shape[-1]
+    if n < frame_length:
+        raise ValueError(
+            f"frame_signal: signal of {n} samples is shorter than "
+            f"frame_length={frame_length} (zero frames); pad the signal "
+            f"(stft(center=True) does) or shorten the frame"
+        )
     n_frames = 1 + (n - frame_length) // hop_length
     if frame_length % hop_length == 0:
         m = frame_length // hop_length
@@ -143,11 +162,15 @@ def stft(
     """Short-time Fourier transform; complex output ``[..., 1+n_fft//2, T]``."""
     hop_length = hop_length or n_fft // 4
     win_length = win_length or n_fft
+    if not jnp.issubdtype(y.dtype, jnp.floating):
+        # an int16 wire-format wave that missed its dequant would otherwise
+        # cast the hann window to an int unit impulse — garbage spectra
+        # with no error
+        y = y.astype(jnp.float32)
     w = get_window(window, win_length, n_fft, dtype=y.dtype)
     if center:
         pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
-        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
-        y = jnp.pad(y, pad, mode=mode)
+        y = jnp.pad(y, pad, mode=_pad_mode(pad_mode))
     frames = frame_signal(y, n_fft, hop_length) * w
     spec = jnp.fft.rfft(frames, axis=-1)
     return jnp.swapaxes(spec, -1, -2)
@@ -303,8 +326,7 @@ def stft_matmul(
     w = get_window(window, win_length, n_fft, dtype=jnp.float32)
     if center:
         pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
-        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
-        y = jnp.pad(y, pad, mode=mode)
+        y = jnp.pad(y, pad, mode=_pad_mode(pad_mode))
     frames = (frame_signal(y, n_fft, hop_length) * w).astype(compute_dtype)
     Fr_np, Fi_np = _forward_rdft_matrices(n_fft)
     Fr = jnp.asarray(Fr_np).astype(compute_dtype)

@@ -89,3 +89,26 @@ def test_load_audio_trims_at_native_rate(tmp_path):
     # no-resample path: identical to plain native slicing
     got_n, _ = load_audio(p, sr=native_sr, offset=0.5, duration=1.25)
     np.testing.assert_allclose(got_n, excerpt, atol=1e-7)
+
+
+def test_resample_fourier_matches_scipy_even_odd():
+    """scipy.signal.resample parity incl. the even-length Nyquist-bin
+    corrections (upsample halves the old Nyquist bin, downsample doubles
+    the real part of the new one — omitting them doubled a pure Nyquist
+    tone)."""
+    from scipy.signal import resample as sp_resample
+
+    from adx_tpu.ops.audio import resample_fourier
+
+    rng = np.random.default_rng(0)
+    for n_in, n_out in [(64, 128), (128, 64), (100, 250), (250, 100),
+                        (63, 128), (128, 63), (64, 96), (96, 64)]:
+        x = rng.standard_normal(n_in)
+        want = sp_resample(x, n_out)
+        got = np.asarray(resample_fourier(jnp.asarray(x), n_out))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"{n_in}->{n_out}")
+    nyq = np.cos(np.pi * np.arange(64))
+    np.testing.assert_allclose(
+        np.asarray(resample_fourier(jnp.asarray(nyq), 128)),
+        sp_resample(nyq, 128), atol=1e-6,
+    )

@@ -241,3 +241,37 @@ def test_griffin_lim_matmul_matches_fft_griffin_lim(short_audio):
     gb = stft_mod.griffin_lim_matmul(magb, n_iter=4, hop_length=128,
                                      n_fft=512, length=len(y))
     assert gb.shape == (2, len(y))
+
+
+def test_n_frames_for_matches_stft_odd_even():
+    from adx_tpu.ops.stft import n_frames_for
+
+    y = jnp.zeros(4096)
+    for n_fft in (1024, 1023, 513):
+        for hop in (256, 250):
+            T = stft(y, n_fft=n_fft, hop_length=hop).shape[-1]
+            assert n_frames_for(4096, n_fft, hop) == T, (n_fft, hop)
+
+
+def test_stft_coerces_integer_input():
+    """int16 wire-format waves that missed their dequant must still get a
+    REAL hann window (an int-cast window degenerates to a unit impulse and
+    returns garbage spectra with no error)."""
+    t = np.arange(4096) / 8000.0
+    y = np.round(0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    S_int = np.abs(np.asarray(stft(jnp.asarray(y), n_fft=1024, hop_length=256)))
+    S_f = np.abs(np.asarray(stft(jnp.asarray(y).astype(jnp.float32),
+                                 n_fft=1024, hop_length=256)))
+    np.testing.assert_allclose(S_int, S_f, rtol=1e-5, atol=1e-2)
+
+
+def test_stft_rejects_unknown_pad_mode():
+    with pytest.raises(ValueError, match="pad_mode"):
+        stft(jnp.zeros(2048), n_fft=512, pad_mode="edge")
+
+
+def test_frame_signal_too_short_raises():
+    from adx_tpu.ops.stft import frame_signal
+
+    with pytest.raises(ValueError, match="shorter than"):
+        frame_signal(jnp.ones(100), 512, 128)
