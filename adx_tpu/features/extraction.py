@@ -88,19 +88,12 @@ def extract_all_features(audio, sr, reference_audio=None) -> dict:
     dev = _spectral_stats_device(jnp.asarray(audio), int(sr))
     dev = {k: np.asarray(v) for k, v in dev.items()}
 
-    features["rms_wave"] = {
-        "min": np.min(dev["rms_wave"]),
-        "mean": np.mean(dev["rms_wave"]),
-        "std": np.std(dev["rms_wave"]),
-        "max": np.max(dev["rms_wave"]),
-    }
-    features["rms_spec"] = {
-        "min": np.min(dev["rms_spec"]),
-        "mean": np.mean(dev["rms_spec"]),
-        "std": np.std(dev["rms_spec"]),
-        "max": np.max(dev["rms_spec"]),
-    }
-    features["zero_crossing_rate"] = np.mean(dev["zcr"])
+    # _stat4 everywhere (it float()s the values — np.float32 leftovers made
+    # a direct json.dumps of the public dict raise; the in-repo writers go
+    # through convert_to_native, but the public API shouldn't require it)
+    features["rms_wave"] = _stat4(dev["rms_wave"])
+    features["rms_spec"] = _stat4(dev["rms_spec"])
+    features["zero_crossing_rate"] = float(np.mean(dev["zcr"]))
     features["spectral_centroid"] = _stat4(dev["centroid"])
     features["spectral_bandwidth"] = _stat4(dev["bandwidth"])
     features["spectral_rolloff_1"] = _stat4(dev["rolloff_1"])
@@ -183,9 +176,13 @@ def compute_jitter_extended(y, sr, f0=None) -> dict:
 
 def _rms_envelope_np(y, frame_length, hop_length):
     n = len(y)
-    if n < frame_length:
-        return np.array([np.sqrt(np.mean(np.pad(y, (0, frame_length - n)) ** 2))])
+    # librosa.feature.rms semantics for ALL lengths: center-pad then frame
+    # (1 + n//hop frames) — the old end-padded single frame for n <
+    # frame_length collapsed sub-30 ms clips to one value and made shimmer
+    # all-NaN where the reference returns real numbers
     yp = np.pad(y, frame_length // 2)
+    if len(yp) < frame_length:
+        yp = np.pad(yp, (0, frame_length - len(yp)))
     # windowed mean of squares as a cumsum difference — O(n) instead of a
     # [n_frames, frame_length] gather
     csum = np.concatenate([[0.0], np.cumsum(yp.astype(np.float64) ** 2)])

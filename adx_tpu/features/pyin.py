@@ -289,6 +289,16 @@ def pyin(
     # running sums are long
     y = np.asarray(y, dtype=np.float32)
     win_length = win_length or frame_length // 2
+    if not 1 <= win_length <= frame_length // 2:
+        # the difference function correlates a win_length window against
+        # lags up to win_length inside one frame_length frame — beyond
+        # frame_length//2 the lag window runs off the frame (observed:
+        # IndexError in the energy gather, or silently inconsistent CMNDF
+        # where the acf zero-pads but the energy term reads real samples)
+        raise ValueError(
+            f"pyin: win_length={win_length} must be in [1, frame_length//2="
+            f"{frame_length // 2}] (librosa's default is frame_length//2)"
+        )
     hop_length = hop_length or frame_length // 4
     if center:
         y = np.pad(y, frame_length // 2)

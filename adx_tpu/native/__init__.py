@@ -11,6 +11,7 @@ implementation when no toolchain is available.
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import hashlib
 import os
@@ -77,12 +78,18 @@ def _build_shared(src_name: str) -> Optional[ctypes.CDLL]:
                 suffix=".so", dir=_CACHE_DIR, delete=False
             ) as tmp:
                 tmp_path = tmp.name
-            cmd = [
-                "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-o", tmp_path, str(src),
-            ]
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(tmp_path, so_path)  # atomic vs concurrent builders
+            try:
+                cmd = [
+                    "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                    "-o", tmp_path, str(src),
+                ]
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+                os.replace(tmp_path, so_path)  # atomic vs concurrent builders
+            except BaseException:
+                # don't leave an orphan temp .so per failed-compile process
+                with contextlib.suppress(OSError):
+                    os.unlink(tmp_path)
+                raise
         lib = ctypes.CDLL(str(so_path))
     except Exception:
         lib = None
@@ -115,10 +122,11 @@ def pyin_viterbi_native(
     fn.restype = ctypes.c_int
     T, M = log_obs_v.shape
     log_obs_v = np.ascontiguousarray(log_obs_v, dtype=np.float64)
-    # the unvoiced observation is constant per frame ([T, 1] upstream);
-    # materialize the broadcast for the flat C layout
+    # the unvoiced observation is constant per frame ([T, 1] upstream) —
+    # the kernel takes the [T] column directly (a [T, M] broadcast copy
+    # allocated ~50 MB per 120 s call for values the loop reads once/frame)
     log_obs_u = np.ascontiguousarray(
-        np.broadcast_to(log_obs_u, (T, M)), dtype=np.float64
+        np.reshape(np.broadcast_to(log_obs_u, (T, 1)), (T,)), dtype=np.float64
     )
     log_tri = np.ascontiguousarray(log_tri, dtype=np.float32)
     delta_init = np.ascontiguousarray(delta_init, dtype=np.float32)

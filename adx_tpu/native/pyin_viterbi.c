@@ -39,8 +39,8 @@ extern "C" {
 /* Viterbi decode.
  *
  *  log_obs_v : [T*M] float64, per-frame voiced log observation
- *  log_obs_u : [T*M] float64, per-frame unvoiced log observation
- *              (constant across s in the caller, kept general here)
+ *  log_obs_u : [T] float64, per-frame unvoiced log observation
+ *              (constant across states within a frame)
  *  log_tri   : [2K+1] float32, log triangular transition weights,
  *              slot k <-> source offset (k - K)
  *  delta_init: [2*M] float32, frame-0 delta rows (voiced row 0,
@@ -128,7 +128,7 @@ int pyin_viterbi(
         const float stay32 = (float)log_stay;
         const float switch32 = (float)log_switch;
         const double *obs_v = log_obs_v + t * M;
-        const double *obs_u = log_obs_u + t * M;
+        const double obs_u_t = log_obs_u[t];
         uint8_t *kb = kback + (size_t)t * 2 * M;
         uint8_t *ff = fromflag + (size_t)t * 2 * M;
         for (int64_t s = 0; s < M; s++) {
@@ -145,7 +145,7 @@ int pyin_viterbi(
             float cand_uu = bm_u + stay32;
             float cand_vu = bm_v + switch32;
             int take_v = cand_vu > cand_uu;
-            delta[M + s] = (float)((double)(take_v ? cand_vu : cand_uu) + obs_u[s]);
+            delta[M + s] = (float)((double)(take_v ? cand_vu : cand_uu) + obs_u_t);
             ff[M + s] = (uint8_t)take_v;
             kb[M + s] = (uint8_t)(take_v ? argk[s] : argk[M + s]);
         }
