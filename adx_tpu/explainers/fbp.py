@@ -25,7 +25,8 @@ import pandas as pd
 
 from adx_tpu.io.audio_io import load_audio, write_wav
 from adx_tpu.io.results import append_update_results
-from adx_tpu.ops.masks import band_gain_matrix, band_transition_width, smooth_band_keep_mask
+from adx_tpu.io.results import importance_type as _importance_type
+from adx_tpu.ops.masks import band_gain_matrix
 from adx_tpu.ops.mel import fft_frequencies
 from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.runtime.checkpoint import ExperimentCheckpoint
@@ -246,16 +247,12 @@ class FrequencyBandPerturbation:
         audio_dir = separated_dir / "freq_batches"
         audio_dir.mkdir(parents=True, exist_ok=True)
 
-        rows = []
-        for low, high in self.bands:
-            trans = band_transition_width(
-                low, high, self.transition_mode, self.transition_hz,
-                self.transition_rel, self.transition_min_hz, self.transition_max_hz,
-            )
-            keep = np.asarray(smooth_band_keep_mask(self._freqs, low, high, trans))
-            keep_band = keep + self.attenuation * (1.0 - keep)
-            rows.append(1.0 - keep_band if self.save_perturbed_audio_only else keep_band)
-        rows = np.stack(rows)
+        # the sweep's precomputed gain matrix IS the per-band keep mask
+        # (band_gain_matrix row b == keep_b + att·(1−keep_b), same params)
+        # — re-deriving it here duplicated the formula and risked drift
+        # between the exported audio and the deltas in the filenames
+        rows = (1.0 - self._gains if self.save_perturbed_audio_only
+                else self._gains)
 
         # synthesis + peak-normalization + int16 quantization all on device:
         # the f32 [B, 5.3M] batch was 127 MB of ~15 MB/s tunnel D2H per
@@ -265,9 +262,7 @@ class FrequencyBandPerturbation:
         masked_dbs = self.engine.masked_db(S, rows)
 
         for (low, high), delta, y_out, Sdb_masked in zip(self.bands, deltas, y_batch, masked_dbs):
-            importance_type = (
-                "POSITIVE" if delta > 0 else "NEGATIVE" if delta < 0 else "NEUTRAL"
-            )
+            importance_type = _importance_type(delta)
             out_name = (
                 f"{file_name}__{component_name}__{int(low)}-{int(high)}Hz_"
                 f"{importance_type}_{delta:+.3f}.wav"
@@ -288,9 +283,7 @@ class FrequencyBandPerturbation:
         metadata = {"file_name": file_name, "bands": []}
         for p in batch_importances:
             importance = p["importance"]
-            importance_type = (
-                "POSITIVE" if importance > 0 else "NEGATIVE" if importance < 0 else "NEUTRAL"
-            )
+            importance_type = _importance_type(importance)
             metadata["bands"].append(
                 {
                     "component": p.get("component", "mixture"),

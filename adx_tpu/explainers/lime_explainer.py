@@ -74,11 +74,7 @@ def explain_predictions_separate(
     """LIME-explain a set of audio files (full-track mode)."""
     print(f"Starting explanation for {min(len(audio_files), max_samples)} samples...")
 
-    audio_arrays = []
-    for fpath in audio_files[:max_samples]:
-        y, _ = load_audio(fpath, sr=44100, mono=True, offset=0, duration=model_time)
-        audio_arrays.append(y)
-
+    n_samples = min(len(audio_files), max_samples)
     processed_samples = set()
     if checkpoint:
         processed_samples = checkpoint.load_processed_samples().get(folder_name, set())
@@ -96,15 +92,18 @@ def explain_predictions_separate(
     if engine is None:
         engine = _get_engine(predictor)
 
-    for i, waveform in enumerate(audio_arrays):
-        if i >= max_samples:
-            break
+    for i in range(n_samples):
         if i not in ids_to_explain:
             continue
         if i in processed_samples:
             print(f"⏭️  Sample {i+1} already processed, skipping...")
             continue
-        print(f"\n🔍 Processing sample {i+1}/{len(audio_arrays)}...")
+        print(f"\n🔍 Processing sample {i+1}/{n_samples}...")
+        # decode AFTER the skip checks: a fully-checkpointed folder used to
+        # decode every 120 s WAV up front only to skip them all
+        waveform, _ = load_audio(
+            audio_files[i], sr=44100, mono=True, offset=0, duration=model_time
+        )
 
         try:
             if original_predictions is not None:
@@ -442,7 +441,11 @@ def run_lime_experiment_safe(
         print("\n✅ Experiment completed with separated audio saved. No explanations generated.")
         return None, None
 
-    df = pd.DataFrame(results)
+    # dict-of-Series: model folders with different file counts NaN-pad
+    # instead of crashing (the reference's bare pd.DataFrame(results)
+    # raises 'All arrays must be of the same length' after all the
+    # prediction/explanation work is done — deviate where broken)
+    df = pd.DataFrame({k: pd.Series(v) for k, v in results.items()})
     print("\n📊 Results DataFrame (True = Fake):")
     print(df)
 

@@ -26,6 +26,7 @@ import pandas as pd
 
 from adx_tpu.io.audio_io import load_audio, write_wav
 from adx_tpu.io.results import append_update_results
+from adx_tpu.io.results import importance_type as _importance_type
 from adx_tpu.ops.masks import occlusion_patch_grid
 from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.runtime.checkpoint import SpectrogramCheckpoint
@@ -324,9 +325,7 @@ class SpectrogramExplainability:
                 end_sample = min(int(start_sample + window_samples), len(y_full))
                 y_window = y_full[start_sample:end_sample]
 
-            importance_type = (
-                "POSITIVE" if importance > 0 else "NEGATIVE" if importance < 0 else "NEUTRAL"
-            )
+            importance_type = _importance_type(importance)
             if save_audio and y_window is not None:
                 out_path = save_dir / (
                     f"{file_name}__{group_name}{rank}_patch_{importance_type}_"
@@ -522,12 +521,24 @@ class SpectrogramExplainability:
 
                 for idx, audio_file in enumerate(audio_files, 1):
                     print(f"\n  🎵 [{idx}/{len(audio_files)}] {audio_file.name}")
-                    result = self.process_audio_file(
-                        audio_path=str(audio_file),
-                        output_dir=saliency_dir,
-                        baseline_threshold=baseline_threshold,
-                        folder_name=folder.name,
-                    )
+                    try:
+                        result = self.process_audio_file(
+                            audio_path=str(audio_file),
+                            output_dir=saliency_dir,
+                            baseline_threshold=baseline_threshold,
+                            folder_name=folder.name,
+                        )
+                    except KeyboardInterrupt:
+                        raise
+                    except Exception as e:  # noqa: BLE001 — per-file
+                        # reference resilience (spectrogram_explainability
+                        # .py:355-361 swallows predictor crashes and moves
+                        # on): one transient tunnel/backend failure must
+                        # not abort the remaining dataset sweep — the file
+                        # stays unmarked, so a resumed run retries it
+                        print(f"    ❌ Error processing {audio_file.name}: "
+                              f"{e} — skipping (resume will retry)")
+                        result = None
                     if result:
                         results.append(result)
                         if results_path:

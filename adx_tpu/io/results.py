@@ -51,6 +51,13 @@ def to_native_dict(d):
     return native
 
 
+def importance_type(delta: float) -> str:
+    """POSITIVE/NEGATIVE/NEUTRAL label for an importance delta (the
+    reference's filename/JSON convention, shared by the FBP band exports,
+    band metadata, and occlusion top-window names)."""
+    return "POSITIVE" if delta > 0 else "NEGATIVE" if delta < 0 else "NEUTRAL"
+
+
 def safe_stem(path: str | Path) -> str:
     """Sanitized track key used across all result JSONs
     (reference: ``re.sub(r'[^a-zA-Z0-9_\\-]', '_', Path(p).stem)``,

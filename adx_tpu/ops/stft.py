@@ -209,7 +209,15 @@ def _finish_istft(frames, w, hop_length, n_frames, n_fft, center, length):
     y = jnp.where(env > _TINY, y / jnp.where(env > _TINY, env, 1.0), y)
 
     if center:
-        y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
+        if length is None:
+            y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
+        else:
+            # librosa.istft(length=...) trims only the HEAD and fix_lengths
+            # the rest — the final up-to-n_fft//2 samples come from the
+            # last frames' overlap-add, NOT zeros (trimming both ends
+            # first silenced every resynthesized tail by ~hop·(T-1)−length
+            # samples and broke the stems-sum-to-mixture invariant)
+            y = y[..., n_fft // 2 :]
     if length is not None:
         from adx_tpu.ops.audio import fix_length
 

@@ -290,10 +290,11 @@ class PerturbationEngine:
             env = window_sumsquare(w, T, hop)
             y_pad = jnp.where(env > _TINY, y_pad / jnp.where(env > _TINY, env, 1.0), y_pad)
             seg_len = n_fft + hop * (patch_t - 1)
-            # istft(length=n_out) semantics: valid output is hop*(T-1)
-            # samples after the n_fft//2 trim; anything beyond is ZERO (the
-            # OLA spill tail is discarded), then zero-padded to n_out
-            L_valid = min(hop * (T - 1), n_out)
+            # istft(length=n_out) semantics (librosa): only the HEAD
+            # n_fft//2 is trimmed; the OLA buffer then provides
+            # hop·(T-1) + n_fft − n_fft//2 real samples (the tail half-
+            # window included), zero-padded beyond to n_out
+            L_valid = min(hop * (T - 1) + n_fft - n_fft // 2, n_out)
 
             # per-patch inverse DFT as matmuls — XLA's TPU irfft runs on
             # the VPU and dominated the per-patch cost (same trick as RISE's

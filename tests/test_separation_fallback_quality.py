@@ -96,10 +96,13 @@ def test_fallback_partition_property(ground_truth_mixture):
     mixture, _ = ground_truth_mixture
     est = mask_separate(mixture, SR, "spleeter:4stems")
     total = sum(np.asarray(w) for w in est.values())
-    # the ISTFT valid region is hop·⌊n/hop⌋ samples; the final partial hop
-    # is zero by istft(length=...) semantics in every stem alike
-    valid = 1024 * (len(mixture) // 1024)
-    assert np.abs(total[:valid] - mixture[:valid]).max() < 1e-3 * max(
-        1.0, np.abs(mixture).max()
-    )
-    assert np.abs(total[valid:]).max() == 0.0
+    # soft masks sum to 1 per bin and the ISTFT is linear, so Σ stems must
+    # reconstruct the FULL mixture — including the final partial hop, which
+    # librosa's istft(length=...) fills from the tail frames' overlap-add
+    # (the old implementation zeroed it; fixed in round 3)
+    scale = max(1.0, np.abs(mixture).max())
+    assert np.abs(total - mixture).max() < 2e-3 * scale
+    # the tail is REAL audio now, not silence
+    tail = total[1024 * (len(mixture) // 1024):]
+    if np.abs(mixture[1024 * (len(mixture) // 1024):]).max() > 1e-3:
+        assert np.abs(tail).max() > 0.0
