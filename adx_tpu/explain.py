@@ -270,6 +270,15 @@ def explain_tracks(
             # unique stem per raw-waveform input so out_dir writes don't
             # overwrite each other (path inputs keep their file stem)
             names.append((None, f"track_{ti:03d}"))
+    # path inputs can collide too (runA/song.wav + runB/song.wav share the
+    # stem 'song') — disambiguate repeats so out_dir writes stay distinct
+    seen_stems: dict = {}
+    for ti, (src, stem) in enumerate(names):
+        if stem in seen_stems:
+            seen_stems[stem] += 1
+            names[ti] = (src, f"{stem}_{seen_stems[stem]}")
+        else:
+            seen_stems[stem] = 0
     decode_s = round(time.time() - t_start, 3)
 
     bands = FREQUENCY_BAND_PRESETS[band_preset]
@@ -372,7 +381,9 @@ def explain_tracks(
             }
             record["explain_seconds"] = batch_elapsed
             record["decode_seconds"] = decode_s
-            record["stage_seconds"] = stage_s
+            # a COPY per record: aliasing one dict across the group lets a
+            # caller's in-place edit silently mutate every sibling record
+            record["stage_seconds"] = dict(stage_s)
             record["batch_size"] = len(idx)
             if out_dir is not None:
                 _write_outputs(record, importance_map, Sdb_stack[j], out_dir,

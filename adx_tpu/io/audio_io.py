@@ -43,6 +43,21 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
     return data, int(sr)
 
 
+def pcm16_quantize(y: np.ndarray) -> np.ndarray:
+    """Float → int16 with the writer's convention (round, not truncate)."""
+    return np.clip(
+        np.round(np.asarray(y) * 32767.0), -32768, 32767
+    ).astype(np.int16)
+
+
+def pcm16_roundtrip(y: np.ndarray) -> np.ndarray:
+    """In-memory twin of ``write_wav(PCM_16)`` + ``read_wav``: the exact
+    float values a wave takes after one trip through a 16-bit WAV.  Used
+    by the serving layer so batched requests see the SAME samples as the
+    serialized temp-WAV path."""
+    return pcm16_quantize(y).astype(np.float32) / _PCM_SCALE[np.dtype(np.int16)]
+
+
 def write_wav(path: str | Path, y: np.ndarray, sr: int, subtype: str = "PCM_16") -> None:
     """Write a WAV file (default 16-bit PCM, matching soundfile's default)."""
     from scipy.io import wavfile
@@ -55,7 +70,7 @@ def write_wav(path: str | Path, y: np.ndarray, sr: int, subtype: str = "PCM_16")
         if y.dtype == np.int16:
             data = y  # already quantized (e.g. on device) — pass through
         else:
-            data = np.clip(np.round(y * 32767.0), -32768, 32767).astype(np.int16)
+            data = pcm16_quantize(y)
     elif subtype == "FLOAT":
         data = y.astype(np.float32)
     else:

@@ -29,6 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from adx_tpu.io.audio_io import load_audio
+from adx_tpu.models.config import ModelConfig, resolve_preset, tiny_test_config
+from adx_tpu.models.spectttra import AudioClassifier, init_params
+from adx_tpu.ops.audio import fix_length, resample_poly_device
+from adx_tpu.parallel.mesh import batch_sharding, pad_batch, perturbation_mesh, replicate
 
 
 def enable_fidelity_mode() -> None:
@@ -41,10 +45,6 @@ def enable_fidelity_mode() -> None:
     matmul time; use for parity_check / fidelity runs, not serving.
     """
     jax.config.update("jax_default_matmul_precision", "highest")
-from adx_tpu.models.config import ModelConfig, resolve_preset, tiny_test_config
-from adx_tpu.models.spectttra import AudioClassifier, init_params
-from adx_tpu.ops.audio import fix_length, resample_poly_device
-from adx_tpu.parallel.mesh import batch_sharding, pad_batch, perturbation_mesh, replicate
 
 
 class LocalSonics:
@@ -136,8 +136,11 @@ class LocalSonics:
             dev = jax.device_put(jnp.asarray(padded), self._wave_sharding)
             dev = self._to_model_rate(dev, int(sr))
             if lengths is not None and int(sr) != sr_model:
+                # ceil(m·sr_model/sr), the resampler's output-length
+                # convention — note the parenthesization: -(-a // b) is
+                # ceil, -(-a) // b is floor
                 valid = [
-                    -(-int(m) * sr_model) // int(sr)  # ceil, resampler convention
+                    -(-(int(m) * sr_model) // int(sr))
                     for m in list(lengths[lo : lo + self.max_batch]) + [0] * self.max_batch
                 ][: dev.shape[0]]
                 iota = jnp.arange(dev.shape[-1])

@@ -52,34 +52,58 @@ class MicroBatcher:
     one ``predict_batch`` per group with the true per-row lengths, so each
     row's resample tail is zeroed and results match unbatched ``predict``
     exactly.
+
+    Upload-aware like :class:`ExplainBatcher`: the HTTP handler marks each
+    request body in-flight before the (GIL-bound) read+decode, and the
+    batch is held open while peers are still uploading — the measured
+    failure mode on the 1-core host is arrivals skewed several hundred ms
+    past any reasonable fixed window, so concurrent /predict clients never
+    coalesced without it.
     """
 
-    def __init__(self, predictor, window_ms: float = 10.0, max_batch: Optional[int] = None):
+    def __init__(self, predictor, window_ms: float = 10.0,
+                 max_batch: Optional[int] = None, max_stall_s: float = 10.0):
         self.predictor = predictor
         self.window = window_ms / 1000.0
         self.max_batch = max_batch or predictor.max_batch
+        self.max_stall = float(max_stall_s)
         self.n_batches = 0
         self.n_requests = 0
         self._queue: list = []
+        self._inflight = 0
         self._cv = threading.Condition()
         self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True, name="microbatcher")
         self._thread.start()
 
-    def submit(self, wave, sr: int, timeout: Optional[float] = None) -> float:
+    def upload_started(self) -> None:
+        """Mark one request body as being read/decoded; pair with either
+        ``submit(uploaded=True)`` or ``upload_aborted()``."""
+        with self._cv:
+            self._inflight += 1
+
+    def upload_aborted(self) -> None:
+        with self._cv:
+            self._inflight = max(0, self._inflight - 1)
+            self._cv.notify_all()
+
+    def submit(self, wave, sr: int, timeout: Optional[float] = None,
+               uploaded: bool = False) -> float:
         """Blocking predict through the batching window."""
         fut: Future = Future()
         with self._cv:
+            if uploaded:
+                self._inflight = max(0, self._inflight - 1)
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
             self._queue.append((np.asarray(wave, np.float32), int(sr), fut))
-            self._cv.notify()
+            self._cv.notify_all()
         return fut.result(timeout=timeout)
 
     def close(self):
         with self._cv:
             self._closed = True
-            self._cv.notify()
+            self._cv.notify_all()
         self._thread.join(timeout=5.0)
 
     def _run(self):
@@ -90,11 +114,17 @@ class MicroBatcher:
                 if not self._queue and self._closed:
                     return
                 deadline = time.monotonic() + self.window
+                hard = time.monotonic() + self.max_stall
                 while len(self._queue) < self.max_batch and not self._closed:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
+                    now = time.monotonic()
+                    if now >= hard:
                         break
-                    self._cv.wait(remaining)
+                    if self._inflight > 0:
+                        self._cv.wait(min(hard - now, 0.25))
+                    elif now < deadline:
+                        self._cv.wait(deadline - now)
+                    else:
+                        break
                 batch = self._queue[: self.max_batch]
                 del self._queue[: self.max_batch]
             by_sr = defaultdict(list)
@@ -175,21 +205,24 @@ class ExplainService:
         """Batched explanation of ``[(wave, sr), ...]`` — the track axis is
         folded into the engine's multi-track sweep programs
         (``adx_tpu.explain.explain_tracks``), so T coalesced requests cost
-        far less than T serial ones. Each wave takes the SAME PCM16
-        quantize→dequantize→polyphase-resample trip the serial
-        :meth:`explain` path takes through its temp WAV, so a request
-        returns identical numbers whether or not it happened to coalesce."""
+        far less than T serial ones. Each wave takes the SAME trip the
+        serial :meth:`explain` path takes through its temp WAV — PCM16
+        quantize→dequantize, crop to the analysis duration AT THE NATIVE
+        RATE (``load_audio`` order), then polyphase-resample the excerpt —
+        so a request returns identical numbers whether or not it happened
+        to coalesce (and over-length waves don't pay for resampling audio
+        that gets discarded)."""
         from adx_tpu.explain import explain_tracks
+        from adx_tpu.io.audio_io import pcm16_roundtrip
         from adx_tpu.io.results import convert_to_native
         from adx_tpu.ops.audio import resample_poly
 
         target_sr = int(self.kwargs.get("sr", 44100))
+        duration = float(self.kwargs.get("duration", 120.0))
         waves = []
         for w, sr in items:
-            w = np.asarray(w, np.float32)
-            # in-memory twin of write_wav(PCM_16) + read_wav
-            w = np.clip(np.round(w * 32767.0), -32768, 32767).astype(
-                np.int16).astype(np.float32) / 32768.0
+            w = pcm16_roundtrip(np.asarray(w, np.float32))
+            w = w[: int(duration * int(sr))]  # native-rate crop, int() like load_audio
             if int(sr) != target_sr:
                 w = resample_poly(w, int(sr), target_sr)
             waves.append(w)
@@ -364,14 +397,21 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
                 return
             # Tell the explain batcher a body is on the wire BEFORE the
             # (slow, GIL-bound) read+decode so concurrent arrivals coalesce.
-            tracking = path == "/explain" and explain_batcher is not None
-            if tracking:
-                explain_batcher.upload_started()
+            # Tell the relevant batcher a body is on the wire BEFORE the
+            # (slow, GIL-bound) read+decode so concurrent arrivals coalesce
+            # — both endpoints: the decode skew that defeated fixed windows
+            # applies to /predict exactly as it did to /explain.
+            if path == "/explain":
+                track_b = explain_batcher
+            else:
+                track_b = batcher
+            if track_b is not None:
+                track_b.upload_started()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
-                    if tracking:
-                        explain_batcher.upload_aborted()
+                    if track_b is not None:
+                        track_b.upload_aborted()
                     self._send(400, {"error": "empty body; POST a WAV file"})
                     return
                 raw = self.rfile.read(length)
@@ -384,8 +424,8 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
                 if wave.ndim > 1:
                     wave = wave.mean(axis=-1)
             except Exception as e:  # noqa: BLE001 — malformed client input
-                if tracking:
-                    explain_batcher.upload_aborted()
+                if track_b is not None:
+                    track_b.upload_aborted()
                 self._send(400, {"error": f"could not decode WAV body: {e}"})
                 return
             if path == "/explain":
@@ -402,7 +442,7 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
                 return
             try:
                 if batcher is not None:
-                    p_fake = batcher.submit(wave, sr)
+                    p_fake = batcher.submit(wave, sr, uploaded=True)
                 else:
                     with lock:
                         p_fake = float(predictor.predict(wave, sr))
@@ -489,13 +529,12 @@ def wav_bytes(y: np.ndarray, sr: int) -> bytes:
     import struct
     import wave as _wave
 
+    from adx_tpu.io.audio_io import pcm16_quantize
+
     y = np.asarray(y, np.float32)
     if y.ndim > 1:
         y = y.mean(axis=0 if y.shape[0] < y.shape[-1] else -1)
-    # same quantization as io.audio_io.write_wav (round, not truncate)
-    pcm = np.clip(
-        np.round(y * 32767.0), -32768, 32767
-    ).astype("<i2")
+    pcm = pcm16_quantize(y).astype("<i2")
     buf = io.BytesIO()
     with _wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -545,6 +584,7 @@ def serve(
     batch_window_ms: float = 0.0,
     explain: bool = False,
     explain_batch_window_ms: float = 0.0,
+    explain_max_batch: int = 4,
 ):
     """Load the predictor and serve until interrupted."""
     from adx_tpu.predict import LocalSonics
@@ -564,6 +604,7 @@ def serve(
         batch_window_ms=batch_window_ms,
         explain_kwargs={} if explain else None,
         explain_batch_window_ms=explain_batch_window_ms,
+        explain_max_batch=explain_max_batch,
     )
     mode = f"batching window {batch_window_ms} ms" if batch_window_ms > 0 else "serialized"
     routes = "POST /predict" + (", POST /explain" if explain else "") + ", GET /health"

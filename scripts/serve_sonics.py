@@ -36,6 +36,11 @@ def main():
         help="coalesce concurrent /explain requests arriving within this "
         "window into one multi-track batched explanation (0 = serialized)",
     )
+    ap.add_argument(
+        "--explain-max-batch", type=int, default=4,
+        help="cap on coalesced /explain batch size (each distinct size T "
+        "traces a new multi-track program on first use — minutes cold)",
+    )
     args = ap.parse_args()
 
     from adx_tpu.serving import serve
@@ -49,6 +54,7 @@ def main():
         batch_window_ms=args.batch_window_ms,
         explain=args.explain,
         explain_batch_window_ms=args.explain_batch_window_ms,
+        explain_max_batch=args.explain_max_batch,
     )
 
 

@@ -542,16 +542,19 @@ def test_explain_batcher_isolates_bad_request():
 
 def test_predict_batch_lengths_mask_matches_single_under_resample():
     """Mixed-length rows resampled in one batch must equal their
-    single-file predictions exactly (resample-tail mask)."""
+    single-file predictions exactly (resample-tail mask). The short row's
+    length is chosen so len·sr_model % sr != 0 — a floor instead of ceil
+    in the valid-length math zeroes the final real resampled sample."""
     predictor = LocalSonics.from_pretrained("tiny", max_batch=4)
     src_sr = 2 * SR  # force the resample path
     rng = np.random.default_rng(9)
     n_long = int(src_sr * predictor.cfg.audio.duration)
+    n_short = n_long // 2 + 1  # odd → ceil(n·1/2) != floor(n·1/2)
     waves = [
         (0.3 * np.sin(2 * np.pi * 330 * np.arange(n_long) / src_sr)
          + 0.02 * rng.standard_normal(n_long)).astype(np.float32),
-        (0.3 * np.sin(2 * np.pi * 440 * np.arange(n_long // 2) / src_sr)
-         + 0.02 * rng.standard_normal(n_long // 2)).astype(np.float32),
+        (0.3 * np.sin(2 * np.pi * 440 * np.arange(n_short) / src_sr)
+         + 0.02 * rng.standard_normal(n_short)).astype(np.float32),
     ]
     singles = [predictor.predict(w, src_sr) for w in waves]
     n_max = max(len(w) for w in waves)
@@ -560,6 +563,54 @@ def test_predict_batch_lengths_mask_matches_single_under_resample():
         batch[i, : len(w)] = w
     got = predictor.predict_batch(batch, src_sr, lengths=[len(w) for w in waves])
     np.testing.assert_allclose(got, singles, atol=2e-6)
+
+
+def test_microbatcher_holds_for_inflight_uploads():
+    """The /predict batcher is upload-aware like ExplainBatcher: an arrival
+    skewed past the fixed window still joins the batch while its body is
+    marked in-flight."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from adx_tpu.serving import MicroBatcher
+
+    class FakePredictor:
+        max_batch = 8
+
+        def __init__(self):
+            self.batch_sizes = []
+
+        def predict_batch(self, arr, sr, lengths=None):
+            self.batch_sizes.append(arr.shape[0])
+            return arr.sum(axis=-1)
+
+    pred = FakePredictor()
+    batcher = MicroBatcher(pred, window_ms=50.0)
+    try:
+        w = np.ones(8, np.float32)
+
+        def slow():
+            batcher.upload_started()
+            _time.sleep(0.4)
+            return batcher.submit(w * 2, SR, uploaded=True)
+
+        def fast():
+            batcher.upload_started()
+            return batcher.submit(w, SR, uploaded=True)
+
+        with ThreadPoolExecutor(2) as pool:
+            f_slow = pool.submit(slow)
+            deadline = _time.monotonic() + 5.0
+            while batcher._inflight == 0 and _time.monotonic() < deadline:
+                _time.sleep(0.005)
+            assert batcher._inflight > 0
+            f_fast = pool.submit(fast)
+            r_fast, r_slow = f_fast.result(10), f_slow.result(10)
+        assert pred.batch_sizes == [2]
+        assert r_fast == pytest.approx(8.0)
+        assert r_slow == pytest.approx(16.0)
+    finally:
+        batcher.close()
 
 
 def test_post_explain_client_resident_worker(tmp_path, tiny_predictor):
