@@ -58,14 +58,24 @@ def pcm16_roundtrip(y: np.ndarray) -> np.ndarray:
     return pcm16_quantize(y).astype(np.float32) / _PCM_SCALE[np.dtype(np.int16)]
 
 
-def write_wav(path: str | Path, y: np.ndarray, sr: int, subtype: str = "PCM_16") -> None:
-    """Write a WAV file (default 16-bit PCM, matching soundfile's default)."""
+def write_wav(path: str | Path, y: np.ndarray, sr: int, subtype: str = "PCM_16",
+              channels_last: Optional[bool] = None) -> None:
+    """Write a WAV file (default 16-bit PCM, matching soundfile's default).
+
+    Multi-channel layout: pass ``channels_last=True`` for ``[n, ch]`` input
+    or ``False`` for ``[ch, n]``. The default ``None`` keeps the heuristic
+    (shorter first axis = channels), which mis-guesses only when a clip has
+    fewer frames than channels.
+    """
     from scipy.io import wavfile
 
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     y = np.asarray(y)
-    if y.ndim > 1 and y.shape[0] < y.shape[-1]:
-        y = y.T  # [ch, n] → [n, ch]
+    if y.ndim > 1:
+        flip = (not channels_last) if channels_last is not None \
+            else y.shape[0] < y.shape[-1]
+        if flip:
+            y = y.T  # [ch, n] → [n, ch]
     if subtype == "PCM_16":
         if y.dtype == np.int16:
             data = y  # already quantized (e.g. on device) — pass through
@@ -84,8 +94,14 @@ def _decode_via_ffmpeg(path: Path) -> Tuple[np.ndarray, int]:
         from adx_tpu.io.mp3 import decode_mp3, have_mp3
 
         if have_mp3():
-            y, sr = decode_mp3(path.read_bytes())
-            return (y.T if y.ndim > 1 else y), sr
+            try:
+                y, sr = decode_mp3(path.read_bytes())
+                return (y.T if y.ndim > 1 else y), sr
+            except Exception as e:  # noqa: BLE001 — fall to ffmpeg if any
+                if shutil.which("ffmpeg") is None:
+                    raise
+                print(f"⚠️ Warning: native mp3 decode failed for {path} "
+                      f"({e}); retrying via ffmpeg")
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         raise RuntimeError(

@@ -70,6 +70,15 @@ def build_predictor(model_cfg: dict):
             int(model_cfg.get("max_batch", 8)),
         )
         if key not in _PREDICTOR_CACHE:
+            # evict any stale entry for the same (model, ckpt, device,
+            # batch) differing only in mtime — the old predictor's device
+            # param buffers would otherwise stay pinned for the whole
+            # pipeline (a few train/eval cycles can exhaust v5e HBM)
+            stale = [k for k in _PREDICTOR_CACHE
+                     if k[0] == key[0] and k[1] == key[1]
+                     and k[3:] == key[3:] and k[2] != key[2]]
+            for k in stale:
+                del _PREDICTOR_CACHE[k]
             _PREDICTOR_CACHE[key] = LocalSonics.from_pretrained(
                 model_name,
                 checkpoint_dir=model_cfg.get("checkpoint_dir"),

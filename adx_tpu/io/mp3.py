@@ -153,7 +153,10 @@ def encode_mp3(y: np.ndarray, sr: int, bitrate_kbps: int = 192) -> bytes:
         # encoder delay+padding — required for a gapless round trip.
         tag = C.create_string_buffer(8192)
         tlen = _lame.lame_get_lametag_frame(gfp, tag, len(tag))
-        if 0 < tlen <= len(out):
+        # tlen > len(tag) means the buffer was too small and NOTHING was
+        # written (LAME's documented contract) — splicing tag.raw[:tlen]
+        # would shift-corrupt the stream, so require it fits the tag buffer
+        if 0 < tlen <= len(tag) and tlen <= len(out):
             out[:tlen] = tag.raw[:tlen]
         return bytes(out)
     finally:

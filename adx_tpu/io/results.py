@@ -22,6 +22,27 @@ from pathlib import Path
 import numpy as np
 
 
+def _dump_json_atomic(path, payload, indent: int = 4) -> None:
+    """Write a result JSON via tmp + os.replace: these files are the
+    sweep's ONLY durable output, and an in-place dump truncated by a kill
+    (a real occurrence on this host) silently destroys every previously
+    merged entry while the checkpoint still marks them processed."""
+    import contextlib
+    import os
+    import tempfile
+
+    path = Path(path)
+    fd, tmp = tempfile.mkstemp(dir=str(path.parent), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=indent, ensure_ascii=False)
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
+
+
 def convert_to_native(obj):
     """Recursively convert numpy scalars/arrays to JSON-native types
     (reference: src/lime_explainer.py:106-120)."""
@@ -85,8 +106,7 @@ def append_update_results(new_results: dict, results_path: Path) -> None:
         for file_key, data in files_dict.items():
             merged[model_name][file_key] = data
     results_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(results_path, "w", encoding="utf-8") as f:
-        json.dump(convert_to_native(merged), f, indent=4, ensure_ascii=False)
+    _dump_json_atomic(results_path, convert_to_native(merged))
 
 
 def _is_empty_component_influences(entry: dict) -> bool:
@@ -136,8 +156,7 @@ def append_update_explanations(new_explanations: dict, explanations_path: Path) 
                             existing_segments[seg_id] = seg_expl
                     merged[model_name][audio_stem]["segments"] = existing_segments
     explanations_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(explanations_path, "w", encoding="utf-8") as f:
-        json.dump(convert_to_native(merged), f, indent=4, ensure_ascii=False)
+    _dump_json_atomic(explanations_path, convert_to_native(merged))
 
 
 def _is_empty_features(entry: dict) -> bool:
@@ -182,8 +201,7 @@ def append_update_features(new_features: dict, features_path: Path) -> None:
                             existing_segments[seg_id] = seg_features
                     merged[model_name][audio_stem]["segments"] = existing_segments
     features_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(features_path, "w", encoding="utf-8") as f:
-        json.dump(convert_to_native(merged), f, indent=4, ensure_ascii=False)
+    _dump_json_atomic(features_path, convert_to_native(merged))
 
 
 def load_existing_explanations(explanations_path: Path) -> dict:

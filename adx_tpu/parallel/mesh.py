@@ -34,9 +34,23 @@ def training_mesh(
 ) -> Mesh:
     """2-D ``('data', 'model')`` mesh for the sharded train step."""
     devices = list(devices) if devices is not None else jax.devices()
+    if n_model < 1 or n_model > len(devices):
+        raise ValueError(
+            f"training_mesh: n_model={n_model} must be in [1, "
+            f"{len(devices)}] (available devices)"
+        )
     if n_data is None:
         n_data = len(devices) // n_model
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    if n_data < 1:
+        raise ValueError(
+            f"training_mesh: n_data={n_data} — n_model={n_model} does not "
+            f"fit {len(devices)} devices"
+        )
+    used = n_data * n_model
+    if used < len(devices):
+        print(f"⚠️ training_mesh: using {used} of {len(devices)} devices "
+              f"(n_model={n_model} does not divide the device count)")
+    grid = np.asarray(devices[:used]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 
 

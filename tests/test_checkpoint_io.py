@@ -29,3 +29,29 @@ def test_native_checkpoint_roundtrip(tmp_path, rng):
     p2 = LocalSonics.from_pretrained("tiny", checkpoint_dir=ckpt)
     wave = rng.standard_normal(cfg.audio.n_samples).astype(np.float32)
     assert p1.predict(wave, cfg.audio.sample_rate) == p2.predict(wave, cfg.audio.sample_rate)
+
+
+def test_truncated_checkpoint_degrades_gracefully(tmp_path):
+    """A ledger truncated by a kill mid-write (the pre-atomic failure mode)
+    must yield a fresh state with a warning, not abort every resume."""
+    from adx_tpu.runtime.checkpoint import ExperimentCheckpoint
+
+    ck = ExperimentCheckpoint(tmp_path)
+    ck.mark_as_processed("a.wav")
+    assert ck.load_processed_files() == {"a.wav"}
+    # simulate the truncation
+    ck.checkpoint_file.write_text('{"processed_files": ["a.wav", "b.w')
+    assert ck.load_processed_files() == set()
+    # and the ledger recovers on the next write
+    ck.mark_as_processed("c.wav")
+    assert ck.load_processed_files() == {"c.wav"}
+
+
+def test_checkpoint_writes_are_atomic_no_temp_left(tmp_path):
+    from adx_tpu.runtime.checkpoint import SpectrogramCheckpoint
+
+    ck = SpectrogramCheckpoint(tmp_path)
+    for i in range(5):
+        ck.mark_as_processed(f"f{i}.wav")
+    assert ck.load_processed_files() == {f"f{i}.wav" for i in range(5)}
+    assert not list(tmp_path.glob("*.tmp"))  # no orphan temp files
