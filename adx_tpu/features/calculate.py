@@ -25,7 +25,13 @@ def extract_all_features_separately(
     sample_rate: int = 44100,
 ) -> Dict[str, dict]:
     """Full-track extraction: per-file 120 s decode → feature dict keyed by
-    sanitized stem, merged over any existing features.json."""
+    sanitized stem, merged over any existing features.json.
+
+    ``max_samples=None`` means "all files" (a config without
+    ``features.max_samples`` reaches here as None; the reference crashes on
+    that — deviate where broken)."""
+    if max_samples is None:
+        max_samples = len(audio_files)
     print(f"Starting calculating features for {min(len(audio_files), max_samples)} samples...")
     audio_arrays = []
     for fpath in audio_files[:max_samples]:

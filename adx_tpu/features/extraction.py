@@ -320,12 +320,21 @@ def compute_rms_envelope(audio, sr=44100, frame_length=2048, hop_length=512):
     return times, rms
 
 
-def compute_rhythm_stats(audio, sr=44100, onset_env: Optional[np.ndarray] = None) -> dict:
+def compute_rhythm_stats(
+    audio, sr=44100, onset_env: Optional[np.ndarray] = None,
+    include_beats_times: bool = False,
+) -> dict:
+    """Tempo/onset stats (feature-JSON schema). ``include_beats_times=True``
+    appends the beat positions in seconds for plotting callers
+    (viz/feature_plots.py) without changing the default schema."""
     if onset_env is None:
         onset_env = np.asarray(sp.onset_strength(jnp.asarray(audio, jnp.float32), sr))
-    tempo, _beats = rhythm_mod.beat_track(onset_env, sr=sr, hop_length=512)
-    return {
+    tempo, beats = rhythm_mod.beat_track(onset_env, sr=sr, hop_length=512)
+    stats = {
         "tempo_bpm": float(tempo),
         "avg_onset_strength": float(np.mean(onset_env)),
         "max_onset_strength": float(np.max(onset_env)),
     }
+    if include_beats_times:
+        stats["beats_times"] = (np.asarray(beats) * 512 / sr).tolist()
+    return stats

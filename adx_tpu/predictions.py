@@ -5,11 +5,10 @@ prediction, predicted_class, track_source}}}."""
 
 from __future__ import annotations
 
-import json
 import math
 from pathlib import Path
 
-from adx_tpu.io.results import safe_stem
+from adx_tpu.io.results import _dump_json_atomic, safe_stem
 from adx_tpu.parallel.host_shard import host_shard
 from adx_tpu.predict import predict_batch_from_files
 
@@ -64,7 +63,8 @@ def run_sonics_predictions(
 
     output_path = Path(explanations_path)
     output_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(output_path, "w", encoding="utf-8") as f:
-        json.dump(results, f, indent=4, ensure_ascii=False)
+    # tmp+replace like every other result writer: a dump truncated by a kill
+    # must not clobber a previous good predictions.json
+    _dump_json_atomic(output_path, results)
     print(f"\n✅ Results saved in: {explanations_path}")
     return results

@@ -38,6 +38,22 @@ def specshow(
     n_freq, n_time = data.shape
     t_max = n_time * hop_length / sr
 
+    if y_axis == "log":
+        # librosa's y_axis='log': linear bin frequencies on a base-2 symlog
+        # scale (specshow decorates with scale='symlog', base=2,
+        # linthresh=first positive bin) — pcolormesh handles the non-linear
+        # cell heights
+        freq_edges = np.linspace(0.0, sr / 2.0, n_freq + 1)
+        time_edges = np.linspace(0.0, t_max, n_time + 1)
+        img = ax.pcolormesh(time_edges, freq_edges, data, cmap=cmap,
+                            vmin=vmin, vmax=vmax, alpha=alpha)
+        ax.set_yscale("symlog", base=2,
+                      linthresh=float(freq_edges[1]) if n_freq > 1 else 1.0)
+        ax.set_ylim(0.0, sr / 2.0)
+        if x_axis == "time":
+            ax.set_xlabel("Time")
+        return img
+
     extent = [0.0, t_max, 0.0, float(n_freq)]
     if y_axis == "hz":
         extent[3] = sr / 2.0

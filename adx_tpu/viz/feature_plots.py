@@ -16,12 +16,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from adx_tpu.features import rhythm as rhythm_mod
 from adx_tpu.features import spectral as sp
-from adx_tpu.features.extraction import compute_rms_envelope
+from adx_tpu.features.extraction import compute_rhythm_stats, compute_rms_envelope
 from adx_tpu.ops.db import amplitude_to_db
 from adx_tpu.ops.mel import hz_to_mel, melspectrogram
-from adx_tpu.ops.db import power_to_db
 from adx_tpu.ops.stft import stft
 from adx_tpu.viz.display import specshow
 
@@ -58,9 +56,9 @@ def plot_rhythm_statistics(audio, sr=44100, output_dir=None, prefix=""):
     if output_dir:
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
-    onset_env = np.asarray(sp.onset_strength(jnp.asarray(audio, jnp.float32), sr))
-    tempo, beats = rhythm_mod.beat_track(onset_env, sr=sr, hop_length=512)
-    beats_times = beats * 512 / sr
+    # one owner for rhythm stats: the feature pipeline's compute_rhythm_stats
+    stats = compute_rhythm_stats(audio, sr, include_beats_times=True)
+    beats_times = np.asarray(stats["beats_times"])
 
     times, rms = compute_rms_envelope(audio, sr)
     plt.figure(figsize=(10, 4))
@@ -75,12 +73,7 @@ def plot_rhythm_statistics(audio, sr=44100, output_dir=None, prefix=""):
     if output_dir:
         plt.savefig(output_dir / f"{prefix}_rhythm_beats.png")
     plt.close()
-    return {
-        "tempo_bpm": tempo,
-        "avg_onset_strength": float(np.mean(onset_env)),
-        "max_onset_strength": float(np.max(onset_env)),
-        "beats_times": beats_times.tolist(),
-    }
+    return stats
 
 
 def plot_enhanced_visualizations(audio, sr=44100, prefix="", output_dir=None):
@@ -151,7 +144,7 @@ def plot_spectral_summary(audio, sr=44100, output_dir=None, prefix=""):
     plt.title("RMS Energy")
 
     plt.subplot(3, 1, 2)
-    img = specshow(S_db, sr=sr, hop_length=512, x_axis="time", y_axis="hz", cmap="magma")
+    img = specshow(S_db, sr=sr, hop_length=512, x_axis="time", y_axis="log", cmap="magma")
     plt.plot(times_spec, centroid, color="w", lw=1.3, label="Spectral centroid")
     plt.plot(times_spec, rolloff, color="c", lw=1.5, label="Spectral rolloff (0.85)")
     plt.legend(loc="upper right")
@@ -191,13 +184,15 @@ def plot_all_waveforms(original_audio, components, component_names, sr, output_p
 def plot_all_spectrograms(original_audio, components, component_names, sr, output_path, prefix=""):
     n_comps = len(components)
     S_orig = melspectrogram(jnp.asarray(original_audio, jnp.float32), sr=sr)
-    S_orig_db = np.asarray(power_to_db(S_orig, ref="max"))
+    # reference applies amplitude_to_db to the POWER mel (20·log10 of power;
+    # src/feature_visualizations.py:187,193) — match that scale exactly
+    S_orig_db = np.asarray(amplitude_to_db(S_orig, ref="max"))
     fig, axs = plt.subplots(n_comps, 2, figsize=(13, 3 * n_comps), squeeze=False)
     for i, (audio, name) in enumerate(zip(components, component_names)):
         specshow(S_orig_db, sr=sr, hop_length=512, x_axis="time", y_axis="mel", ax=axs[i, 0], cmap="magma")
         axs[i, 0].set_title("Original Audio")
         S_c = melspectrogram(jnp.asarray(audio, jnp.float32), sr=sr)
-        specshow(np.asarray(power_to_db(S_c, ref="max")), sr=sr, hop_length=512,
+        specshow(np.asarray(amplitude_to_db(S_c, ref="max")), sr=sr, hop_length=512,
                  x_axis="time", y_axis="mel", ax=axs[i, 1], cmap="magma")
         axs[i, 1].set_title(f"{name.capitalize()}")
     for row in range(n_comps):
@@ -213,7 +208,7 @@ def plot_f0_contour(y, sr, f0, times, title="Fundamental Frequency (pYIN)",
     S = jnp.abs(stft(jnp.asarray(y, jnp.float32), n_fft=2048, hop_length=512))
     D = np.asarray(amplitude_to_db(S, ref="max"))
     fig, ax = plt.subplots(figsize=(10, 4))
-    img = specshow(D, sr=sr, hop_length=512, x_axis="time", y_axis="hz", ax=ax, cmap="magma")
+    img = specshow(D, sr=sr, hop_length=512, x_axis="time", y_axis="log", ax=ax, cmap="magma")
     ax.set(title=title)
     fig.colorbar(img, ax=ax, format="%+2.f dB")
     ax.plot(times, f0, label="f0", color="cyan", linewidth=2)
@@ -227,14 +222,16 @@ def plot_f0_contour(y, sr, f0, times, title="Fundamental Frequency (pYIN)",
 def plot_mel_spectrogram_with_f0(y, sr, f0, times, title="Mel Spectrogram (Vocal) with f0",
                                  output_dir: Optional[Path] = None, prefix=""):
     S = melspectrogram(jnp.asarray(y, jnp.float32), sr=sr)
-    S_dB = np.asarray(power_to_db(S, ref="max"))
+    # amplitude_to_db on the POWER mel = reference scale (feature_visualizations.py:228)
+    S_dB = np.asarray(amplitude_to_db(S, ref="max"))
     fig, ax = plt.subplots(figsize=(10, 4))
     img = specshow(S_dB, sr=sr, hop_length=512, x_axis="time", y_axis="mel", ax=ax, cmap="magma")
     ax.set(title=title)
     fig.colorbar(img, ax=ax, format="%+2.f dB")
-    # f0 drawn on the mel-bin axis
+    # f0 drawn on the mel-bin axis; NaN (unvoiced) frames stay NaN so the
+    # contour shows gaps like the reference, not a line pinned to bin 0
     n_mels = S_dB.shape[0]
-    mel_of_f0 = hz_to_mel(np.nan_to_num(f0, nan=0.0)) / hz_to_mel(sr / 2) * n_mels
+    mel_of_f0 = hz_to_mel(np.asarray(f0, dtype=np.float64)) / hz_to_mel(sr / 2) * n_mels
     ax.plot(times, mel_of_f0, label="f0", color="cyan", linewidth=2)
     ax.legend(loc="upper right")
     plt.tight_layout()

@@ -93,6 +93,49 @@ def flatten_feature(feat_dict: dict, prefix: str = "") -> dict:
     return result
 
 
+def load_collection_features_json(
+    json_file,
+    collection_key: str,
+    id_col: str,
+    meta_key: str,
+):
+    """Shared loader for the three per-item feature JSONs
+    (``occlusion_patches_features.json`` patches / ``fbp_band_features.json``
+    bands / ``audiolime_component_features.json`` components): model → track →
+    ``collection_key`` items, each flattened from its ``meta_key`` dict plus
+    its ``features`` dict into one row. Returns ``(DataFrame, feature_cols)``.
+    """
+    import json
+
+    with open(json_file, "r", encoding="utf-8") as f:
+        data = json.load(f)
+    all_rows = []
+    for model_name, tracks_dict in data.items():
+        for track_key, track_data in tracks_dict.items():
+            if not isinstance(track_data, dict) or collection_key not in track_data:
+                continue
+            for item_key, item_data in track_data.get(collection_key, {}).items():
+                if not isinstance(item_data, dict) or "features" not in item_data:
+                    continue
+                row = {
+                    "model": model_name,
+                    "track": track_key,
+                    id_col: item_key,
+                    "data_type": TYPE_MAPPING.get(model_name, model_name),
+                }
+                row.update(flatten_feature(item_data.get(meta_key, {})))
+                row.update(flatten_feature(item_data.get("features", {})))
+                all_rows.append(row)
+    features_df = pd.DataFrame(all_rows)
+    if features_df.empty:
+        print("⚠️ Warning: No data loaded from JSON file!")
+        return features_df, []
+    exclude = {"model", "track", id_col, "data_type"}
+    feature_cols = [c for c in features_df.columns if c not in exclude]
+    print(f"✅ Loaded {len(features_df)} {collection_key} rows, {len(feature_cols)} features")
+    return features_df, feature_cols
+
+
 def assign_feature_group(col: str, groups: Optional[dict] = None) -> str:
     for group, prefixes in (groups or FEATURE_GROUPS_DEF).items():
         for prefix in prefixes:
@@ -404,9 +447,15 @@ def comparison_table_suite(
     sort_by_deviation: bool = True,
     title_prefix: str = "OVERALL",
     spacing_quirk: bool = True,
+    extra_exclude=None,
 ):
     """Per-semantic-group dark comparison tables vs REAL, with by-prediction
-    and by-sample-type decompositions (reference: plot_overall_comparison_table)."""
+    and by-sample-type decompositions (reference: plot_overall_comparison_table).
+
+    ``extra_exclude``: additional metadata columns to keep out of the feature
+    rows — the LIME family passes its numeric LIME metadata (importance,
+    influences, track_id) here, matching the reference's exclusion list
+    (run_LIME_features_vis.py:1986-1992)."""
     setup_professional_style()
     model_order = model_order or MODEL_ORDER
     feature_groups = feature_groups or FEATURE_GROUPS_DEF
@@ -418,7 +467,7 @@ def comparison_table_suite(
     meta_cols = {
         "model", "track_id", "track_id_pred", "track_stem", "data_type",
         "prediction_score", "pred_label", "true_label", "is_correct", "outcome",
-    }
+    } | set(extra_exclude or ())
     all_feat_cols = [
         c for c in df.columns if c not in meta_cols and pd.api.types.is_numeric_dtype(df[c])
     ]

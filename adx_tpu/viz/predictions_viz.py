@@ -83,7 +83,13 @@ def plot_model_predictions_lines(df, models, colors, output_dir):
         ax.set_xlabel("Audio Track Index")
         ax.set_ylabel("P(Fake)")
         ax.grid(True, alpha=0.25)
-    for i in range(len(models), 6):
+    if len(models) > 5:
+        # reference silently drops model 6+ AND leaves an empty styled panel
+        # (run_sonics_pred_vis.py:83,109) — deviate where broken: warn, and
+        # delete every unplotted axis
+        print(f"⚠️ plotting only the first 5 of {len(models)} models "
+              f"(dropped: {', '.join(models[5:])})")
+    for i in range(min(len(models), 5), 6):
         fig.delaxes(axes[i])
     plt.suptitle(
         "SONICS Model Predictions: P(Fake) Confidence per Audio Track\n(Decision threshold 0.5)",
@@ -98,6 +104,9 @@ def plot_model_predictions_lines(df, models, colors, output_dir):
 
 def plot_confusion_matrices(df, models, colors, output_dir):
     setup_professional_style()
+    if not models:
+        print("⚠️ No models configured — skipping confusion matrices")
+        return
     out_dir = Path(output_dir) / "confusion_matrices"
     out_dir.mkdir(parents=True, exist_ok=True)
     fig, axes = plt.subplots(1, len(models), figsize=(5 * len(models), 5))

@@ -93,8 +93,12 @@ def _file_mapping_box(fig, tracks, x=0.82, y=0.45, width=18):
 
 
 def _facet_importance_plot(
-    dprov, col_field, col_order, title, outfile, tracks, col_wrap=3, height=3.2, aspect=1.4
+    dprov, col_field, col_order, title, outfile, tracks, col_wrap=3, height=3.2,
+    aspect=1.4, scatter_s=90, bottom=0.05,
 ):
+    # scatter_s/bottom differ per family in the reference (FBP s=90/0.05 at
+    # compare_fbp_results_across_runs.py:268,313; occlusion s=80/0.06 at
+    # compare_occlusion_results_across_runs.py:305,351)
     g = sns.FacetGrid(
         dprov, col=col_field, col_order=col_order, hue="run", height=height,
         aspect=aspect, col_wrap=col_wrap, sharey=False, palette="husl",
@@ -102,7 +106,7 @@ def _facet_importance_plot(
     )
     g.map_dataframe(sns.lineplot, x="file_index", y="importance", legend=False, linewidth=1.5, alpha=0.8)
     g.map_dataframe(
-        sns.scatterplot, x="file_index", y="importance", legend=False, s=90,
+        sns.scatterplot, x="file_index", y="importance", legend=False, s=scatter_s,
         alpha=0.9, edgecolor="white", linewidth=0.8,
     )
     g.set_axis_labels("file index", "importance")
@@ -115,7 +119,7 @@ def _facet_importance_plot(
     )
     _file_mapping_box(g.fig, tracks)
     g.fig.subplots_adjust(right=0.78)
-    plt.subplots_adjust(bottom=0.05)
+    plt.subplots_adjust(bottom=bottom)
     if outfile:
         plt.savefig(outfile, dpi=300, bbox_inches="tight", facecolor="white")
         print(f"💾 Saved: {outfile}")
@@ -414,7 +418,7 @@ def plot_occlusion_windows_importances(df_common: pd.DataFrame, output_dir: Opti
         if not windows_order:
             continue
         outfile = (
-            Path(output_dir) / f"{prov}_occlusion_window_importances_by_track.png"
+            Path(output_dir) / f"{prov}_occlusion_windows_by_track.png"
             if output_dir
             else None
         )
@@ -422,6 +426,7 @@ def plot_occlusion_windows_importances(df_common: pd.DataFrame, output_dir: Opti
             dprov, "window_label", windows_order,
             f"{prov}: Occlusion window importance vs file index ({unit}) ({legend_runs})",
             outfile, tracks, col_wrap=5, height=3.0, aspect=1.3,
+            scatter_s=80, bottom=0.06,
         )
 
 
@@ -484,11 +489,14 @@ def load_audio_lime_explanations(file_paths: Sequence[str]):
     return df_common, runs_labels.strip("_")
 
 
-def plot_audio_lime_influences(df_common: pd.DataFrame, output_dir: Optional[Path] = None):
+def plot_audio_lime_influences(
+    df_common: pd.DataFrame, output_dir: Optional[Path] = None, save_combined: bool = True
+):
     sns.set_theme(style="whitegrid")
     components_order = ["vocals0", "piano0", "drums0", "bass0", "other0"]
     legend_runs = " vs ".join(sorted(df_common["run"].unique()))
-    for prov in sorted(df_common["data_source"].unique()):
+    providers = sorted(df_common["data_source"].unique())
+    for prov in providers:
         dprov = df_common[df_common["data_source"] == prov].copy()
         if dprov.empty:
             continue
@@ -511,7 +519,55 @@ def plot_audio_lime_influences(df_common: pd.DataFrame, output_dir: Optional[Pat
         g.add_legend(title="Run")
         _file_mapping_box(g.fig, tracks, x=1.0, y=0.45)
         if output_dir:
-            outfile = Path(output_dir) / f"{prov}_audiolime_influences_by_track.png"
+            outfile = Path(output_dir) / f"{prov}_audiolime_influences.png"
             plt.savefig(outfile, dpi=300, bbox_inches="tight", facecolor="white")
             print(f"💾 Saved: {outfile}")
         plt.close()
+
+    if not save_combined:
+        return
+    # combined providers × components grid (reference:
+    # compare_audiolime_results_across_runs.py:245-315, save_combined default)
+    prov_comps = {}
+    max_comps = 0
+    for prov in providers:
+        dprov = df_common[df_common["data_source"] == prov]
+        comps = [c for c in components_order if c in dprov["component"].unique()]
+        if comps:
+            prov_comps[prov] = comps
+            max_comps = max(max_comps, len(comps))
+    if max_comps == 0:
+        return
+    fig, axes = plt.subplots(
+        nrows=len(prov_comps), ncols=max_comps,
+        figsize=(4 * max_comps, 3 * len(prov_comps)), sharey=False, squeeze=False,
+    )
+    for row_idx, (prov, comps) in enumerate(prov_comps.items()):
+        dprov = df_common[df_common["data_source"] == prov].copy()
+        tracks = sorted(dprov["file_name"].unique(), key=try_num)
+        dprov["file_index"] = dprov["file_name"].map({t: i for i, t in enumerate(tracks)})
+        for col_idx in range(max_comps):
+            ax = axes[row_idx, col_idx]
+            if col_idx >= len(comps):
+                ax.axis("off")
+                continue
+            comp = comps[col_idx]
+            sns.lineplot(data=dprov[dprov["component"] == comp], x="file_index",
+                         y="value", hue="run", palette="husl", ax=ax)
+            ax.set_title(f"{prov} - {comp}")
+            ax.set_xlabel("file index")
+            ax.set_ylabel("influence")
+    handles, labels = axes[0, 0].get_legend_handles_labels()
+    fig.legend(handles, labels, loc="center left", bbox_to_anchor=(0.93, 0.475),
+               title="Run", fontsize=18, title_fontsize=20, frameon=True, ncol=1)
+    for row in axes:
+        for ax in row:
+            if ax.get_legend():
+                ax.get_legend().remove()
+    fig.suptitle(f"AudioLIME influence vs file index ({legend_runs})", fontsize=12, y=0.95)
+    fig.tight_layout(rect=(0, 0, 0.94, 0.95))
+    if output_dir:
+        combined_path = Path(output_dir) / "ALL_models_audiolime_influences.png"
+        fig.savefig(combined_path, dpi=300, bbox_inches="tight")
+        print(f"💾 Saved combined figure: {combined_path}")
+    plt.close(fig)

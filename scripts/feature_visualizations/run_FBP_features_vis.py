@@ -28,9 +28,8 @@ if str(ROOT) not in sys.path:
 from adx_tpu.io.config import load_yaml
 from adx_tpu.viz.feature_vis_common import (
     BOX_FILL_COLORS,
-    TYPE_MAPPING,
-    flatten_feature,
     grouped_feature_boxplots,
+    load_collection_features_json,
     setup_professional_style,
 )
 
@@ -52,37 +51,22 @@ _BAND_LABELS = [
 
 def load_and_prepare_data_full(json_file):
     """fbp_band_features.json → per-(track, band) flattened feature rows."""
-    with open(json_file, "r", encoding="utf-8") as f:
-        data = json.load(f)
-    all_rows = []
-    for model_name, tracks_dict in data.items():
-        for track_key, track_data in tracks_dict.items():
-            if not isinstance(track_data, dict) or "bands" not in track_data:
-                continue
-            for band_key, band_data in track_data.get("bands", {}).items():
-                if not isinstance(band_data, dict) or "features" not in band_data:
-                    continue
-                row = {
-                    "model": model_name,
-                    "track": track_key,
-                    "band_key": band_key,
-                    "data_type": TYPE_MAPPING.get(model_name, model_name),
-                }
-                row.update(flatten_feature(band_data.get("band_meta", {})))
-                row.update(flatten_feature(band_data.get("features", {})))
-                all_rows.append(row)
-    features_df = pd.DataFrame(all_rows)
+    features_df, feature_cols = load_collection_features_json(
+        json_file, collection_key="bands", id_col="band_key", meta_key="band_meta",
+    )
     if features_df.empty:
-        print("⚠️ Warning: No data loaded from JSON file!")
-        return features_df, []
-    # normalize band keys: 'mixture_20.0_100.0Hz' → '20-100Hz' style
+        return features_df, feature_cols
+    # normalize band keys to the explanations-side form:
+    # 'mixture_20.0_100.0Hz' → '20-100Hz' (same three-step transform as the
+    # reference, run_FBP_features_vis.py:179 — this is what makes the primary
+    # (model, track, band_key) join with load_fbp_bands_explanations exact,
+    # including for non-preset custom bands)
     features_df["band_key"] = (
         features_df["band_key"].astype(str)
         .str.replace("mixture_", "", regex=False)
+        .str.replace("_", "-", regex=False)
+        .str.replace(".0", "", regex=False)
     )
-    exclude = {"model", "track", "band_key", "data_type"}
-    feature_cols = [c for c in features_df.columns if c not in exclude]
-    print(f"✅ Loaded {len(features_df)} band rows, {len(feature_cols)} features")
     return features_df, feature_cols
 
 
@@ -182,12 +166,11 @@ def _three_row_plot(cdf, feat, band_label, out_file):
 
 
 def plot_fbp_predictions_influence_features(
-    features_df, fbp_json_path, output_dir,
+    features_df, fbp_df, output_dir,
     features=("rms_wave_mean", "spectral_centroid_mean", "spectral_flatness_mean"),
 ):
     """Per band × feature: 3-row prediction/importance/feature line plot."""
     setup_professional_style()
-    fbp_df = load_fbp_bands_explanations(fbp_json_path)
     if fbp_df.empty or features_df.empty:
         print("⚠️  No data for 3-row plots")
         return
@@ -222,11 +205,10 @@ def plot_fbp_predictions_influence_features(
 
 
 def plot_fbp_3rows_multicolumn(
-    features_df, fbp_json_path, output_dir, features=("rms_wave_mean",)
+    features_df, fbp_df, output_dir, features=("rms_wave_mean",)
 ):
     """Multicolumn variant: one column per band, 3 rows each."""
     setup_professional_style()
-    fbp_df = load_fbp_bands_explanations(fbp_json_path)
     if fbp_df.empty or features_df.empty:
         return
     fbp_df = add_freq_band_from_band_key(fbp_df)
@@ -359,11 +341,13 @@ def main():
         viz_feature_values_vs_importance_by_freq_band(features_df, output_root)
 
     if explanations_path:  # same guard as the LIME vis runner
+        # walk the results tree ONCE; both 3-row families share the frame
+        fbp_df = load_fbp_bands_explanations(Path(explanations_path))
         plot_fbp_predictions_influence_features(
-            features_df=features_df, fbp_json_path=Path(explanations_path), output_dir=output_root
+            features_df=features_df, fbp_df=fbp_df, output_dir=output_root
         )
         plot_fbp_3rows_multicolumn(
-            features_df=features_df, fbp_json_path=Path(explanations_path), output_dir=output_root
+            features_df=features_df, fbp_df=fbp_df, output_dir=output_root
         )
     else:
         print("⚠️ No explanations_data.explanations_path in config — "

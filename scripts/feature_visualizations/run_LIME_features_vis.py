@@ -30,8 +30,8 @@ from adx_tpu.viz.feature_vis_common import (
     TYPE_MAPPING,
     build_corr_matrix,
     comparison_table_suite,
-    flatten_feature,
     grouped_feature_boxplots,
+    load_collection_features_json,
     numeric_feature_cols,
     save_corr_heatmap,
     setup_professional_style,
@@ -49,36 +49,19 @@ _META_COLS = {
 
 def load_and_prepare_data_full(json_file):
     """audiolime_component_features.json → per-(track, stem) feature rows."""
-    with open(json_file, "r", encoding="utf-8") as f:
-        data = json.load(f)
-    all_rows = []
-    for model_name, tracks_dict in data.items():
-        for track_key, track_data in tracks_dict.items():
-            if not isinstance(track_data, dict) or "components" not in track_data:
-                continue
-            for component_key, component_data in track_data.get("components", {}).items():
-                if not isinstance(component_data, dict) or "features" not in component_data:
-                    continue
-                row = {
-                    "model": model_name,
-                    "track": track_key,
-                    "component_key": component_key,
-                    "component_type": "POSITIVE"
-                    if component_data.get("component_meta", {}).get("importance", 0) >= 0
-                    else "NEGATIVE",
-                    "data_type": TYPE_MAPPING.get(model_name, model_name),
-                }
-                row.update(flatten_feature(component_data.get("component_meta", {})))
-                row.update(flatten_feature(component_data.get("features", {})))
-                all_rows.append(row)
-    features_df = pd.DataFrame(all_rows)
+    features_df, feature_cols = load_collection_features_json(
+        json_file, collection_key="components", id_col="component_key",
+        meta_key="component_meta",
+    )
     if features_df.empty:
-        print("⚠️ Warning: No data loaded from JSON file!")
-        return features_df, []
-    exclude = {"model", "track", "component_key", "component_type", "data_type"}
-    feature_cols = [c for c in features_df.columns if c not in exclude]
-    print(f"✅ Loaded {len(features_df)} component rows, {len(feature_cols)} features")
-    return features_df, feature_cols
+        return features_df, feature_cols
+    imp = (
+        features_df["importance"].fillna(0.0)
+        if "importance" in features_df.columns
+        else pd.Series(0.0, index=features_df.index)
+    )
+    features_df["component_type"] = np.where(imp >= 0, "POSITIVE", "NEGATIVE")
+    return features_df, [c for c in feature_cols if c != "component_type"]
 
 
 def load_audiolime_explanations(json_path: Path) -> pd.DataFrame:
@@ -110,7 +93,10 @@ def load_audiolime_explanations(json_path: Path) -> pd.DataFrame:
     return lime_df
 
 
-def _merged(features_df, lime_json_path):
+def merge_features_with_explanations(features_df, lime_json_path):
+    """Features ⋈ explanations on (model, track, stem) — done ONCE in main()
+    and the merged frame passed to every plot family (the reference re-reads
+    and re-merges per family; on the 1-core host that is 4× the same work)."""
     lime_df = load_audiolime_explanations(lime_json_path)
     full_df = pd.merge(features_df, lime_df, on=["model", "track", "component_name"], how="inner")
     if not full_df.empty:
@@ -118,15 +104,12 @@ def _merged(features_df, lime_json_path):
     return full_df
 
 
-def plot_feature_correlation_r_heatmaps(
-    features_df, lime_json_path, comp_version, outputdir, model_order=None
-):
+def plot_feature_correlation_r_heatmaps(full_df, comp_version, outputdir, model_order=None):
     """Per stem × feature group: r vs P(fake) and r vs LIME influence."""
     from adx_tpu.viz.feature_vis_common import assign_feature_group
 
     setup_professional_style()
     model_order = model_order or MODEL_ORDER
-    full_df = _merged(features_df, lime_json_path)
     if full_df.empty:
         print("⚠️  Merged DataFrame is empty.")
         return
@@ -170,9 +153,8 @@ def plot_feature_correlation_r_heatmaps(
     print(f"Correlation heatmaps → {root_out}")
 
 
-def plot_feature_comparison_table(features_df, lime_json_path, comp_version, outputdir):
+def plot_feature_comparison_table(full_df, comp_version, outputdir):
     """Per-stem dark comparison tables vs the REAL baseline."""
-    full_df = _merged(features_df, lime_json_path)
     if full_df.empty:
         print("⚠️  Merged DataFrame is empty.")
         return
@@ -191,13 +173,18 @@ def plot_feature_comparison_table(features_df, lime_json_path, comp_version, out
             # (run_LIME_features_vis.py:1847: w * (0.99 / tot_w * tot_w)),
             # unlike the overall family's double-division quirk
             spacing_quirk=False,
+            # keep numeric LIME metadata (importance/influences/track_id) out
+            # of the feature rows, like the reference's exclusion list
+            extra_exclude=_META_COLS,
         )
 
 
 def viz_component_pos_neg_boxplots(features_df, base_output_folder):
     """Feature boxplots split by POSITIVE/NEGATIVE LIME influence per stem."""
+    if "component_name" not in features_df.columns:
+        return
     for comp in COMPONENTS:
-        cdf = features_df[features_df.get("component_name") == comp]
+        cdf = features_df[features_df["component_name"] == comp]
         if cdf.empty:
             continue
         grouped_feature_boxplots(
@@ -225,11 +212,10 @@ def viz_feature_groups_by_component(features_df, base_output_folder):
     )
 
 
-def plot_audiolime_predictions_influence_features(features_df, lime_json_path, outputdir,
+def plot_audiolime_predictions_influence_features(full_df, outputdir,
                                                   features=("rms_wave_mean", "spectral_centroid_mean")):
     """3-row line plots per stem: prediction / influence / feature value vs
     track index (reference's plot_audiolime_predictions_influence_features)."""
-    full_df = _merged(features_df, lime_json_path)
     if full_df.empty:
         return
     out = Path(outputdir) / "pred_influence_feature_lines"
@@ -262,12 +248,11 @@ def plot_audiolime_predictions_influence_features(features_df, lime_json_path, o
     print(f"3-row line plots → {out}")
 
 
-def plot_audiolime_3rows_multicolumn(features_df, lime_json_path, outputdir,
+def plot_audiolime_3rows_multicolumn(full_df, outputdir,
                                      features=("rms_wave_mean", "spectral_centroid_mean")):
     """Multicolumn variant of the 3-row plots: one figure per feature with a
     column per stem (reference's multicolumn family,
     run_LIME_features_vis.py:454-545)."""
-    full_df = _merged(features_df, lime_json_path)
     if full_df.empty:
         return
     out = Path(outputdir) / "pred_influence_feature_lines_multicolumn"
@@ -350,19 +335,16 @@ def main():
 
     if explanations_path:
         explanations_path = Path(explanations_path) / "explanations.json"
+        full_df = merge_features_with_explanations(features_df, explanations_path)
         if viz_cfg.get("pred_influence_feature_lines", False):
-            plot_audiolime_predictions_influence_features(
-                features_df, explanations_path, output_root
-            )
+            plot_audiolime_predictions_influence_features(full_df, output_root)
         if viz_cfg.get("pred_influence_multicolumn", False):
-            plot_audiolime_3rows_multicolumn(features_df, explanations_path, output_root)
+            plot_audiolime_3rows_multicolumn(full_df, output_root)
         plot_feature_correlation_r_heatmaps(
-            features_df=features_df, lime_json_path=explanations_path,
-            comp_version=comp_version, outputdir=output_root,
+            full_df, comp_version=comp_version, outputdir=output_root,
         )
         plot_feature_comparison_table(
-            features_df=features_df, lime_json_path=explanations_path,
-            comp_version=comp_version, outputdir=output_root,
+            full_df, comp_version=comp_version, outputdir=output_root,
         )
 
 

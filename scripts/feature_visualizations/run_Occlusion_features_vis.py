@@ -9,7 +9,6 @@ most-influential pos/neg boxplots, and feature-vs-importance scatters."""
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 from pathlib import Path
 
@@ -27,9 +26,9 @@ if str(ROOT) not in sys.path:
 from adx_tpu.io.config import load_yaml
 from adx_tpu.viz.feature_vis_common import (
     BOX_FILL_COLORS,
-    TYPE_MAPPING,
-    flatten_feature,
+    build_feature_groups,
     grouped_feature_boxplots,
+    load_collection_features_json,
     setup_professional_style,
 )
 
@@ -43,33 +42,10 @@ _META_COLS = {
 
 def load_and_prepare_data_full(json_file):
     """occlusion_patches_features.json → per-(track, patch) feature rows."""
-    with open(json_file, "r", encoding="utf-8") as f:
-        data = json.load(f)
-    all_rows = []
-    for model_name, tracks_dict in data.items():
-        for track_key, track_data in tracks_dict.items():
-            if not isinstance(track_data, dict) or "patches" not in track_data:
-                continue
-            for patch_key, patch_data in track_data.get("patches", {}).items():
-                if not isinstance(patch_data, dict) or "features" not in patch_data:
-                    continue
-                row = {
-                    "model": model_name,
-                    "track": track_key,
-                    "patch_key": patch_key,
-                    "data_type": TYPE_MAPPING.get(model_name, model_name),
-                }
-                row.update(flatten_feature(patch_data.get("occlusion_meta", {})))
-                row.update(flatten_feature(patch_data.get("features", {})))
-                all_rows.append(row)
-    features_df = pd.DataFrame(all_rows)
-    if features_df.empty:
-        print("⚠️ Warning: No data loaded from JSON file!")
-        return features_df, []
-    exclude = {"model", "track", "patch_key", "data_type"}
-    feature_cols = [c for c in features_df.columns if c not in exclude]
-    print(f"✅ Loaded {len(features_df)} patch rows, {len(feature_cols)} features")
-    return features_df, feature_cols
+    return load_collection_features_json(
+        json_file, collection_key="patches", id_col="patch_key",
+        meta_key="occlusion_meta",
+    )
 
 
 def add_group_from_patch_key(features_df):
@@ -150,38 +126,102 @@ def viz_most_influential_pos_neg_boxplots(features_df, base_output_folder):
     )
 
 
-def viz_feature_values_vs_importance_by_group(
-    features_df, base_output_folder,
-    features=("rms_wave_mean", "spectral_centroid_mean", "spectral_flatness_mean", "hnr"),
-):
-    """Feature-vs-importance scatters per patch group."""
+def _feature_vs_importance_per_model(window_df, col, feature_folder, feature_label):
+    """One feature column → a per-model panel row of scatters vs importance,
+    positive influences as filled circles and negative as X markers, with an
+    n/Pearson-r stats box per panel (reference:
+    viz_single_feature_vs_importance_in_group, run_Occlusion_features_vis.py:
+    1680-1845)."""
+    from matplotlib.lines import Line2D
+
+    sub = window_df[[col, "importance", "influence_sign", "model"]].dropna(subset=[col])
+    models = sorted(sub["model"].unique())
+    if not models:
+        return
+    fig, axes = plt.subplots(1, len(models), figsize=(4 * len(models), 6),
+                             sharey=True, squeeze=False)
+    for ax, model in zip(axes[0], models):
+        mdf = sub[sub["model"] == model]
+        color = BOX_FILL_COLORS.get(model, "#333333")
+        pos = mdf[mdf["influence_sign"] == "positive"]
+        neg = mdf[mdf["influence_sign"] == "negative"]
+        if not pos.empty:
+            ax.scatter(pos[col], pos["importance"], color=color, alpha=0.8,
+                       edgecolors="black", linewidth=0.5, s=50, marker="o")
+        if not neg.empty:
+            ax.scatter(neg[col], neg["importance"], color=color, alpha=0.4,
+                       edgecolors="black", linewidth=1.8, s=70, marker="X")
+        ax.axhline(0.0, color="gray", ls="--", lw=1.0, alpha=0.7)
+        ax.set_title(model, fontsize=12, fontweight="bold", pad=10)
+        ax.grid(alpha=0.3, linestyle="--")
+        ax.set_axisbelow(True)
+        ax.tick_params(axis="x", labelrotation=45, labelsize=10)
+        stats = f"n = {len(mdf)}"
+        if len(mdf) >= 2:
+            r = mdf[col].corr(mdf["importance"])
+            if not np.isnan(r):
+                stats += f"\nPearson r = {r:.3f}"
+        ax.text(0.98, 0.02, stats, transform=ax.transAxes, ha="right", va="bottom",
+                fontsize=8, bbox=dict(boxstyle="round,pad=0.3", facecolor="white",
+                                      alpha=0.9, edgecolor="black"))
+    fig.supxlabel(feature_label, fontsize=13, fontweight="bold")
+    fig.supylabel("Patch importance", fontsize=13, fontweight="bold")
+    fig.legend(
+        handles=[
+            Line2D([0], [0], marker="o", color="w", markerfacecolor="blue",
+                   markeredgecolor="black", label="positive", markersize=8),
+            Line2D([0], [0], marker="X", color="w", markeredgecolor="black",
+                   label="negative", markersize=8),
+        ],
+        title="Signs of influence", loc="upper right",
+        bbox_to_anchor=(0.98, 0.98), fontsize=9, title_fontsize=10,
+    )
+    fig.suptitle(f"{feature_label} vs importance – per model",
+                 fontsize=15, fontweight="bold", y=0.98)
+    fig.tight_layout(rect=(0.03, 0.05, 0.97, 0.93))
+    safe = feature_label.replace(" ", "_").replace("/", "_")
+    fig.savefig(feature_folder / f"{safe}_vs_importance_per_model.png",
+                dpi=200, bbox_inches="tight", facecolor="white")
+    plt.close(fig)
+
+
+def viz_feature_values_vs_importance_by_group(features_df, base_output_folder):
+    """Per-WINDOW feature-vs-importance scatters: for every window_label, every
+    numeric feature column gets a per-model panel figure (reference:
+    viz_feature_values_vs_importance_by_group, run_Occlusion_features_vis.py:
+    1848-1967 — the grouping unit is the time-frequency window, not the
+    best/worst patch group)."""
     setup_professional_style()
-    out = Path(base_output_folder) / "feature_vs_importance_by_group"
-    out.mkdir(parents=True, exist_ok=True)
     if "importance" not in features_df.columns:
         return
-    for group in sorted(features_df["group"].unique()):
-        gdf = features_df[features_df["group"] == group]
-        for feat in features:
-            if feat not in gdf.columns or gdf[feat].notna().sum() < 3:
-                continue
-            plt.figure(figsize=(8, 6))
-            for model in sorted(gdf["model"].unique()):
-                s = gdf[gdf["model"] == model]
-                plt.scatter(s[feat], s["importance"], label=model, alpha=0.7,
-                            color=BOX_FILL_COLORS.get(model))
-            plt.axhline(0, color="black", lw=0.8)
-            plt.xlabel(feat)
-            plt.ylabel("Occlusion importance (Δ)")
-            r = gdf[[feat, "importance"]].dropna()
-            rv = r[feat].corr(r["importance"]) if len(r) >= 3 else np.nan
-            plt.title(f"{group}: {feat} vs importance (r={rv:.2f})", fontweight="bold")
-            plt.legend(fontsize=8)
-            plt.grid(alpha=0.3)
-            plt.tight_layout()
-            plt.savefig(out / f"{group}_{feat}.png", dpi=200, bbox_inches="tight")
-            plt.close()
-    print(f"Feature-vs-importance scatters → {out}")
+    if "window_label" not in features_df.columns:
+        print("⚠️ No window_label column — skipping feature-vs-importance family")
+        return
+    df = features_df.copy()
+    df["influence_sign"] = np.where(df["importance"] >= 0, "positive", "negative")
+    windows = sorted(df["window_label"].dropna().unique().tolist())
+    print(f"Processing {len(windows)} windows for feature vs importance...")
+    for window_name in windows:
+        wdf = df[df["window_label"] == window_name]
+        if wdf.empty:
+            continue
+        window_dir = (
+            Path(base_output_folder) / "by_group_feature_vs_importance"
+            / str(window_name).replace(" ", "_")
+        )
+        feature_groups = build_feature_groups(wdf, _META_COLS | {"influence_sign"})
+        stat_order = ["min", "mean", "std", "max"]
+        for feature_base, columns_list in sorted(feature_groups.items()):
+            feature_folder = window_dir / feature_base
+            feature_folder.mkdir(parents=True, exist_ok=True)
+            for col, stat in sorted(
+                columns_list,
+                key=lambda x: next((i for i, s in enumerate(stat_order) if s == x[1]), 999),
+            ):
+                label = feature_base if stat == "single" else f"{feature_base} ({stat.upper()})"
+                _feature_vs_importance_per_model(wdf, col, feature_folder, label)
+        print(f"{window_dir} done")
+    print(f"Feature-vs-importance scatters → {Path(base_output_folder) / 'by_group_feature_vs_importance'}")
 
 
 def main():

@@ -163,8 +163,14 @@ def test_occlusion_vis_script_functions(tmp_path, rng):
     out = tmp_path / "out"
     mod.viz_best_vs_worst_boxplots(df, out)
     assert list((out / "best_vs_worst" / "boxplots").rglob("*.png"))
-    mod.viz_feature_values_vs_importance_by_group(df, out, features=("rms_wave_mean",))
-    assert list((out / "feature_vs_importance_by_group").glob("*.png"))
+    mod.viz_feature_values_vs_importance_by_group(df, out)
+    # reference semantics: one per-model panel figure per (window, feature)
+    pngs = list((out / "by_group_feature_vs_importance").rglob("*.png"))
+    assert pngs
+    assert any("vs_importance_per_model" in p.name for p in pngs)
+    # every window with data gets its own folder
+    windows = {p.parts[len((out / "by_group_feature_vs_importance").parts)] for p in pngs}
+    assert windows == set(df["window_label"].unique())
 
 
 def test_fbp_vis_script_functions(tmp_path, rng):
@@ -208,6 +214,15 @@ def test_fbp_vis_script_functions(tmp_path, rng):
     fbp_df = mod.load_fbp_bands_explanations(root)
     assert len(fbp_df) == 1
     assert fbp_df["prediction_score"].iloc[0] == pytest.approx(0.4)
+
+    # the features-side band_key is normalized to the explanations-side form
+    # (reference run_FBP_features_vis.py:179) so the PRIMARY join is exact
+    assert df["band_key"].iloc[0] == "100-250Hz"
+    primary = df.merge(
+        fbp_df[["model", "track", "band_key", "importance"]],
+        on=["model", "track", "band_key"], how="inner",
+    )
+    assert len(primary) == 1
 
     out = tmp_path / "out"
     mod.viz_feature_groups_by_freq_band(df, out)
@@ -262,12 +277,20 @@ def test_lime_vis_script_functions(tmp_path, rng):
     ef = tmp_path / "explanations.json"
     ef.write_text(json.dumps(expl))
     out = tmp_path / "out"
-    mod.plot_feature_correlation_r_heatmaps(df, ef, "reversed", out)
+    full_df = mod.merge_features_with_explanations(df, ef)  # merged ONCE in main()
+    assert not full_df.empty
+    mod.plot_feature_correlation_r_heatmaps(full_df, "reversed", out)
     assert list((out / "correlation_r_heatmaps").rglob("*_r_vs_prediction.png"))
     assert list((out / "correlation_r_heatmaps").rglob("*_r_vs_lime_influence.png"))
-    mod.plot_feature_comparison_table(df, ef, "reversed", out)
+    mod.plot_feature_comparison_table(full_df, "reversed", out)
     assert list((out / "comparison_tables").rglob("all_features.png"))
+    # numeric LIME metadata (importance/influences/track_id) must NOT leak
+    # into the tables as an "other" feature-group family (reference excludes
+    # it). NB: the first path level under comparison_tables is the STEM
+    # (which includes a stem literally named "other") — the feature-group
+    # dir would be one level deeper.
+    assert not list((out / "comparison_tables").glob("*/other/*.png"))
     mod.viz_feature_groups_by_component(df, out)
     assert list((out / "feature_groups_by_component").rglob("*.png"))
-    mod.plot_audiolime_3rows_multicolumn(df, ef, out)
+    mod.plot_audiolime_3rows_multicolumn(full_df, out)
     assert list((out / "pred_influence_feature_lines_multicolumn").glob("*_3rows_multicolumn.png"))

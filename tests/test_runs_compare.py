@@ -124,7 +124,7 @@ def test_occlusion_runs_comparison(tmp_path):
     out = tmp_path / "plots"
     out.mkdir()
     plot_occlusion_windows_importances(df, output_dir=out)
-    assert (out / "REAL_occlusion_window_importances_by_track.png").exists()
+    assert (out / "REAL_occlusion_windows_by_track.png").exists()
 
 
 def test_audiolime_runs_comparison(tmp_path):
@@ -155,4 +155,6 @@ def test_audiolime_runs_comparison(tmp_path):
     out = tmp_path / "plots"
     out.mkdir()
     plot_audio_lime_influences(df, output_dir=out)
-    assert (out / "REAL_audiolime_influences_by_track.png").exists()
+    assert (out / "REAL_audiolime_influences.png").exists()
+    # combined providers x components grid (reference save_combined default)
+    assert (out / "ALL_models_audiolime_influences.png").exists()
