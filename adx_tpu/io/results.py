@@ -86,20 +86,33 @@ def safe_stem(path: str | Path) -> str:
     return re.sub(r"[^a-zA-Z0-9_\-]", "_", Path(path).stem)
 
 
-def _read_json(path: Path, warn_label: str) -> dict:
+def _read_json(path: Path, warn_label: str, set_aside_corrupt: bool = False) -> dict:
+    """Tolerant read. With ``set_aside_corrupt`` (the merge-on-write callers),
+    an UNREADABLE existing file is preserved as ``<name>.corrupt`` rather than
+    silently treated as empty: the subsequent atomic dump would otherwise
+    overwrite it with just the new batch, destroying every previously merged
+    entry while the checkpoint still marks those files processed."""
     if path.exists():
         try:
             with open(path, "r", encoding="utf-8") as f:
                 return json.load(f)
         except Exception:
             print(f"⚠️ Warning: could not read existing {warn_label} from {path}")
+            if set_aside_corrupt:
+                import contextlib
+                import os
+
+                backup = path.with_name(path.name + ".corrupt")
+                with contextlib.suppress(OSError):
+                    os.replace(path, backup)
+                    print(f"   (unreadable file preserved as {backup})")
     return {}
 
 
 def append_update_results(new_results: dict, results_path: Path) -> None:
     """Blind per-file merge: {model: {file_key: data}} (spectrogram/FBP)."""
     results_path = Path(results_path)
-    merged = _read_json(results_path, "results")
+    merged = _read_json(results_path, "results", set_aside_corrupt=True)
     for model_name, files_dict in new_results.items():
         if model_name not in merged:
             merged[model_name] = {}
@@ -131,7 +144,7 @@ def append_update_explanations(new_explanations: dict, explanations_path: Path) 
     """LIME merge: keep existing entries whose component_influences are
     non-empty; merge segment entries per segment id."""
     explanations_path = Path(explanations_path)
-    merged = _read_json(explanations_path, "explanations")
+    merged = _read_json(explanations_path, "explanations", set_aside_corrupt=True)
     for model_name, audio_items in new_explanations.items():
         if model_name not in merged:
             merged[model_name] = audio_items
@@ -176,7 +189,7 @@ def _is_empty_features(entry: dict) -> bool:
 def append_update_features(new_features: dict, features_path: Path) -> None:
     """Feature merge: same policy as explanations but keyed on 'features'."""
     features_path = Path(features_path)
-    merged = _read_json(features_path, "features")
+    merged = _read_json(features_path, "features", set_aside_corrupt=True)
     for model_name, audio_items in new_features.items():
         if model_name not in merged:
             merged[model_name] = audio_items

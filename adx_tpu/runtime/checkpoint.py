@@ -46,7 +46,10 @@ def _read_state(path: Path, default: dict) -> dict:
     try:
         with open(path, "r", encoding="utf-8") as f:
             return json.load(f)
-    except (json.JSONDecodeError, OSError) as e:
+    except (json.JSONDecodeError, UnicodeDecodeError, OSError) as e:
+        # UnicodeDecodeError is NOT a JSONDecodeError subclass: a reference-
+        # side kill mid-write (it dumps in place) can truncate inside a
+        # multi-byte UTF-8 sequence, and resume must degrade, not crash
         print(f"⚠️ Warning: unreadable checkpoint {path} ({e}); treating as empty")
         return json.loads(json.dumps(default))
 

@@ -119,7 +119,7 @@ def main():
             if checkpoint_dir:
                 print(f"💾 Progress saved in: {checkpoint_dir}")
                 print("💡 Resume with --resume flag")
-            sys.exit(0)
+            sys.exit(130)  # SIGINT convention; 0 hid interrupts from the orchestrators
         except Exception as e:
             print(f"\n\n❌ Critical error: {type(e).__name__}: {e}")
             import traceback

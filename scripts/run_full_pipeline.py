@@ -44,8 +44,11 @@ if str(ROOT) not in sys.path:
 from adx_tpu.io.config import load_yaml
 
 
-def run_stage(script: str, argv: list, allow_exit_codes=(0,)) -> tuple:
-    """Execute a runner script in-process; returns (rc, seconds)."""
+def run_stage(script: str, argv: list) -> tuple:
+    """Execute a runner script in-process; returns (rc, seconds).
+
+    rc 130 means the stage was interrupted (Ctrl+C — the runners exit 130 on
+    KeyboardInterrupt); callers must abort the chain, never tolerate it."""
     script_path = Path(script)
     if not script_path.is_absolute():
         script_path = ROOT / script_path
@@ -121,13 +124,25 @@ def main():
             continue
         argv = []
         if st.get("config"):
-            argv += ["--config", st["config"]]
+            # relative stage configs resolve against the repo ROOT like
+            # script/expect_glob paths do — NOT the caller's CWD
+            cfg_path = Path(st["config"])
+            if not cfg_path.is_absolute():
+                cfg_path = ROOT / cfg_path
+            argv += ["--config", str(cfg_path)]
         argv += list(st.get("args", []))
         allow = tuple(st.get("allow_exit_codes", (0,)))
         print(f"\n{'=' * 70}\n🚀 Stage: {name}  ({Path(st['script']).name} {' '.join(map(str, argv))})\n{'=' * 70}",
               flush=True)
-        rc, secs = run_stage(st["script"], argv, allow)
+        rc, secs = run_stage(st["script"], argv)
         timings.append((name, rc, secs))
+        if rc == 130:
+            # an interrupted stage must stop the chain even when the stage
+            # tolerates nonzero exits — running the remaining stages against
+            # a partial result tree reports "complete" on silently bad data
+            print(f"\n⚠️  Pipeline interrupted at stage {name}")
+            _print_summary(timings)
+            sys.exit(130)
         ok = rc in allow
         # allow_exit_codes beyond 0 exist for the audio-only arms, which
         # exit 1 "No results generated!" by reference parity — but that

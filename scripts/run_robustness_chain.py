@@ -40,7 +40,7 @@ if str(ROOT) not in sys.path:
 if str(ROOT / "scripts") not in sys.path:
     sys.path.insert(0, str(ROOT / "scripts"))
 
-from run_full_pipeline import run_stage  # noqa: E402  (one-process stage runner)
+from run_full_pipeline import _print_summary, run_stage  # noqa: E402  (one-process stage runner)
 
 
 def make_synthetic_dataset(root: Path, models, tracks_per_model: int,
@@ -95,6 +95,35 @@ def main():
     t_start = time.time()
     timings = []
 
+    # ---- 0. fail fast on taxonomy the chain cannot label --------------------
+    # (these would otherwise surface only AFTER hours of successful sweeps,
+    # as a "Missing artifacts: run labels" abort at the very end)
+    from adx_tpu.dataprep.pipeline import KNOWN_GROUPS
+    from adx_tpu.viz.runs_compare import extract_run_label
+
+    unknown_models = [m for m in cli.models if m not in KNOWN_GROUPS]
+    if unknown_models and not cli.dataset:
+        # dataprep buckets unknown folder names into UNKNOWN
+        # (infer_group_from_path), so the sweeps would silently drop them
+        print(f"❌ --models {unknown_models} are not dataprep groups "
+              f"({', '.join(KNOWN_GROUPS)}); their tracks would be "
+              f"re-bucketed to UNKNOWN and vanish from every sweep")
+        sys.exit(2)
+    probe_labels = sorted({
+        extract_run_label(str(out / "results" / "Predictions" / f"minus{l}"
+                              / arm / "x" / "predictions.json"))
+        for l in cli.lufs for arm in ["base", *cli.arms]
+    })
+    n_expected = len(cli.lufs) * (1 + len(cli.arms))
+    if len(probe_labels) != n_expected:
+        print(f"❌ The run-label taxonomy cannot distinguish these runs: "
+              f"{n_expected} runs map to labels {probe_labels}. "
+              f"extract_run_label knows minus14/minus23 × the notebook arms "
+              f"(reference parity), and matches SUBSTRINGS of the full path — "
+              f"check --lufs and make sure --out-root ({out}) contains no "
+              f"taxonomy keyword like 'base' or 'm14'.")
+        sys.exit(2)
+
     # ---- 1. source dataset -------------------------------------------------
     if cli.dataset:
         src_dataset = Path(cli.dataset)
@@ -118,7 +147,9 @@ def main():
         )
         timings.append(("dataprep", rc, time.time() - t0))
         if rc != 0:
-            print("❌ dataprep failed"); sys.exit(1)
+            print("⚠️ interrupted" if rc == 130 else "❌ dataprep failed")
+            _print_summary(timings)
+            sys.exit(rc)
 
     runs = [(f"minus{l}", arm) for l in cli.lufs for arm in ["base", *cli.arms]]
     for minus, arm in runs:
@@ -147,8 +178,14 @@ def main():
         rc, _ = run_stage(script, ["--config", str(cfg_path), *extra_args])
         timings.append((name, rc, time.time() - t0))
         if rc != 0:
-            print(f"❌ Stage {name} failed (rc={rc})")
-            sys.exit(1)
+            # print the timing ledger gathered so far — it's what the
+            # operator needs to resume/diagnose a multi-hour chain
+            if rc == 130:
+                print(f"⚠️  Chain interrupted at stage {name}")
+            else:
+                print(f"❌ Stage {name} failed (rc={rc})")
+            _print_summary(timings)
+            sys.exit(rc if rc == 130 else 1)
 
     for minus, arm in runs:
         run_data = str(data_root / minus / arm)
@@ -269,9 +306,8 @@ def main():
             missing.append(f"{cfg['output']['result_path']} (no PNGs)")
         else:
             print(f"🖼️  {name}: {len(pngs)} plots")
-    # run labels must round-trip through the path taxonomy
-    from adx_tpu.viz.runs_compare import extract_run_label
-
+    # run labels must round-trip through the path taxonomy (pre-validated at
+    # chain start; re-checked here against the REAL result paths)
     labels = sorted({extract_run_label(p) for p in pred_jsons})
     # expected labels via the same canonical taxonomy (the mapping itself
     # carries reference quirks like m14_resample_22k, parity-tested in
@@ -282,10 +318,8 @@ def main():
     if labels != want or len(labels) != len(runs):
         missing.append(f"run labels {labels} != {want} (n_runs={len(runs)})")
 
-    print("\n📊 Chain stage summary:")
-    for name, rc, secs in timings:
-        print(f"   {name:28s} rc={rc}  {secs:8.1f} s")
-    print(f"   {'TOTAL':28s}        {time.time() - t_start:8.1f} s")
+    _print_summary(timings)
+    print(f"   {'WALL':30s}        {time.time() - t_start:8.1f} s")
     if missing:
         print("\n❌ Missing artifacts:")
         for m in missing:

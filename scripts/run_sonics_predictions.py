@@ -58,7 +58,7 @@ def main():
         )
     except KeyboardInterrupt:
         print("\n\n⚠️  Experiment interrupted (Ctrl+C)")
-        sys.exit(0)
+        sys.exit(130)  # SIGINT convention; 0 hid interrupts from the orchestrators
     except Exception as e:
         print(f"\n\n❌ Critical error: {type(e).__name__}: {e}")
         import traceback
