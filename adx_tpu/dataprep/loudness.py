@@ -135,6 +135,20 @@ def normalize_to_lufs_with_tp(
     soft limit → ±trim re-adjust → re-verify (notebook cell 7 control flow)."""
     info: Dict[str, Any] = {}
     init_lufs = integrated_lufs(to_mono(y), sr)
+    if not np.isfinite(init_lufs):
+        # fully-gated input (digital silence / < -70 LUFS absolute gate):
+        # the gain would be +inf and 0·inf = NaN, which the reference
+        # notebook writes out as garbage int16 — deviate where broken and
+        # pass the audio through unchanged instead
+        info.update({
+            "init_lufs": float(init_lufs),
+            "desired_gain_db": 0.0,
+            "limited": False,
+            "final_lufs": float(init_lufs),
+            "final_true_peak_dbTP": true_peak_dbtp(y, sr, oversample=oversample_tp),
+            "skipped_gated": True,
+        })
+        return y.astype(np.float32, copy=True), info
     desired_gain_db = target_lufs - init_lufs
     y1 = apply_gain(y, desired_gain_db)
 

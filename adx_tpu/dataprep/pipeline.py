@@ -93,7 +93,7 @@ def audio_inventory(paths: List[str], out_csv: Optional[Path] = None):
     for fp in find_audio_files(paths):
         try:
             y, sr = load_audio(fp, sr=None, mono=False)
-            mono = to_mono(y if y.ndim > 1 else y)
+            mono = to_mono(y)
             rows.append(
                 {
                     "file_path": str(fp),
@@ -174,10 +174,13 @@ def process_file(
             y, sr, target_lufs=target,
             tp_limit_db=TRUE_PEAK_LIMIT_DBTP, oversample_tp=OVERSAMPLE_TP,
         )
-        minus = f"minus{abs(int(target))}"
+        # int targets keep the reference's minus14/minus23 taxonomy; a
+        # fractional target keeps its decimals (int() truncation collided
+        # -16.2 and -16.8 into ONE minus16 tree, last writer wins)
+        minus = f"minus{abs(target):g}"
         out = _save_16bit(out_root / minus / "base" / group, name, y_base, sr)
         logs.append(
-            {"arm": "base", "base_minus": abs(int(target)), "group": group,
+            {"arm": "base", "base_minus": abs(target), "group": group,
              "target_lufs": target, "output_path": str(out), "sr": sr,
              "input_path": str(fp), **info}
         )
@@ -190,7 +193,7 @@ def process_file(
             )
             out = _save_16bit(out_root / minus / arm / group, name, y_final, sr)
             logs.append(
-                {"arm": arm, "base_minus": abs(int(target)), "group": group,
+                {"arm": arm, "base_minus": abs(target), "group": group,
                  "output_path": str(out), "sr": sr, "input_path": str(fp), **info_n}
             )
     return logs

@@ -57,9 +57,9 @@ def extract_all_features_separately(
             continue
         print(f"   Extracting features from sample {i+1}/{len(audio_arrays)}")
         try:
-            waveform_mono = np.mean(waveform, axis=0) if waveform.ndim > 1 else waveform
             safe_name = safe_stem(audio_files[i])
-            mix_features = extract_all_features(waveform_mono, sr=sample_rate)
+            # load_audio(mono=True) above already downmixed (ops.audio.to_mono)
+            mix_features = extract_all_features(waveform, sr=sample_rate)
             if "intonation_pattern" in mix_features:
                 mix_features["intonation_pattern"].pop("f0_contour", None)
                 mix_features["intonation_pattern"].pop("times", None)

@@ -288,7 +288,7 @@ def compute_shimmer_extended(y, sr) -> dict:
 
 def compute_intonation_pattern(y, sr, f0=None) -> dict:
     if f0 is None:
-        f0, _, _ = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"))
+        f0, _, _ = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"), sr=sr)
     f0 = np.nan_to_num(f0, nan=0.0)
     return {"pitch_variability": float(np.std(f0))}
 

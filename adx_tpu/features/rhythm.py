@@ -31,6 +31,10 @@ def tempo_estimate(
     ac = np.correlate(x, x, mode="full")[win - 1 :]
     ac = ac / (ac[0] + 1e-10)
 
+    if len(ac) < 2:
+        # sub-hop clip: no lag to score — the prior's peak (= start_bpm) is
+        # all the information there is, same as the degenerate branch below
+        return float(start_bpm)
     lags = np.arange(1, len(ac))
     bpms = 60.0 * sr / (hop_length * lags)
     prior = np.exp(-0.5 * ((np.log2(bpms) - np.log2(start_bpm)) / std_bpm) ** 2)

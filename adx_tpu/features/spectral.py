@@ -54,6 +54,10 @@ def zero_crossing_rate(
         [jnp.zeros((*crossings.shape[:-1], 1), bool), crossings], axis=-1
     )
     frames = frame_signal(crossings.astype(jnp.float32), frame_length, hop_length)
+    # librosa runs zero_crossings(pad=False) on the FRAMED signal, so each
+    # frame's element 0 is forced False; the global indicator framed above
+    # would otherwise carry the crossing across the frame boundary
+    frames = frames.at[..., 0].set(0.0)
     return jnp.mean(frames, axis=-1)
 
 
@@ -138,7 +142,7 @@ def spectral_contrast(
     valley = jnp.stack(valleys, axis=-2)
     peak = jnp.stack(peaks, axis=-2)
     if linear:
-        return peak / valley
+        return peak - valley  # librosa: "linear difference of magnitudes"
     return (power_to_db(peak, ref=1.0, top_db=80.0)
             - power_to_db(valley, ref=1.0, top_db=80.0))
 
@@ -194,6 +198,9 @@ def _chroma_filterbank_np(sr: int, n_fft: int, n_chroma: int = 12) -> np.ndarray
     wts *= np.tile(
         np.exp(-0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)), (n_chroma, 1)
     )
+    # librosa filters.chroma base_c=True (the feature.chroma_stft default):
+    # the A440/16 reference makes row 0 pitch class A; roll so row 0 is C
+    wts = np.roll(wts, -3 * (n_chroma // 12), axis=0)
     return wts.astype(np.float32)
 
 

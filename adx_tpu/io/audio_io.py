@@ -44,9 +44,13 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
 
 
 def pcm16_quantize(y: np.ndarray) -> np.ndarray:
-    """Float → int16 with the writer's convention (round, not truncate)."""
+    """Float → int16 with libsndfile's convention: scale by 2^15 = 32768
+    (NOT 32767) and round — the reference writes WAVs via soundfile, whose
+    float→PCM16 path is ``lrintf(x * 0x8000)``. With the matching /32768
+    read scale the round trip is idempotent. One deviation: we clip at
+    32767 where an unclipped libsndfile would WRAP +1.0 to -32768."""
     return np.clip(
-        np.round(np.asarray(y) * 32767.0), -32768, 32767
+        np.round(np.asarray(y) * 32768.0), -32768, 32767
     ).astype(np.int16)
 
 

@@ -62,6 +62,10 @@ def build_predictor(model_cfg: dict):
 
             p = _Path(ckpt)
             ckpt_state = p.stat().st_mtime if p.exists() else "missing"
+            # normalize: 'results/ckpt' and its absolute/Path spellings must
+            # hit ONE cache slot — a twin predictor pins a second full
+            # on-device param set and dodges the stale-mtime eviction below
+            ckpt = str(p.resolve())
         key = (
             model_name,
             ckpt,

@@ -155,8 +155,13 @@ def convert_torch_state_dict(
                 break
         else:
             unmapped.append(key_n)
-    if unmapped and strict:
-        raise ValueError(f"Unmapped torch keys: {unmapped}")
+    if unmapped:
+        if strict:
+            raise ValueError(f"Unmapped torch keys: {unmapped}")
+        # non-strict callers still get the diagnostic — a silently dropped
+        # key leaves its flax parameter at random init with no trace
+        print(f"⚠️ convert: {len(unmapped)} torch key(s) had no mapping rule "
+              f"and were dropped: {unmapped}")
     return out
 
 

@@ -47,6 +47,11 @@ def training_mesh(
             f"fit {len(devices)} devices"
         )
     used = n_data * n_model
+    if used > len(devices):
+        raise ValueError(
+            f"training_mesh: n_data={n_data} × n_model={n_model} = {used} "
+            f"devices requested but only {len(devices)} available"
+        )
     if used < len(devices):
         print(f"⚠️ training_mesh: using {used} of {len(devices)} devices "
               f"(n_model={n_model} does not divide the device count)")

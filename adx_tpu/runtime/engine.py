@@ -194,12 +194,13 @@ class PerturbationEngine:
         def _synthesize_gain_rows_pcm16(S, gain_rows, n_out: int):
             """Band-audio export path: synthesize, peak-normalize to 0.99
             and quantize to int16 ON DEVICE — the 16-bit WAV writer's
-            exact formula (clip(round(y·32767))) — so the D2H transfer of
+            exact formula (clip(round(y·32768)), the libsndfile scale —
+            see io.audio_io.pcm16_quantize) — so the D2H transfer of
             a [B, 5.3M] batch shrinks 4× (the tunnel moves ~15 MB/s)."""
             y = _synthesize_gain_rows(S, gain_rows, n_out)
             peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
             y = y * jnp.where(peak > 0, 0.99 / peak, 1.0)
-            q = jnp.clip(jnp.round(y * 32767.0), -32768.0, 32767.0)
+            q = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0)
             return q.astype(jnp.int16)
 
         self._synthesize_gain_rows_pcm16 = _synthesize_gain_rows_pcm16

@@ -25,10 +25,15 @@ from adx_tpu.viz.display import specshow
 
 def draw_spectro(spectro: np.ndarray, title: str, sr: int, output_path=None):
     """dB mel-spectrogram figure (reference ref=np.min semantics)."""
-    import jax.numpy as jnp
-
+    # plain-numpy dB: under JAX_PLATFORMS=axon the CPU backend is hidden,
+    # so a jnp round trip would ship the spectrogram through the TPU
+    # tunnel per figure just to take a log10
     fig, ax = plt.subplots()
-    S_dB = np.asarray(amplitude_to_db(jnp.asarray(spectro), ref=float(np.min(spectro) + 1e-10)))
+    ref = abs(float(np.min(spectro) + 1e-10))
+    amin = 1e-5  # librosa amplitude_to_db defaults (amin, top_db=80)
+    mag = np.abs(np.asarray(spectro, np.float64))
+    S_dB = 20.0 * (np.log10(np.maximum(mag, amin)) - np.log10(max(ref, amin)))
+    S_dB = np.maximum(S_dB, S_dB.max() - 80.0).astype(np.float32)
     img = specshow(S_dB, sr=sr, x_axis="time", y_axis="mel", ax=ax, cmap="magma")
     fig.colorbar(img, ax=ax, format="%+2.0f dB")
     ax.set(title=title)
@@ -52,8 +57,13 @@ def run_inference(
 
 
 def plot_classification_report(test_labels, test_preds, output_path=None):
-    print(classification_report(test_labels, test_preds, target_names=["Real", "Fake"]))
-    cm = confusion_matrix(test_labels, test_preds)
+    # labels=[0, 1] pins the matrix to 2×2 even when a small/skewed val
+    # set contains only one class (unpinned, the 1×1 matrix crashes the
+    # two-label heatmap and classification_report below)
+    print(classification_report(test_labels, test_preds,
+                                labels=[0, 1], target_names=["Real", "Fake"],
+                                zero_division=0))
+    cm = confusion_matrix(test_labels, test_preds, labels=[0, 1])
     plt.figure(figsize=(8, 6))
     sns.heatmap(
         cm, annot=True, fmt="d", cmap="Blues",

@@ -262,3 +262,37 @@ def test_pipeline_mp3_arm(tmp_path, rng):
     deg, _ = read_wav(p)
     assert deg.shape == base.shape
     assert not np.allclose(deg, base)  # the arm did real codec work
+
+
+def test_normalize_gated_input_passes_through(rng):
+    """Digital silence integrates to -inf LUFS; the gain would be +inf and
+    the reference writes NaN garbage — we pass the audio through unchanged
+    (deviate where broken) and flag it."""
+    from adx_tpu.dataprep.loudness import normalize_to_lufs_with_tp
+
+    y = np.zeros(44100, np.float32)
+    out, info = normalize_to_lufs_with_tp(y, 44100, target_lufs=-14.0)
+    assert np.all(np.isfinite(out)) and np.array_equal(out, y)
+    assert info["skipped_gated"] is True and info["desired_gain_db"] == 0.0
+    # near-silence below the -70 LUFS absolute gate behaves the same
+    y2 = (1e-7 * rng.standard_normal(44100)).astype(np.float32)
+    out2, info2 = normalize_to_lufs_with_tp(y2, 44100, target_lufs=-14.0)
+    assert np.all(np.isfinite(out2))
+
+
+def test_fractional_lufs_targets_get_distinct_dirs(tmp_path, rng):
+    """-16.2 and -16.8 must not both truncate to minus16/ (last writer
+    wins); int targets keep the reference's minus14 naming."""
+    from pathlib import Path
+
+    from adx_tpu.dataprep.pipeline import process_file
+    from adx_tpu.io.audio_io import write_wav
+
+    d = tmp_path / "SUNO"
+    d.mkdir()
+    y = (0.2 * rng.standard_normal(44100)).astype(np.float32)
+    write_wav(d / "t.wav", y, 44100)
+    logs = process_file(d / "t.wav", tmp_path / "out", arms=[],
+                        lufs_targets=[16.2, 16.8, 14])
+    outs = {Path(l["output_path"]).parts[-4] for l in logs}
+    assert outs == {"minus16.2", "minus16.8", "minus14"}, outs

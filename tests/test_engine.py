@@ -191,7 +191,7 @@ def test_synthesize_masked_pcm16_matches_float_path(engine, track):
     y = engine.synthesize_masked(S, rows, n_out=len(track))
     peak = np.max(np.abs(y), axis=-1, keepdims=True)
     y_norm = np.where(peak > 0, y * 0.99 / peak, y)
-    want = np.clip(np.round(y_norm * 32767.0), -32768, 32767).astype(np.int16)
+    want = np.clip(np.round(y_norm * 32768.0), -32768, 32767).astype(np.int16)
     got = engine.synthesize_masked_pcm16(S, rows, n_out=len(track))
     assert got.dtype == np.int16
     np.testing.assert_allclose(got, want, atol=1)

@@ -437,3 +437,84 @@ def test_pyin_trough_probabilities_pathological_cmndf_matches_serial():
     # and the victim frames must actually carry weight (the old leak
     # zeroed frame 3 to ~0.006 and frame 5 to ~0.009)
     assert vp_ref[3] > 0.3 and vp_ref[5] > 0.05
+
+
+def test_chroma_base_c_row0_is_C():
+    """librosa filters.chroma defaults to base_c=True: a C4 tone's energy
+    lands in row 0 (unrolled, the A440/16 reference would put it in row 3)
+    and an A4 tone in row 9."""
+    t = np.arange(2 * SR) / SR
+    for freq, row in [(261.6256, 0), (440.0, 9)]:
+        y = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        ch = np.asarray(sp.chroma_stft(jnp.asarray(y), SR))
+        mean_per_class = ch.mean(axis=-1)
+        assert int(np.argmax(mean_per_class)) == row, (freq, mean_per_class)
+
+
+def test_zero_crossing_rate_zeroes_frame_boundary_crossing():
+    """librosa frames first, then zero_crossings(pad=False): element 0 of
+    every frame is forced False, so a sign change across the frame boundary
+    must NOT count. Oracle: per-frame numpy transcription."""
+    rng = np.random.default_rng(11)
+    y = rng.standard_normal(4096).astype(np.float32)
+    frame_length, hop = 512, 128
+    got = np.asarray(sp.zero_crossing_rate(jnp.asarray(y), frame_length, hop))
+
+    yp = np.pad(y, (frame_length // 2, frame_length // 2), mode="edge")
+    n_frames = 1 + (len(yp) - frame_length) // hop
+    want = np.empty(n_frames)
+    for k in range(n_frames):
+        fr = yp[k * hop: k * hop + frame_length]
+        fr = np.where(np.abs(fr) <= 1e-10, 0.0, fr)
+        s = fr >= 0
+        cross = np.concatenate(([False], s[1:] != s[:-1]))
+        want[k] = cross.mean()
+    assert got.shape[-1] >= n_frames
+    np.testing.assert_allclose(got[..., :n_frames], want, atol=1e-7)
+    # and the bias is real: at least one frame starts on a sign change
+    yg = np.pad(y, (frame_length // 2, frame_length // 2), mode="edge")
+    sg = np.where(np.abs(yg) <= 1e-10, 0.0, yg) >= 0
+    starts = [k * hop for k in range(1, n_frames)]
+    assert any(sg[s] != sg[s - 1] for s in starts)
+
+
+def test_spectral_contrast_linear_is_difference_not_ratio():
+    """librosa linear=True returns peaks - valleys: scaling S by c scales
+    the output by c (a ratio would be scale-invariant)."""
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal(SR).astype(np.float32)
+    S = jnp.abs(stft(jnp.asarray(y), n_fft=2048, hop_length=512))
+    a = np.asarray(sp.spectral_contrast(S, SR, 2048, linear=True))
+    b = np.asarray(sp.spectral_contrast(2.0 * S, SR, 2048, linear=True))
+    np.testing.assert_allclose(b, 2.0 * a, rtol=1e-5)
+    assert np.all(a >= -1e-6)  # peak >= valley
+
+
+def test_tempo_estimate_single_frame_envelope():
+    """A sub-hop clip produces a length-1 onset envelope; the estimator
+    must return the prior's center, not crash on an empty lag axis."""
+    from adx_tpu.features.rhythm import beat_track, tempo_estimate
+
+    assert tempo_estimate(np.array([0.3]), sr=SR, hop_length=512) == pytest.approx(120.0)
+    bpm, beats = beat_track(np.array([0.3]), sr=SR, hop_length=512)
+    assert np.isfinite(bpm) and beats.ndim == 1
+
+
+def test_intonation_pattern_uses_caller_sr():
+    """The f0=None fallback must run pyin at the CALLER's sr (the sibling
+    jitter fallback already did): a 44.1 kHz vibrato interpreted at the
+    22050 default halves the detected f0 and its variability."""
+    from adx_tpu.features.extraction import compute_intonation_pattern
+    from adx_tpu.features.pyin import note_to_hz, pyin
+
+    sr = 44100
+    t = np.arange(2 * sr) / sr
+    f_inst = 440.0 + 40.0 * np.sin(2 * np.pi * 3.0 * t)
+    phase = 2 * np.pi * np.cumsum(f_inst) / sr
+    y = np.sin(phase).astype(np.float32)
+
+    got = compute_intonation_pattern(y, sr)["pitch_variability"]
+    f0, _, _ = pyin(y, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"), sr=sr)
+    want = float(np.std(np.nan_to_num(f0, nan=0.0)))
+    assert got == pytest.approx(want, rel=1e-6)
+    assert got > 15.0  # the half-rate misread gave ~half this

@@ -77,7 +77,7 @@ def test_load_audio_trims_at_native_rate(tmp_path):
     y = (0.4 * rng.standard_normal(3 * native_sr)).astype(np.float32)
     p = tmp_path / "x.wav"
     write_wav(p, y, native_sr)
-    y_q = np.clip(np.round(y * 32767.0), -32768, 32767) / 32768.0  # PCM16
+    y_q = np.clip(np.round(y * 32768.0), -32768, 32767) / 32768.0  # PCM16
 
     got, sr_out = load_audio(p, sr=target_sr, offset=0.5, duration=1.25)
     assert sr_out == target_sr
@@ -112,3 +112,27 @@ def test_resample_fourier_matches_scipy_even_odd():
         np.asarray(resample_fourier(jnp.asarray(nyq), 128)),
         sp_resample(nyq, 128), atol=1e-6,
     )
+
+
+def test_pcm16_libsndfile_scale_and_idempotent_roundtrip(tmp_path):
+    """quantize scales by 32768 like libsndfile (the reference's soundfile
+    writer): 0.5 -> 16384, and write->read->write is a fixed point (the old
+    32767-write/32768-read pair decayed one LSB per trip)."""
+    from adx_tpu.io.audio_io import (
+        pcm16_quantize, pcm16_roundtrip, read_wav, write_wav,
+    )
+
+    assert pcm16_quantize(np.array([0.5]))[0] == 16384
+    assert pcm16_quantize(np.array([1.0]))[0] == 32767   # clip, not wrap
+    assert pcm16_quantize(np.array([-1.0]))[0] == -32768
+
+    rng = np.random.default_rng(9)
+    y = (0.7 * rng.standard_normal(2048)).astype(np.float32)
+    once = pcm16_roundtrip(y)
+    np.testing.assert_array_equal(pcm16_roundtrip(once), once)
+
+    p = tmp_path / "q.wav"
+    write_wav(p, y, 8000)
+    back, sr = read_wav(p)
+    assert sr == 8000
+    np.testing.assert_array_equal(back, once)  # file path == in-memory twin

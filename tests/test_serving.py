@@ -74,7 +74,7 @@ def test_predict_roundtrip_matches_local(server):
     assert payload["prediction"] == pytest.approx(labels["Fake"])
     # 16-bit PCM quantization on the wire → compare against the same
     # quantized wave locally
-    y_q = np.round(np.clip(y, -1, 1) * 32767).astype(np.int16) / 32768.0
+    y_q = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16) / 32768.0
     local = predictor.predict(y_q.astype(np.float32), SR)
     assert payload["prediction"] == pytest.approx(local, abs=1e-4)
 
@@ -114,7 +114,7 @@ def test_remote_client_against_own_server(server, tmp_path):
 
     client = RemoteSonics(url)
     remote = client.predict_from_file(path)
-    y_q = np.round(np.clip(y, -1, 1) * 32767).astype(np.int16) / 32768.0
+    y_q = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16) / 32768.0
     local = predictor.predict(y_q.astype(np.float32), SR)
     assert remote == pytest.approx(local, abs=1e-4)
 

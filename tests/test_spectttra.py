@@ -161,3 +161,15 @@ def test_torch_conversion_parity_full_size(preset):
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_convert_nonstrict_reports_unmapped_keys(capsys):
+    """strict=False must PRINT dropped keys (the module contract says
+    unmapped keys are reported, never silently discarded)."""
+    import numpy as np
+
+    from adx_tpu.models.convert import convert_torch_state_dict
+
+    sd = {"encoder.blocks.0.attn.q_norm.weight": np.ones(4, np.float32)}
+    convert_torch_state_dict(sd, strict=False)
+    assert "no mapping rule" in capsys.readouterr().out

@@ -335,3 +335,22 @@ def test_convert_pe_learnable_maps_short_names():
     # sinusoid mode: skipped silently (recomputed in flax)
     assert convert_torch_state_dict(
         {"encoder.tokenizer.pe_t": pe}, pe_learnable=False) == {}
+
+
+def test_training_mesh_rejects_overcommitted_grid():
+    import pytest
+
+    with pytest.raises(ValueError, match="devices requested but only"):
+        training_mesh(n_data=8, n_model=2)  # 16 > the 8-device CPU mesh
+
+
+def test_classification_report_single_class(tmp_path):
+    """A skewed val set (all one class) must still render a 2x2 matrix —
+    unpinned confusion_matrix returns 1x1 and crashes the two-label
+    heatmap."""
+    from adx_tpu.utils.eval import plot_classification_report
+
+    labels = np.ones(5, dtype=int)
+    preds = np.ones(5, dtype=bool)
+    plot_classification_report(labels, preds, output_path=tmp_path / "cm1.png")
+    assert (tmp_path / "cm1.png").exists()
