@@ -539,10 +539,12 @@ class FrequencyBandPerturbation:
                     print(f"   Shard {shard_index}/{num_shards}: {len(audio_files)} files")
                 print(f"   Found {len(audio_files)} files")
 
-                tb = int(self.track_batch or 1)
+                # clamp, don't just step-guard: a negative value made every
+                # slice empty and the sweep exited "No results!" with no hint
+                tb = max(1, int(self.track_batch or 1))
                 groups = [
                     audio_files[lo : lo + tb]
-                    for lo in range(0, len(audio_files), max(1, tb))
+                    for lo in range(0, len(audio_files), tb)
                 ]
                 idx = 0
                 for grp in groups:

@@ -99,13 +99,14 @@ def explain_predictions_separate(
             print(f"⏭️  Sample {i+1} already processed, skipping...")
             continue
         print(f"\n🔍 Processing sample {i+1}/{n_samples}...")
-        # decode AFTER the skip checks: a fully-checkpointed folder used to
-        # decode every 120 s WAV up front only to skip them all
-        waveform, _ = load_audio(
-            audio_files[i], sr=44100, mono=True, offset=0, duration=model_time
-        )
-
         try:
+            # decode AFTER the skip checks (a fully-checkpointed folder used
+            # to decode every 120 s WAV up front only to skip them all) and
+            # INSIDE the per-sample try: one truncated WAV must not abort
+            # the remaining dataset, same contract as the occlusion sweep
+            waveform, _ = load_audio(
+                audio_files[i], sr=44100, mono=True, offset=0, duration=model_time
+            )
             if original_predictions is not None:
                 fake_prob = original_predictions[i]
                 print(f"🔮 Model prediction: {fake_prob:.4f} ({'Fake' if fake_prob > 0.5 else 'Real'})")
@@ -321,6 +322,9 @@ def run_lime_experiment_safe(
 
     merged_explanations = {}
     if explanations_path:
+        # loaded only to print the folder count — reference console parity
+        # (ref lime_explainer.py:517-518 does the same; its later consumer
+        # was the buggy segmented write we replaced)
         merged_explanations = load_existing_explanations(Path(explanations_path))
         print(
             f"Loaded existing explanations for {len(merged_explanations)} folders "

@@ -434,6 +434,9 @@ class SpectrogramExplainability:
             output_path=str(output_path),
             title=f"{file_name} | {method_name} | Pred: {result.baseline_pred:.3f}",
             sr=self.sr,
+            # the reference omits hop_length here, silently mislabeling the
+            # time axis for any non-default hop — deviate where broken
+            hop_length=self.hop_length,
             highlight_percent=self.highlight_percent,
             abs_threshold=self.abs_threshold,
             spec_type=self.spec_type,

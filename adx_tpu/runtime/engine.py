@@ -1221,7 +1221,14 @@ class PerturbationEngine:
         out = np.empty((len(starts), n_out), np.float32)
         for lo in range(0, len(starts), ck):
             part = starts[lo : lo + ck]
-            padded, n = pad_batch(part, ck)
+            # pad a partial chunk to the next pow2 (≤ ck), not to ck: the
+            # non-uniform top-window fallback calls with ONE start, and a
+            # full-ck pad would run ck full-track resyntheses to keep row 0
+            # (bounded program count, same trick as the LIME dedup chunks)
+            tgt = 1
+            while tgt < len(part):
+                tgt <<= 1
+            padded, n = pad_batch(part, min(ck, tgt))
             y = self._keep_patch_chunk(S, jnp.asarray(padded), patch_f, patch_t, n_out)
             out[lo : lo + n] = np.asarray(y)[:n]
         return out

@@ -39,12 +39,13 @@ def _infer_data_type(folder_lower: str):
 
 
 def _rms_envelope(audio, sr, frame_length=2048, hop_length=2048):
-    n_frames = max(1, 1 + (len(audio) - frame_length) // hop_length) if len(audio) >= frame_length else 1
-    rms = np.empty(n_frames)
-    for i in range(n_frames):
-        seg = audio[i * hop_length : i * hop_length + frame_length]
-        rms[i] = np.sqrt(np.mean(seg**2)) if len(seg) else 0.0
-    times = np.arange(n_frames) * hop_length / sr
+    """librosa.feature.rms(center=True) semantics (the reference's call):
+    shares the features-side centered O(n) implementation — the old
+    left-aligned loop shifted every stacked-RMS curve by half a window."""
+    from adx_tpu.features.extraction import _rms_envelope_np
+
+    rms = _rms_envelope_np(np.asarray(audio), frame_length, hop_length)
+    times = np.arange(len(rms)) * hop_length / sr
     return times, rms
 
 
@@ -496,7 +497,9 @@ def visualize_per_sample_explanations(
                 component_order=COMPONENT_ORDER,
                 predicted_class=explanations_data.get("predicted_class", "Unknown"),
                 model_name=model_name,
-                model_pred=explanations_data.get("model_prediction", 0.0),
+                # explanations written without original predictions store
+                # null — the reference crashes formatting it (deviate)
+                model_pred=explanations_data.get("model_prediction") or 0.0,
             )
             plot_radar_influences_per_sample(
                 comp_inf, sample_output_dir, prefix=sample_id,

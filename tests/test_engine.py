@@ -534,3 +534,15 @@ def test_stem_mix_probs_multi_matches_single(engine, tracks):
     out_l = engine.stem_mix_probs_multi(stems_list, rows_list)
     for t in range(len(tracks)):
         np.testing.assert_allclose(out_l[t], out[t], atol=1e-6)
+
+
+def test_keep_patch_audio_partial_chunk_matches_full(engine, track):
+    """A 1-start call pads to the next pow2 (not the full chunk — the
+    non-uniform top-window fallback was synthesizing chunk full-track
+    copies to keep one row); values must match the batched call."""
+    S, _ = engine.analyze(track)
+    starts = np.asarray([(0, 0), (1, 2), (2, 1)], np.int32)
+    full = engine.keep_patch_audio(S, starts, 4, 8, len(track))
+    for k in range(3):
+        one = engine.keep_patch_audio(S, starts[k : k + 1], 4, 8, len(track))
+        np.testing.assert_allclose(one[0], full[k], atol=1e-6)

@@ -182,3 +182,13 @@ def test_fbp_track_batch_matches_serial(predictor, dataset, tmp_path):
                              f"{fn}_bands_metadata.json").read_text())
             for bs, bg in zip(ms["bands"], mg["bands"]):
                 assert abs(bs["importance"] - bg["importance"]) < 1e-4
+
+
+def test_fbp_negative_track_batch_clamped(predictor, dataset, tmp_path):
+    """track_batch: -2 in a config must not make every file-group slice
+    empty (the old step-only guard exited 'No results!' with no hint)."""
+    out = tmp_path / "negtb"
+    df = make_fbp(predictor, tmp_path / "ckn", track_batch=-2).run_experiment(
+        base_path=dataset, output_dir=out, results_path=out / "fbp_results.json",
+    )
+    assert len(df) == 4

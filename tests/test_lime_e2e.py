@@ -293,3 +293,46 @@ def test_lime_segmented_mode(predictor, dataset, tmp_path):
     ck = LIMEExperimentCheckpoint(str(tmp_path / "segckpt") + "_segmented")
     done = ck.load_processed_segments()
     assert set(done["REAL"]["clip_0"]) == {0, 1}
+
+
+def test_lime_corrupt_file_contained_per_sample(predictor, tmp_path):
+    """One truncated WAV must not abort the remaining dataset: the decode
+    now sits INSIDE the per-sample try (same contract as occlusion)."""
+    root = tmp_path / "CorruptMini"
+    rng = np.random.default_rng(7)
+    t = np.arange(SR) / SR
+    for i in range(2):
+        y = 0.3 * np.sin(2 * np.pi * (220 + 100 * i) * t) + 0.03 * rng.standard_normal(SR)
+        write_wav(root / "REAL" / f"ok_{i}.wav", y.astype(np.float32), SR)
+    bad = root / "REAL" / "ok_0.wav"
+    bad.write_bytes(bad.read_bytes()[:40])  # truncate mid-header
+
+    expl_path = tmp_path / "expl" / "explanations.json"
+    df, explanations = run_lime_experiment_safe(
+        predictor=predictor,
+        model_time=1.0,
+        explain=True,
+        max_samples_explain=2,
+        dataset_path=root,
+        num_samples_lime=16,
+        models_to_explain=["REAL"],
+        ids_to_explain=[0, 1],
+        explanations_path=str(expl_path),
+    )
+    data = json.loads(expl_path.read_text())
+    assert "ok_1" in data["REAL"] and "ok_0" not in data["REAL"]
+
+
+def test_per_sample_viz_tolerates_null_model_prediction(tmp_path):
+    """explanations.json written without original predictions stores
+    model_prediction: null — the bar plot must not crash formatting it."""
+    from adx_tpu.viz.lime_viz import visualize_per_sample_explanations
+
+    expl = {"REAL": {"s0": {"type": "full_track", "explanations": {
+        "file_path": "x.wav", "model_prediction": None,
+        "predicted_class": "Real",
+        "component_influences": {"vocals0": 0.2, "drums0": -0.1,
+                                 "bass0": 0.05, "other0": 0.0},
+    }}}}
+    visualize_per_sample_explanations(expl, str(tmp_path / "viz"))
+    assert (tmp_path / "viz" / "REAL" / "s0").exists()
