@@ -265,18 +265,29 @@ def explain_tracks(
             waves.append(y_host)
             names.append((str(tr), safe_stem(tr)))
         else:
-            y_host = np.asarray(tr, np.float32)[: int(round(duration * sr))]
+            # int() truncation, NOT round: load_audio (and the serving
+            # path) truncate, and the path-vs-waveform record equivalence
+            # depends on identical crop lengths at fractional duration·sr
+            y_host = np.asarray(tr, np.float32)[: int(duration * sr)]
             waves.append(y_host)
             # unique stem per raw-waveform input so out_dir writes don't
             # overwrite each other (path inputs keep their file stem)
             names.append((None, f"track_{ti:03d}"))
     # path inputs can collide too (runA/song.wav + runB/song.wav share the
     # stem 'song') — disambiguate repeats so out_dir writes stay distinct
+    all_stems = {stem for _, stem in names}
     seen_stems: dict = {}
     for ti, (src, stem) in enumerate(names):
         if stem in seen_stems:
-            seen_stems[stem] += 1
-            names[ti] = (src, f"{stem}_{seen_stems[stem]}")
+            # probe until the rename collides with neither a later
+            # legitimate stem nor an earlier rename ('song' → 'song_1'
+            # must not clobber a real song_1.wav elsewhere in the batch)
+            k = seen_stems[stem] + 1
+            while f"{stem}_{k}" in all_stems:
+                k += 1
+            seen_stems[stem] = k
+            names[ti] = (src, f"{stem}_{k}")
+            all_stems.add(f"{stem}_{k}")
         else:
             seen_stems[stem] = 0
     decode_s = round(time.time() - t_start, 3)
@@ -299,7 +310,9 @@ def explain_tracks(
         # the device stack feeds analyze, FBP, and separation — the tunnel
         # moves ~15-22 MB/s, so a second transfer costs seconds per batch
         ys = engine.stack_waves([waves[i] for i in idx])
-        S_stack, Sdb_stack, baselines = engine.analyze_and_baseline_multi(ys)
+        S_stack, Sdb_stack, baselines = engine.analyze_and_baseline_multi(
+            ys, track_batch=track_batch,
+        )
         stage_s["analyze_baseline"] = round(time.time() - t_stage, 3)
 
         t_stage = time.time()
@@ -343,7 +356,9 @@ def explain_tracks(
             jax.random.key(explainer.random_seed), num_samples_lime,
             factorizations[0].get_number_components(),
         ))
-        probs_list = engine.stem_mix_probs_multi(stems_stack, [data] * len(idx))
+        probs_list = engine.stem_mix_probs_multi(
+            stems_stack, [data] * len(idx), track_batch=track_batch,
+        )
         stage_s["lime"] = round(time.time() - t_stage, 3)
 
         # per-group elapsed only — decode time for the whole call is

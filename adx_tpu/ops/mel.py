@@ -141,8 +141,12 @@ def melspectrogram(
     )
     mag = jnp.abs(S) ** power
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk, norm)
+    # HIGHEST like every other f32 frontend dot: TPU f32 einsums default
+    # to FAST (bf16 passes), which would put ~1e-3 relative noise on the
+    # mel engines' analyze path vs the librosa-exact result
     return jnp.einsum(
-        "mf,...ft->...mt", fb, mag, preferred_element_type=jnp.float32
+        "mf,...ft->...mt", fb, mag, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -378,6 +378,8 @@ class RemoteSonics:
                     time.sleep(delay)
                     continue
                 raise
+        # reachable only when max_retries <= 0 (the loop never runs);
+        # every executed final attempt re-raises its own exception above
         raise RuntimeError(
             f"Failed to get prediction after {self.max_retries} attempts"
         ) from last_err

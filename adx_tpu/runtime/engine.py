@@ -810,7 +810,10 @@ class PerturbationEngine:
             return y
         y = np.asarray(y, np.float32)
         q = np.round(y * 32768.0)
-        if y.size and np.abs(q).max() <= 32767 and np.array_equal(
+        # range check on [min, max], not |q|: -32768 (a PCM16 full-scale
+        # negative, common in clipped masters) is exactly representable and
+        # must take the int16 wire format too
+        if y.size and q.min() >= -32768 and q.max() <= 32767 and np.array_equal(
             q.astype(np.float32) / 32768.0, y
         ):
             return self._dequant16(jnp.asarray(q.astype(np.int16)))
@@ -858,6 +861,7 @@ class PerturbationEngine:
         self, S, y_ref: np.ndarray, gains: np.ndarray, normalize_loudness: bool = False
     ) -> np.ndarray:
         """All band perturbation probabilities in one program."""
+        self._require_stft("fbp_probs")
         with self.profiler.section("Computing importance for bands"):
             probs = self._gain_rows_probs(
                 S, jnp.asarray(gains), self.to_device_wave(y_ref), normalize_loudness
@@ -1061,7 +1065,7 @@ class PerturbationEngine:
         serves every dispatch."""
         ys = self.stack_waves(tracks)
         T = int(ys.shape[0])
-        tb = max(1, min(track_batch or 4, T))
+        tb = max(1, min(4 if track_batch is None else int(track_batch), T))
         with self.profiler.section("Computing spectrogram"):
             if tb >= T:
                 S, S_db, probs = self._analyze_baseline_multi(ys)
@@ -1095,9 +1099,10 @@ class PerturbationEngine:
         """FBP sweeps of ``[T]`` tracks folded into batched programs:
         probs ``[T, n_bands]``. ``track_batch`` bounds how many tracks'
         synthesis buffers coexist per dispatch (HBM guard; default 4)."""
+        self._require_stft("fbp_probs_multi")
         ys = self.stack_waves(tracks)
         T = int(S_stack.shape[0])
-        tb = max(1, min(track_batch or 4, T))
+        tb = max(1, min(4 if track_batch is None else int(track_batch), T))
         g = jnp.asarray(gains)
         out = np.empty((T, len(gains)), np.float32)
         with self.profiler.section("Computing importance for bands"):
@@ -1130,7 +1135,7 @@ class PerturbationEngine:
                                      occlusion_value, n_out)
                 for t in range(T)
             ])
-        tb = max(1, min(track_batch or 4, T))
+        tb = max(1, min(4 if track_batch is None else int(track_batch), T))
         ck = self.occlusion_chunk
         if ck is None:
             # same budget (and small-sweep clamp) as the single-track path,
@@ -1190,7 +1195,7 @@ class PerturbationEngine:
         else:
             stems_d = jnp.asarray(np.asarray(stems_stack), jnp.float32)
         rows_d = jnp.asarray(rows_pad)
-        tb = max(1, min(track_batch or 4, T))
+        tb = max(1, min(4 if track_batch is None else int(track_batch), T))
         with self.profiler.section("Predicting audio"):
             if tb >= T:
                 probs = np.asarray(self._stem_mix_multi(stems_d, rows_d, chunk))

@@ -43,29 +43,24 @@ from typing import Optional
 import numpy as np
 
 
-class MicroBatcher:
-    """Coalesce concurrent ``predict`` calls into batched forwards.
+class _UploadAwareBatcher:
+    """Shared coalescing machinery for :class:`MicroBatcher` and
+    :class:`ExplainBatcher` (they differed only in the dispatch body, and
+    the duplication had already let single-twin bugs creep in).
 
-    A collector thread drains the queue: it waits ``window_ms`` after the
-    first arrival (or until ``max_batch`` requests are pending), groups by
-    sample rate, zero-pads each group to its longest waveform and issues
-    one ``predict_batch`` per group with the true per-row lengths, so each
-    row's resample tail is zeroed and results match unbatched ``predict``
-    exactly.
+    Collector thread: waits ``window_ms`` after the first arrival (or
+    until ``max_batch`` requests are pending), holding the batch open —
+    bounded by ``max_stall_s`` — while peer request bodies are still being
+    read/decoded (``upload_started``/``upload_aborted``/``submit`` retire
+    the marks).  Subclasses implement ``_dispatch(batch)`` to resolve the
+    futures in ``batch`` = list of ``(wave, sr, Future)``."""
 
-    Upload-aware like :class:`ExplainBatcher`: the HTTP handler marks each
-    request body in-flight before the (GIL-bound) read+decode, and the
-    batch is held open while peers are still uploading — the measured
-    failure mode on the 1-core host is arrivals skewed several hundred ms
-    past any reasonable fixed window, so concurrent /predict clients never
-    coalesced without it.
-    """
-
-    def __init__(self, predictor, window_ms: float = 10.0,
-                 max_batch: Optional[int] = None, max_stall_s: float = 10.0):
-        self.predictor = predictor
+    def __init__(self, window_ms: float, max_batch: int, max_stall_s: float,
+                 thread_name: str):
         self.window = window_ms / 1000.0
-        self.max_batch = max_batch or predictor.max_batch
+        # clamp: max_batch=0 made the collect loop dispatch empty batches
+        # in a busy spin while every submitted future blocked forever
+        self.max_batch = max(1, int(max_batch))
         self.max_stall = float(max_stall_s)
         self.n_batches = 0
         self.n_requests = 0
@@ -73,7 +68,8 @@ class MicroBatcher:
         self._inflight = 0
         self._cv = threading.Condition()
         self._closed = False
-        self._thread = threading.Thread(target=self._run, daemon=True, name="microbatcher")
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name=thread_name)
         self._thread.start()
 
     def upload_started(self) -> None:
@@ -88,14 +84,14 @@ class MicroBatcher:
             self._cv.notify_all()
 
     def submit(self, wave, sr: int, timeout: Optional[float] = None,
-               uploaded: bool = False) -> float:
-        """Blocking predict through the batching window."""
+               uploaded: bool = False):
+        """Blocking call through the batching window."""
         fut: Future = Future()
         with self._cv:
             if uploaded:
                 self._inflight = max(0, self._inflight - 1)
             if self._closed:
-                raise RuntimeError("MicroBatcher is closed")
+                raise RuntimeError(f"{type(self).__name__} is closed")
             self._queue.append((np.asarray(wave, np.float32), int(sr), fut))
             self._cv.notify_all()
         return fut.result(timeout=timeout)
@@ -127,26 +123,57 @@ class MicroBatcher:
                         break
                 batch = self._queue[: self.max_batch]
                 del self._queue[: self.max_batch]
-            by_sr = defaultdict(list)
-            for wave, sr, fut in batch:
-                by_sr[sr].append((wave, fut))
-            for sr, items in by_sr.items():
-                try:
-                    n_max = max(w.shape[-1] for w, _ in items)
-                    arr = np.zeros((len(items), n_max), np.float32)
-                    for i, (w, _) in enumerate(items):
-                        arr[i, : w.shape[-1]] = w
-                    probs = self.predictor.predict_batch(
-                        arr, sr, lengths=[w.shape[-1] for w, _ in items]
-                    )
-                    self.n_batches += 1
-                    self.n_requests += len(items)
-                    for (_, fut), p in zip(items, probs):
-                        fut.set_result(float(p))
-                except Exception as e:  # noqa: BLE001 — propagate to callers
-                    for _, fut in items:
-                        if not fut.done():
-                            fut.set_exception(e)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch):
+        raise NotImplementedError
+
+
+class MicroBatcher(_UploadAwareBatcher):
+    """Coalesce concurrent ``predict`` calls into batched forwards.
+
+    A collector thread drains the queue: it waits ``window_ms`` after the
+    first arrival (or until ``max_batch`` requests are pending), groups by
+    sample rate, zero-pads each group to its longest waveform and issues
+    one ``predict_batch`` per group with the true per-row lengths, so each
+    row's resample tail is zeroed and results match unbatched ``predict``
+    exactly.
+
+    Upload-aware like :class:`ExplainBatcher`: the HTTP handler marks each
+    request body in-flight before the (GIL-bound) read+decode, and the
+    batch is held open while peers are still uploading — the measured
+    failure mode on the 1-core host is arrivals skewed several hundred ms
+    past any reasonable fixed window, so concurrent /predict clients never
+    coalesced without it.
+    """
+
+    def __init__(self, predictor, window_ms: float = 10.0,
+                 max_batch: Optional[int] = None, max_stall_s: float = 10.0):
+        self.predictor = predictor
+        super().__init__(window_ms, max_batch or predictor.max_batch,
+                         max_stall_s, "microbatcher")
+
+    def _dispatch(self, batch):
+        by_sr = defaultdict(list)
+        for wave, sr, fut in batch:
+            by_sr[sr].append((wave, fut))
+        for sr, items in by_sr.items():
+            try:
+                n_max = max(w.shape[-1] for w, _ in items)
+                arr = np.zeros((len(items), n_max), np.float32)
+                for i, (w, _) in enumerate(items):
+                    arr[i, : w.shape[-1]] = w
+                probs = self.predictor.predict_batch(
+                    arr, sr, lengths=[w.shape[-1] for w, _ in items]
+                )
+                self.n_batches += 1
+                self.n_requests += len(items)
+                for (_, fut), p in zip(items, probs):
+                    fut.set_result(float(p))
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
 
 
 class ExplainService:
@@ -240,7 +267,7 @@ class ExplainService:
         return out
 
 
-class ExplainBatcher:
+class ExplainBatcher(_UploadAwareBatcher):
     """Coalesce concurrent ``/explain`` requests into multi-track batched
     explanations (VERDICT r2 item 6): arrivals within ``window_ms`` of the
     first (up to ``max_batch``) are answered by ONE pass through the
@@ -260,95 +287,35 @@ class ExplainBatcher:
     def __init__(self, service: ExplainService, window_ms: float = 150.0,
                  max_batch: int = 4, max_stall_s: float = 10.0):
         self.service = service
-        self.window = window_ms / 1000.0
-        self.max_batch = int(max_batch)
-        self.max_stall = float(max_stall_s)
-        self.n_batches = 0
-        self.n_requests = 0
-        self._queue: list = []
-        self._inflight = 0
-        self._cv = threading.Condition()
-        self._closed = False
-        self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="explainbatcher")
-        self._thread.start()
+        super().__init__(window_ms, max_batch, max_stall_s, "explainbatcher")
 
-    def upload_started(self) -> None:
-        """Mark one request body as being read/decoded; pair with either
-        ``submit(uploaded=True)`` or ``upload_aborted()``."""
-        with self._cv:
-            self._inflight += 1
-
-    def upload_aborted(self) -> None:
-        with self._cv:
-            self._inflight = max(0, self._inflight - 1)
-            self._cv.notify_all()
-
-    def submit(self, wave, sr: int, timeout: Optional[float] = None,
-               uploaded: bool = False) -> dict:
-        fut: Future = Future()
-        with self._cv:
-            if uploaded:
-                self._inflight = max(0, self._inflight - 1)
-            if self._closed:
-                raise RuntimeError("ExplainBatcher is closed")
-            self._queue.append((np.asarray(wave, np.float32), int(sr), fut))
-            self._cv.notify_all()
-        return fut.result(timeout=timeout)
-
-    def close(self):
-        with self._cv:
-            self._closed = True
-            self._cv.notify_all()
-        self._thread.join(timeout=5.0)
-
-    def _run(self):
-        while True:
-            with self._cv:
-                while not self._queue and not self._closed:
-                    self._cv.wait()
-                if not self._queue and self._closed:
-                    return
-                deadline = time.monotonic() + self.window
-                hard = time.monotonic() + self.max_stall
-                while len(self._queue) < self.max_batch and not self._closed:
-                    now = time.monotonic()
-                    if now >= hard:
-                        break
-                    if self._inflight > 0:
-                        self._cv.wait(min(hard - now, 0.25))
-                    elif now < deadline:
-                        self._cv.wait(deadline - now)
-                    else:
-                        break
-                batch = self._queue[: self.max_batch]
-                del self._queue[: self.max_batch]
-            futs = [fut for _, _, fut in batch]
-            try:
-                records = self.service.explain_many(
-                    [(w, sr) for w, sr, _ in batch]
-                )
-                self.n_batches += 1
-                self.n_requests += len(batch)
-                for fut, rec in zip(futs, records):
+    def _dispatch(self, batch):
+        futs = [fut for _, _, fut in batch]
+        try:
+            records = self.service.explain_many(
+                [(w, sr) for w, sr, _ in batch]
+            )
+            self.n_batches += 1
+            self.n_requests += len(batch)
+            for fut, rec in zip(futs, records):
+                fut.set_result(rec)
+        except Exception as e:  # noqa: BLE001 — propagate to callers
+            if len(batch) == 1:
+                if not futs[0].done():
+                    futs[0].set_exception(e)
+                return
+            # one degenerate track must not 500 its coalesced peers
+            # (the unbatched path isolates failures per request):
+            # retry each item alone so only the bad one errors
+            for w, sr, fut in batch:
+                try:
+                    rec = self.service.explain_many([(w, sr)])[0]
+                    self.n_batches += 1
+                    self.n_requests += 1
                     fut.set_result(rec)
-            except Exception as e:  # noqa: BLE001 — propagate to callers
-                if len(batch) == 1:
-                    if not futs[0].done():
-                        futs[0].set_exception(e)
-                    continue
-                # one degenerate track must not 500 its coalesced peers
-                # (the unbatched path isolates failures per request):
-                # retry each item alone so only the bad one errors
-                for w, sr, fut in batch:
-                    try:
-                        rec = self.service.explain_many([(w, sr)])[0]
-                        self.n_batches += 1
-                        self.n_requests += 1
-                        fut.set_result(rec)
-                    except Exception as ee:  # noqa: BLE001
-                        if not fut.done():
-                            fut.set_exception(ee)
+                except Exception as ee:  # noqa: BLE001
+                    if not fut.done():
+                        fut.set_exception(ee)
 
 
 def _make_handler(predictor, lock: threading.Lock, model_name: str,
@@ -395,8 +362,6 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
             if path not in ("/predict", "/explain"):
                 self._send(404, {"error": f"unknown path {self.path!r}"})
                 return
-            # Tell the explain batcher a body is on the wire BEFORE the
-            # (slow, GIL-bound) read+decode so concurrent arrivals coalesce.
             # Tell the relevant batcher a body is on the wire BEFORE the
             # (slow, GIL-bound) read+decode so concurrent arrivals coalesce
             # — both endpoints: the decode skew that defeated fixed windows
@@ -407,6 +372,10 @@ def _make_handler(predictor, lock: threading.Lock, model_name: str,
                 track_b = batcher
             if track_b is not None:
                 track_b.upload_started()
+                # a client that stalls mid-body (short write, open socket)
+                # would otherwise hold the in-flight mark FOREVER, pinning
+                # every later batch at the max_stall wait — bound the read
+                self.connection.settimeout(60.0)
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:

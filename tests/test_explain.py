@@ -155,3 +155,37 @@ def test_explain_track_shorter_than_duration(tmp_path, rng):
     assert 0.0 <= record["baseline_pred"] <= 1.0
     assert record["occlusion"]["n_patches"] > 0
     assert np.isfinite([b["importance"] for b in record["fbp"]["bands"]]).all()
+
+
+def test_explain_tracks_dedup_avoids_existing_stem(tmp_path, rng):
+    """runA/song.wav + runB/song.wav + runC/song_1.wav: the duplicate
+    'song' must NOT be renamed onto the legitimate 'song_1' (its outputs
+    would be clobbered)."""
+    from adx_tpu.explain import explain_tracks
+    from adx_tpu.io.audio_io import write_wav
+
+    predictor = LocalSonics.from_pretrained("tiny", max_batch=8)
+    dur = predictor.cfg.audio.duration
+    n = int(SR * dur)
+    t = np.arange(n) / SR
+    paths = []
+    for sub, name, f in [("runA", "song.wav", 260.0),
+                         ("runB", "song_1.wav", 330.0),
+                         ("runC", "song.wav", 400.0)]:
+        y = (0.3 * np.sin(2 * np.pi * f * t)
+             + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        p = tmp_path / sub / name
+        write_wav(p, y, SR)
+        paths.append(str(p))
+    out = tmp_path / "out"
+    recs = explain_tracks(
+        paths, predictor=predictor, sr=SR, duration=dur,
+        n_fft=256, hop_length=128, win_length=256,
+        patch_time_frames=8, stride_time_frames=8,
+        patch_freq_percent=50.0, stride_freq_percent=50.0,
+        num_samples_lime=16, save_figures=False, out_dir=out,
+    )
+    stems = [r["track_stem"] for r in recs]
+    assert len(set(stems)) == 3, stems
+    assert stems[0] == "song" and stems[1] == "song_1"
+    assert stems[2] not in ("song", "song_1")

@@ -655,3 +655,22 @@ def test_post_explain_client_resident_worker(tmp_path, tiny_predictor):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_explain_batcher_max_batch_zero_clamped():
+    """max_batch=0 (plumbed unvalidated from --explain-max-batch) used to
+    busy-spin dispatching empty batches while every future blocked forever;
+    the shared base clamps to 1 and requests resolve."""
+    from adx_tpu.serving import ExplainBatcher
+
+    class FakeService:
+        def explain_many(self, items):
+            return [{"i": float(w.sum())} for w, _ in items]
+
+    batcher = ExplainBatcher(FakeService(), window_ms=10.0, max_batch=0)
+    try:
+        assert batcher.max_batch == 1
+        out = batcher.submit(np.ones(4, np.float32), 8000, timeout=10.0)
+        assert out == {"i": 4.0}
+    finally:
+        batcher.close()
