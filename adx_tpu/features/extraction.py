@@ -55,13 +55,14 @@ def _harmonic_device(y: jnp.ndarray, n_out: int):
 
 
 @jax.jit
-def _stft_mag_device(y: jnp.ndarray):
-    return jnp.abs(stft(y, n_fft=2048, hop_length=512))
+def _stft_device(y: jnp.ndarray):
+    return stft(y, n_fft=2048, hop_length=512)
 
 
 @functools.partial(jax.jit, static_argnames=("n_out",))
-def _masked_istft_device(y: jnp.ndarray, mask: jnp.ndarray, n_out: int):
-    S = stft(y, n_fft=2048, hop_length=512)
+def _masked_istft_from_S(S: jnp.ndarray, mask: jnp.ndarray, n_out: int):
+    # takes the already-computed S: the CPU HNR branch used to STFT the
+    # full track twice (once for the masks, again inside the inversion)
     return istft(S * mask, hop_length=512, n_fft=2048, length=n_out)
 
 
@@ -222,13 +223,14 @@ def compute_hnr(y, sr) -> float:
     if jax.default_backend() == "cpu":
         from scipy.ndimage import median_filter
 
-        mag = np.asarray(_stft_mag_device(y32))
+        S = _stft_device(y32)  # ONCE; stays a device array (cpu backend)
+        mag = np.asarray(jnp.abs(S))
         H = median_filter(mag, size=(1, 31), mode="reflect").astype(np.float64)
         P = median_filter(mag, size=(31, 1), mode="reflect").astype(np.float64)
         total = H * H + P * P
         mask_h = np.where(total > 0, (H * H) / np.where(total > 0, total, 1.0), 0.5)
         harmonic = np.asarray(
-            _masked_istft_device(y32, jnp.asarray(mask_h, jnp.float32), len(y))
+            _masked_istft_from_S(S, jnp.asarray(mask_h, jnp.float32), len(y))
         )
     else:
         harmonic = np.asarray(_harmonic_device(y32, len(y)))

@@ -34,11 +34,16 @@ def _frame(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
 
 
 def _difference_function(
-    frames: np.ndarray, max_tau: int, y: np.ndarray, hop_length: int
+    frames: np.ndarray, win_length: int, max_tau: int, y: np.ndarray,
+    hop_length: int,
 ) -> np.ndarray:
     """YIN difference function d[t, τ] for τ in [0, max_tau) via FFT
     autocorrelation. ``frames`` is [T, frame_length] (strided windows of
-    ``y`` at ``hop_length``); window W = max_tau.
+    ``y`` at ``hop_length``); the correlated window has ``win_length``
+    samples and lags run to ``max_tau`` (librosa allows lags up to
+    frame_length − win_length − 1, beyond win_length when win_length is
+    small — the two are independent). Requires
+    ``max_tau ≤ frame_length − win_length + 1``.
 
     FFTs go through scipy.fft, which keeps float32 (numpy upcasts to
     float64 — 2× the bandwidth for no benefit at CMNDF's ~1e-3 working
@@ -47,32 +52,33 @@ def _difference_function(
     from scipy.fft import irfft, next_fast_len, rfft
 
     T, N = frames.shape
-    W = max_tau
+    W = win_length
     frames = np.ascontiguousarray(frames, dtype=np.float32)
     # r[τ] = Σ_{j=0}^{W-1} x[j] x[j+τ] — correlate the first-W window
-    # against the full frame (correlation theorem; no wraparound for τ < W)
+    # against the full frame (correlation theorem; no wraparound for
+    # τ ≤ N − W)
     n_fft = next_fast_len(N + W, real=True)
     F_full = rfft(frames, n_fft, axis=1)
     F_win = rfft(frames[:, :W], n_fft, axis=1)
     np.conjugate(F_win, out=F_win)
     np.multiply(F_full, F_win, out=F_full)
-    acf = irfft(F_full, n_fft, axis=1)[:, :W]
+    acf = irfft(F_full, n_fft, axis=1)[:, :max_tau]
     # energy terms: e0 = Σ_{j<W} x²; e_tau = Σ_{τ<=j<τ+W} x². Frames are
     # overlapping windows of one signal, so ONE global float64 cumsum of y²
     # (2.6M adds) replaces the old per-frame [T, N] cumsum — which squared
-    # and accumulated a 200 MB float64 temporary on every call. Two [T, W]
-    # gathers difference it back per (frame, lag).
+    # and accumulated a 200 MB float64 temporary on every call. Two
+    # [T, max_tau] gathers difference it back per (frame, lag).
     c = np.empty(len(y) + 1, np.float64)
     c[0] = 0.0
     np.cumsum(np.square(y, dtype=np.float64), out=c[1:])
     # win_energy[i] = Σ_{i<=j<i+W} y[j]²; frame t's lag-τ energy is the
-    # contiguous slice win_energy[t·hop : t·hop+W] — a strided row view,
-    # materialized once as the float32 e_tau
+    # contiguous slice win_energy[t·hop : t·hop+max_tau] — a strided row
+    # view, materialized once as the float32 e_tau
     from numpy.lib.stride_tricks import sliding_window_view
 
     win_energy = c[W:] - c[:-W]
     starts = np.arange(T, dtype=np.int64) * hop_length
-    e_tau = sliding_window_view(win_energy, W)[starts].astype(np.float32)
+    e_tau = sliding_window_view(win_energy, max_tau)[starts].astype(np.float32)
     e0 = e_tau[:, [0]]  # τ = 0 window IS the first-W energy
     # d = e0 + e_tau - 2·acf, built in place on the acf buffer
     d = np.ascontiguousarray(acf)
@@ -90,100 +96,102 @@ def _cmndf(d: np.ndarray) -> np.ndarray:
     return out
 
 
+_BOLTZMANN_LAMBDA = 2.0  # librosa pyin's boltzmann_parameter default
+
+
+def _trough_mask(dp_trim: np.ndarray) -> np.ndarray:
+    """librosa trough detection on the TRIMMED lag range: util.localmin
+    with edge padding (last lag is a trough when it undercuts its
+    predecessor) plus pyin's explicit boundary rule at lag 0."""
+    T, L = dp_trim.shape
+    mask = np.zeros((T, L), dtype=bool)
+    if L >= 2:
+        mask[:, 0] = dp_trim[:, 0] < dp_trim[:, 1]
+        mask[:, -1] = dp_trim[:, -1] < dp_trim[:, -2]
+    if L >= 3:
+        interior = dp_trim[:, 1:-1]
+        mask[:, 1:-1] = (interior < dp_trim[:, :-2]) & (interior <= dp_trim[:, 2:])
+    return mask
+
+
+def _parabolic_shifts(dp_trim: np.ndarray) -> np.ndarray:
+    """librosa _parabolic_interpolation on the trimmed CMNDF: shift =
+    −b/(2a); |shift| > 1 → 0; boundary lags → 0."""
+    shifts = np.zeros_like(dp_trim, dtype=np.float64)
+    if dp_trim.shape[1] >= 3:
+        a = (dp_trim[:, :-2] + dp_trim[:, 2:] - 2.0 * dp_trim[:, 1:-1]) / 2.0
+        b = (dp_trim[:, 2:] - dp_trim[:, :-2]) / 2.0
+        s = -b / (2.0 * a + 1e-38)
+        s[np.abs(s) > 1.0] = 0.0
+        shifts[:, 1:-1] = s
+    return shifts
+
+
 def _trough_probabilities(
-    dp: np.ndarray,
+    dp_trim: np.ndarray,
     trough_mask: np.ndarray,
     thresholds: np.ndarray,
     beta_w: np.ndarray,
     no_trough_prob: float,
-    sr: float,
-    fmin: float,
-    fmax: float,
-    n_bins_per_semitone: int,
-    n_pitch_bins: int,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-frame trough probabilities, fully vectorized over ALL
-    (frame, trough) pairs.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """librosa _pyin_helper steps 2-5, vectorized over ALL (frame, trough)
+    pairs instead of a ~10k-iteration per-frame Python loop:
 
-    The per-threshold rule "the FIRST (lowest-τ) trough below the
-    threshold wins that threshold's beta weight" has a closed form: a
-    trough with value v and exclusive prefix-min m (over earlier troughs
-    in its frame) wins exactly the thresholds in (v, m] — a contiguous
-    interval of the threshold grid, summed via the cumulative beta
-    weights. This replaces a ~10k-iteration per-frame Python loop.
-    Returns ``(obs_voiced [T, n_pitch_bins], voiced_prob [T])``.
+    * thresholds test the RAW CMNDF trough heights (librosa thresholds
+      before parabolic refinement),
+    * each threshold's beta weight is distributed over ALL troughs below
+      it with a Boltzmann(λ=2) prior on the rank (position among the
+      below-threshold troughs in ascending-lag order) — NOT all-to-the-
+      first-trough,
+    * each frame's global-min trough (first tie, np.argmin semantics)
+      additionally receives ``no_trough_prob ×`` the beta mass of the
+      thresholds it does not beat.
+
+    Returns ``(fr, pos, probs_flat)`` aligned with
+    ``np.nonzero(trough_mask)`` (frame-major, lag ascending per frame).
     """
-    T = dp.shape[0]
-    obs_voiced = np.zeros((T, n_pitch_bins))
-    voiced_prob = np.zeros(T)
+    T = dp_trim.shape[0]
+    fr, pos = np.nonzero(trough_mask)
+    probs_flat = np.zeros(len(fr))
+    if not len(fr):
+        return fr, pos, probs_flat
+    heights = dp_trim[fr, pos].astype(np.float64)
+    counts = np.bincount(fr, minlength=T)
+    c_end = np.cumsum(counts)
+    c_start = c_end - counts
+    start_of = c_start[fr]
+    end_of = c_end[fr] - 1
 
-    fr, tau0 = np.nonzero(trough_mask)  # frame-major, τ ascending per frame
-    if len(fr):
-        vals = dp[fr, tau0]
-        # parabolic interpolation (trough_mask only marks interior bins)
-        a = dp[fr, tau0 - 1]
-        c = dp[fr, tau0 + 1]
-        denom = a - 2 * vals + c
-        safe = np.abs(denom) > 1e-12
-        shift = np.where(safe, 0.5 * (a - c) / np.where(safe, denom, 1.0), 0.0)
-        shift = np.clip(shift, -0.5, 0.5)
-        tau_interp = tau0 + shift  # float64
-        val_interp = (vals - 0.25 * (a - c) * shift).astype(np.float32)
+    lam = _BOLTZMANN_LAMBDA
+    one_minus = 1.0 - np.exp(-lam)
+    # chunk the threshold axis so the [n_troughs, chunk] temporaries stay
+    # a few MB even on 120 s tracks (~400k troughs × 100 thresholds)
+    for lo in range(0, len(thresholds), 16):
+        tc = thresholds[lo : lo + 16]
+        below = heights[:, None] < tc[None, :]
+        C = np.cumsum(below, axis=0, dtype=np.int64)
+        base = np.where(start_of[:, None] > 0, C[start_of - 1, :], 0)
+        rank = C - base - 1  # 0-based rank among the frame's below-troughs
+        n_below = C[end_of, :] - base
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            pmf = one_minus * np.exp(-lam * rank) / (1.0 - np.exp(-lam * n_below))
+        probs_flat += np.where(below, pmf, 0.0) @ beta_w[lo : lo + 16]
 
-        counts = np.bincount(fr, minlength=T)
-        c_end = np.cumsum(counts)
-        c_start = c_end - counts
-
-        # exclusive within-frame prefix min of val_interp, clipped to
-        # [0, 1.5] (exact: C_of below is constant outside (0, 1], so
-        # clipping changes nothing downstream). Groups are contiguous, so
-        # shift by one, put the cap at each group start, and reset-free
-        # cummax of (2·frame − value) isolates groups: earlier frames sit
-        # ≥ 0.5 lower ONLY because the clip bounds values to < 2 — CMNDF
-        # in silent regions reaches ~330 and parabolic interpolation can
-        # go negative, either of which would leak the running min across
-        # frame boundaries without the lower clip.
-        capped = np.empty(len(fr), np.float64)
-        capped[1:] = np.clip(val_interp[:-1], 0.0, 1.5)
-        capped[c_start[counts > 0]] = 1.5
-        cmax = np.maximum.accumulate(2.0 * fr - capped)
-        prefix_min_excl = 2.0 * fr - cmax
-
-        # C(x) = Σ beta_w over thresholds ≤ x; trough weight = C(m) − C(v)
-        Cw = np.concatenate([[0.0], np.cumsum(beta_w)])
-        C_of = lambda x: Cw[np.searchsorted(thresholds, x, side="right")]  # noqa: E731
-        probs_flat = np.maximum(C_of(prefix_min_excl) - C_of(val_interp), 0.0)
-
-        # thresholds with no trough below (thr ≤ frame min): tiny mass on
-        # the frame's best trough, but only when that trough shows genuine
-        # periodicity — otherwise a lone concentrated 0.01 beats the
-        # unvoiced state's per-bin density and silence decodes as voiced
-        nz = counts > 0
-        gmin = np.full(T, np.inf)
-        gmin[nz] = np.minimum.reduceat(val_interp, c_start[nz])
-        # first index attaining the frame min (np.argmin tie semantics)
-        is_min = val_interp == gmin[fr]
-        cm = np.cumsum(is_min)
-        before = cm - is_min - np.concatenate([[0], cm])[c_start[fr]]
-        first_min = is_min & (before == 0)
-        miss_w = np.zeros(T)
-        miss_w[nz] = Cw[np.searchsorted(thresholds, gmin[nz], side="right")]
-        add_miss = first_min & (miss_w[fr] > 0) & (gmin[fr] < 0.8)
-        probs_flat[add_miss] += no_trough_prob * miss_w[fr[add_miss]]
-
-        freqs_flat = sr / np.maximum(tau_interp, 1e-6)
-        valid = (freqs_flat >= fmin) & (freqs_flat <= fmax)
-        bins = np.clip(
-            np.round(
-                12 * n_bins_per_semitone * np.log2(freqs_flat[valid] / fmin)
-            ).astype(int),
-            0, n_pitch_bins - 1,
-        )
-        np.add.at(obs_voiced, (fr[valid], bins), probs_flat[valid])
-        voiced_prob = np.minimum(
-            1.0, np.bincount(fr[valid], weights=probs_flat[valid], minlength=T)
-        )
-    return obs_voiced, voiced_prob
+    # global-min bonus (librosa: unconditional, first-tie argmin on the
+    # raw heights; mass = beta weight of the thresholds the min does NOT
+    # beat, i.e. thresholds ≤ min height)
+    nz = counts > 0
+    gmin = np.full(T, np.inf)
+    gmin[nz] = np.minimum.reduceat(heights, c_start[nz])
+    is_min = heights == gmin[fr]
+    cm = np.cumsum(is_min)
+    before = cm - is_min - np.concatenate([[0], cm])[c_start[fr]]
+    first_min = is_min & (before == 0)
+    Cw = np.concatenate([[0.0], np.cumsum(beta_w)])
+    miss_w = np.zeros(T)
+    miss_w[nz] = Cw[np.searchsorted(thresholds, gmin[nz], side="right")]
+    probs_flat[first_min] += no_trough_prob * miss_w[fr[first_min]]
+    return fr, pos, probs_flat
 
 
 def _viterbi_numpy(
@@ -194,6 +202,7 @@ def _viterbi_numpy(
     log_stay: float,
     log_switch: float,
     delta_init: np.ndarray,
+    rn: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pure-numpy banded two-row Viterbi (fallback / ground truth for the
     C kernel in ``adx_tpu/native/pyin_viterbi.c``). Returns
@@ -213,6 +222,10 @@ def _viterbi_numpy(
     T, M = log_obs_v.shape
     s_idx = np.arange(M)
     log_tri32 = log_tri.astype(np.float32)
+    # per-SOURCE edge-renormalization penalty (librosa transition_local
+    # row normalization), subtracted when delta enters the band window
+    rn32 = (np.zeros(M, np.float32) if rn is None
+            else np.asarray(rn, np.float32))
     padded = np.full((2, M + 2 * K), -np.inf, np.float32)
     # hot-loop buffers preallocated once: the loop runs ~10k iterations on
     # a single-core host, so per-frame allocations/astype churn dominate
@@ -226,7 +239,7 @@ def _viterbi_numpy(
     from_v = np.zeros((T, M), dtype=bool)
 
     for t in range(1, T):
-        padded[:, K : K + M] = delta_vu
+        padded[:, K : K + M] = delta_vu - rn32
         np.add(windows, log_tri32, out=scores)
         k_best = scores.argmax(axis=2)  # [2, M]
         best = np.take_along_axis(scores, k_best[:, :, None], axis=2)[:, :, 0]
@@ -305,19 +318,21 @@ def pyin(
     frames = _frame(y, frame_length, hop_length)
     T = frames.shape[0]
 
-    tau_min = max(1, int(sr / fmax))
-    tau_max = min(win_length, int(sr / fmin) + 1)
-    d = _difference_function(frames, win_length, y, hop_length)
+    # librosa lag range: min_period = floor(sr/fmax), max_period =
+    # min(ceil(sr/fmin), frame_length − win_length − 1), both INCLUSIVE
+    tau_min = max(1, int(np.floor(sr / fmax)))
+    tau_max = min(int(np.ceil(sr / fmin)), frame_length - win_length - 1)
+    if tau_max <= tau_min:
+        raise ValueError(
+            f"pyin: empty lag range [{tau_min}, {tau_max}] — fmin={fmin}/"
+            f"fmax={fmax} do not fit frame_length={frame_length} at sr={sr}"
+        )
+    d = _difference_function(frames, win_length, tau_max + 1, y, hop_length)
     dp = _cmndf(d)
+    dp_trim = dp[:, tau_min : tau_max + 1]
 
-    # --- trough candidates per frame -------------------------------------
-    interior = dp[:, 1:-1]
-    is_trough = (interior < dp[:, :-2]) & (interior <= dp[:, 2:])
-    taus = np.arange(dp.shape[1])
-    in_range = (taus >= tau_min) & (taus < tau_max)
-    trough_mask = np.zeros_like(dp, dtype=bool)
-    trough_mask[:, 1:-1] = is_trough
-    trough_mask &= in_range[None, :]
+    trough_mask = _trough_mask(dp_trim)
+    shifts = _parabolic_shifts(dp_trim)
 
     # threshold distribution (beta pdf over [0, 1]); betainc IS the
     # regularized beta CDF (scipy.special imports ~10× faster than
@@ -332,20 +347,35 @@ def pyin(
     n_bins_per_semitone = int(round(1.0 / resolution))
     n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
 
-    obs_voiced, voiced_prob = _trough_probabilities(
-        dp, trough_mask, thresholds, beta_w, no_trough_prob,
-        sr, fmin, fmax, n_bins_per_semitone, n_pitch_bins,
+    fr, pos, probs_flat = _trough_probabilities(
+        dp_trim, trough_mask, thresholds, beta_w, no_trough_prob,
     )
+
+    # candidate refinement + binning (librosa: parabolic shift refines the
+    # PERIOD only; bins clip into range rather than dropping the mass)
+    obs_voiced = np.zeros((T, n_pitch_bins))
+    if len(fr):
+        period = tau_min + pos + shifts[fr, pos]
+        f0_cand = sr / np.maximum(period, 1e-6)
+        bins = np.clip(
+            np.round(12 * n_bins_per_semitone * np.log2(f0_cand / fmin)).astype(int),
+            0, n_pitch_bins - 1,
+        )
+        keep = probs_flat > 0
+        # fancy ASSIGNMENT like librosa's observation_probs[bin, frame] =
+        # yin_probs[...]: within-frame bin collisions keep the LAST
+        # (highest-lag) candidate, they do not accumulate
+        obs_voiced[fr[keep], bins[keep]] = probs_flat[keep]
+    voiced_prob = np.clip(obs_voiced.sum(axis=1), 0.0, 1.0)
 
     # --- Viterbi over 2M states (voiced bins + unvoiced bins) -------------
     M = n_pitch_bins
-    # max pitch slew in bins per frame
-    frames_per_sec = sr / hop_length
-    max_step = max(
-        1, int(round(max_transition_rate * 12 * n_bins_per_semitone / frames_per_sec))
-    )
-    offsets = np.arange(-max_step, max_step + 1)
-    tri_w = 1.0 - np.abs(offsets) / (max_step + 1)
+    # librosa transition_local width: semitones/frame rounded FIRST, then
+    # scaled to bins; the local window spans ±width//2
+    msf = int(round(max_transition_rate * 12 * hop_length / sr))
+    K = max(1, (max(1, msf) * n_bins_per_semitone + 1) // 2)
+    offsets = np.arange(-K, K + 1)
+    tri_w = 1.0 - np.abs(offsets) / (K + 1)
     tri_w /= tri_w.sum()
 
     log_obs_v = np.log(np.maximum(obs_voiced, 1e-30))
@@ -354,10 +384,18 @@ def pyin(
     log_switch = np.log(switch_prob)
     log_tri = np.log(tri_w)
 
-    K = max_step
-    delta_init = np.full((2, M), np.log(1.0 / (2 * M)), np.float32)
-    delta_init[0] += log_obs_v[0]
-    delta_init[1] += log_obs_u[0]
+    # librosa's transition_local renormalizes edge-truncated rows to sum 1.
+    # That per-SOURCE factor is exact in the banded kernels as a per-state
+    # penalty subtracted when the previous delta enters the band window:
+    # max_{s'}(delta(s') − rn(s') + tri(s−s')) IS the renormalized
+    # objective, and delta itself (and the final argmax) stay unadjusted.
+    valid_mass = np.convolve(np.ones(M), tri_w, mode="full")[K : K + M]
+    rn = np.log(np.minimum(valid_mass, 1.0)).astype(np.float32)
+
+    # librosa p_init: all mass uniform on the UNVOICED block
+    delta_init = np.empty((2, M), np.float32)
+    delta_init[0] = np.float32(-1e30) + log_obs_v[0]
+    delta_init[1] = np.float32(-np.log(M)) + log_obs_u[0]
 
     # C kernel first (~10× on the 1-core host; bit-exact to the numpy
     # twin — tests/test_pyin_native.py), numpy loop as the fallback when
@@ -368,12 +406,12 @@ def pyin(
 
         decoded = pyin_viterbi_native(
             log_obs_v, log_obs_u, log_tri.astype(np.float32), K,
-            float(log_stay), float(log_switch), delta_init,
+            float(log_stay), float(log_switch), delta_init, rn=rn,
         )
     if decoded is None:
         decoded = _viterbi_numpy(
             log_obs_v, log_obs_u, log_tri, K,
-            float(log_stay), float(log_switch), delta_init,
+            float(log_stay), float(log_switch), delta_init, rn=rn,
         )
     states, voiced = decoded
 

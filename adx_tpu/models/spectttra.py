@@ -133,7 +133,11 @@ class Attention(nn.Module):
             # explicit attention so probs dropout can be applied (training
             # only — the fused/flash inference paths don't expose probs)
             scale = head_dim ** -0.5
-            logits = jnp.einsum("bnhd,bmhd->bhnm", (q * scale).astype(self.dtype), k)
+            # f32 accumulation like the fused inference path (xla_attention
+            # requests f32) — bf16 training would otherwise store bf16
+            # logits and diverge from inference numerics on the same weights
+            logits = jnp.einsum("bnhd,bmhd->bhnm", (q * scale).astype(self.dtype), k,
+                                preferred_element_type=jnp.float32)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
             probs = nn.Dropout(self.attn_dropout)(probs, deterministic=False)
             out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)

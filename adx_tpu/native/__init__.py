@@ -105,6 +105,7 @@ def pyin_viterbi_native(
     log_stay: float,
     log_switch: float,
     delta_init: np.ndarray,
+    rn: Optional[np.ndarray] = None,
 ):
     """Banded two-row pYIN Viterbi via the C kernel.
 
@@ -144,6 +145,9 @@ def pyin_viterbi_native(
         ctypes.c_int64(K),
         ctypes.c_double(log_stay),
         ctypes.c_double(log_switch),
+        (None if rn is None else
+         np.ascontiguousarray(rn, dtype=np.float32).ctypes.data_as(
+             p(ctypes.c_float))),
         delta_init.ctypes.data_as(p(ctypes.c_float)),
         states.ctypes.data_as(p(ctypes.c_int32)),
         voiced.ctypes.data_as(p(ctypes.c_uint8)),

@@ -43,6 +43,9 @@ extern "C" {
  *              (constant across states within a frame)
  *  log_tri   : [2K+1] float32, log triangular transition weights,
  *              slot k <-> source offset (k - K)
+ *  rn        : [M] float32 or NULL, per-SOURCE-state penalty subtracted
+ *              when the previous delta enters the band window (librosa's
+ *              transition_local edge-row renormalization; zero interior)
  *  delta_init: [2*M] float32, frame-0 delta rows (voiced row 0,
  *              unvoiced row 1), already including frame-0 observations
  *  states    : [T] int32 out, decoded state index per frame
@@ -59,6 +62,7 @@ int pyin_viterbi(
     int64_t K,
     double log_stay,
     double log_switch,
+    const float *rn,
     const float *delta_init,
     int32_t *states,
     uint8_t *voiced)
@@ -93,9 +97,17 @@ int pyin_viterbi(
     memcpy(delta, delta_init, sizeof(float) * 2 * M);
 
     for (int64_t t = 1; t < T; t++) {
-        /* refresh padded centers with the previous delta */
-        memcpy(padded + K, delta, sizeof(float) * M);
-        memcpy(padded + P + K, delta + M, sizeof(float) * M);
+        /* refresh padded centers with the previous delta (minus the
+         * per-source renormalization penalty when provided) */
+        if (rn) {
+            for (int64_t s = 0; s < M; s++) {
+                padded[K + s] = delta[s] - rn[s];
+                padded[P + K + s] = delta[M + s] - rn[s];
+            }
+        } else {
+            memcpy(padded + K, delta, sizeof(float) * M);
+            memcpy(padded + P + K, delta + M, sizeof(float) * M);
+        }
 
         /* banded max-plus: best[r][s] = max_k padded[r][s+k] + tri[k],
          * first (lowest-k) maximum wins ties like np.argmax */

@@ -262,10 +262,15 @@ class LocalSonics:
                     params = init_params(cfg, jax.random.key(seed))
             else:
                 params = init_params(cfg, jax.random.key(seed))
+            import sys as _sys
+
+            # stderr, NOT stdout: bench.py's driver contract is ONE JSON
+            # line on stdout, and bench always takes this random-init path
             print(
                 f"⚠️  No checkpoint weights for {name!r}; using seeded random "
                 f"parameters (architecture preset {cfg.name}). Convert the HF "
-                "checkpoint with adx_tpu.models.convert for real predictions."
+                "checkpoint with adx_tpu.models.convert for real predictions.",
+                file=_sys.stderr,
             )
         return cls(cfg, params, **kwargs)
 

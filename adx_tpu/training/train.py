@@ -216,8 +216,10 @@ def upload_device_cache(mesh: Mesh, waves, labels) -> DeviceDataCache:
     after which every step is pure device compute."""
     import numpy as np
 
+    from adx_tpu.io.audio_io import pcm16_quantize
+
     waves = np.asarray(waves, np.float32)
-    q = np.clip(np.round(waves * 32768.0), -32768, 32767).astype(np.int16)
+    q = pcm16_quantize(waves)  # the shared int16 wire convention
     rep = NamedSharding(mesh, P())
     return DeviceDataCache(
         jax.device_put(q, rep),

@@ -281,162 +281,111 @@ def test_pyin_octave_robustness():
     assert abs(est - f0_true) / f0_true < 0.03, est
 
 
-def _serial_trough_probabilities(
-    dp, trough_mask, thresholds, beta_w, no_trough_prob,
-    sr, fmin, fmax, n_bins_per_semitone, n_pitch_bins,
-):
-    """Slow per-frame reference for the vectorized trough-probability
-    stage: for each threshold, the FIRST (lowest-τ) trough below it wins
-    that threshold's beta weight; if no trough is below, tiny mass goes to
-    the frame's best trough (when it shows genuine periodicity)."""
-    T = dp.shape[0]
-    obs_voiced = np.zeros((T, n_pitch_bins))
-    voiced_prob = np.zeros(T)
-    Cw = np.concatenate([[0.0], np.cumsum(beta_w)])
-    for t in range(T):
-        taus = np.nonzero(trough_mask[t])[0]
-        if len(taus) == 0:
-            continue
-        vals = dp[t, taus]
-        a, c = dp[t, taus - 1], dp[t, taus + 1]
-        denom = a - 2 * vals + c
-        safe = np.abs(denom) > 1e-12
-        shift = np.where(safe, 0.5 * (a - c) / np.where(safe, denom, 1.0), 0.0)
-        shift = np.clip(shift, -0.5, 0.5)
-        tau_interp = taus + shift
-        val_interp = (vals - 0.25 * (a - c) * shift).astype(np.float32)
-        probs = np.zeros(len(taus))
-        for k, thr in enumerate(thresholds):
-            below = np.nonzero(val_interp < thr)[0]
-            if len(below):
-                probs[below[0]] += beta_w[k]
-        gmin = val_interp.min()
-        miss_w = Cw[np.searchsorted(thresholds, gmin, side="right")]
-        if miss_w > 0 and gmin < 0.8:
-            probs[int(np.argmin(val_interp))] += no_trough_prob * miss_w
-        freqs = sr / np.maximum(tau_interp, 1e-6)
-        for j in range(len(taus)):
-            if fmin <= freqs[j] <= fmax:
-                b = int(np.clip(round(12 * n_bins_per_semitone
-                                      * np.log2(freqs[j] / fmin)),
-                                0, n_pitch_bins - 1))
-                obs_voiced[t, b] += probs[j]
-                voiced_prob[t] += probs[j]
-        voiced_prob[t] = min(1.0, voiced_prob[t])
-    return obs_voiced, voiced_prob
+def _librosa_frame_probs(yin_frame, thresholds, beta_w, no_trough_prob,
+                         lam=2.0):
+    """Direct per-frame transcription of librosa's _pyin_helper steps 2-5
+    (trough detection with boundary rules, Boltzmann(lam) rank prior over
+    the below-threshold troughs, unconditional global-min bonus)."""
+    is_trough = np.empty(len(yin_frame), bool)
+    is_trough[0] = yin_frame[0] < yin_frame[1]
+    is_trough[1:-1] = (yin_frame[1:-1] < yin_frame[:-2]) & (
+        yin_frame[1:-1] <= yin_frame[2:])
+    is_trough[-1] = yin_frame[-1] < yin_frame[-2]
+    idx = np.nonzero(is_trough)[0]
+    if len(idx) == 0:
+        return idx, np.zeros(0)
+    h = yin_frame[idx].astype(np.float64)
+    tt = np.less.outer(h, thresholds)
+    positions = np.cumsum(tt, axis=0) - 1
+    n = np.count_nonzero(tt, axis=0)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        prior = ((1 - np.exp(-lam)) * np.exp(-lam * positions)
+                 / (1 - np.exp(-lam * n)))
+    prior[~tt] = 0
+    probs = prior.dot(beta_w)
+    gm = int(np.argmin(h))
+    n_below_min = int(np.count_nonzero(~tt[gm]))
+    probs[gm] += no_trough_prob * beta_w[:n_below_min].sum()
+    return idx, probs
 
 
-def test_pyin_trough_probabilities_silence_gap_matches_serial():
-    """Regression for the cross-frame prefix-min leak (ADVICE r2): CMNDF in
-    silent/noisy regions reaches values far above the [0, 1.5] band the
-    group-isolation cummax assumed, and parabolic interpolation can go
-    negative — one pathological trough then zeroed the beta weights of
-    troughs in many subsequent frames. The vectorized stage must match a
-    per-frame serial reference on a tone with a silence gap."""
+def _pyin_setup():
     from scipy.special import betainc
+
+    thresholds = np.linspace(0, 1, 101)[1:]
+    beta_w = np.diff(betainc(2.0, 18.0, np.linspace(0, 1, 101)))
+    return thresholds, beta_w
+
+
+def test_pyin_trough_probabilities_match_librosa_transcription():
+    """The vectorized trough-probability stage must equal a per-frame
+    librosa transcription (Boltzmann rank prior, raw-height thresholds,
+    boundary troughs, unconditional global-min bonus) on a tone with a
+    silence gap — the scenario that leaked state across frames in r2."""
     from adx_tpu.features.pyin import (
-        _cmndf, _difference_function, _frame, _trough_probabilities,
+        _cmndf, _difference_function, _frame, _trough_mask,
+        _trough_probabilities,
     )
 
     sr = 22050
     rng = np.random.default_rng(1)
     t = np.arange(2 * sr) / sr
     y = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
-    # gap of near-silence with sparse clicks: CMNDF spikes there and the
-    # parabolic-interpolated trough values go strongly negative (≈ −31
-    # measured), which is what leaked the running prefix-min across frames
     gap = 1e-7 * rng.standard_normal(sr).astype(np.float32)
     gap[::4000] = 0.5
     y[sr // 2:3 * sr // 2] = gap
 
     fmin, fmax = note_to_hz("C2"), note_to_hz("C7")
-    frame_length, n_thresholds = 2048, 100
+    frame_length = 2048
     win_length, hop_length = frame_length // 2, frame_length // 4
     yp = np.pad(np.asarray(y, np.float32), frame_length // 2)
     frames = _frame(yp, frame_length, hop_length)
-    d = _difference_function(frames, win_length, yp, hop_length)
-    dp = _cmndf(d)
+    tau_min = max(1, int(np.floor(sr / fmax)))
+    tau_max = min(int(np.ceil(sr / fmin)), frame_length - win_length - 1)
+    d = _difference_function(frames, win_length, tau_max + 1, yp, hop_length)
+    dp_trim = _cmndf(d)[:, tau_min: tau_max + 1]
 
-    tau_min = max(1, int(sr / fmax))
-    tau_max = min(win_length, int(sr / fmin) + 1)
-    interior = dp[:, 1:-1]
-    is_trough = (interior < dp[:, :-2]) & (interior <= dp[:, 2:])
-    taus = np.arange(dp.shape[1])
-    in_range = (taus >= tau_min) & (taus < tau_max)
-    trough_mask = np.zeros_like(dp, dtype=bool)
-    trough_mask[:, 1:-1] = is_trough
-    trough_mask &= in_range[None, :]
-
-    # the scenario must actually contain troughs whose parabolic
-    # interpolation goes below −0.5 (the leak threshold for adjacent
-    # frames), otherwise it does not exercise the bug
-    fr_, tau_ = np.nonzero(trough_mask)
-    v_, a_, c_ = dp[fr_, tau_], dp[fr_, tau_ - 1], dp[fr_, tau_ + 1]
-    den_ = a_ - 2 * v_ + c_
-    sh_ = np.clip(np.where(np.abs(den_) > 1e-12,
-                           0.5 * (a_ - c_) / np.where(np.abs(den_) > 1e-12, den_, 1.0),
-                           0.0), -0.5, 0.5)
-    assert (v_ - 0.25 * (a_ - c_) * sh_).min() < -0.5
-
-    thresholds = np.linspace(0, 1, n_thresholds + 1)[1:]
-    beta_cdf = betainc(2.0, 18.0, np.linspace(0, 1, n_thresholds + 1))
-    beta_w = np.diff(beta_cdf)
-    n_bins_per_semitone = 10
-    n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
-
-    args = (dp, trough_mask, thresholds, beta_w, 0.01,
-            sr, fmin, fmax, n_bins_per_semitone, n_pitch_bins)
-    obs_v, vp = _trough_probabilities(*args)
-    obs_ref, vp_ref = _serial_trough_probabilities(*args)
-    np.testing.assert_allclose(obs_v, obs_ref, atol=1e-12)
-    np.testing.assert_allclose(vp, vp_ref, atol=1e-12)
+    thresholds, beta_w = _pyin_setup()
+    mask = _trough_mask(dp_trim)
+    fr, pos, probs = _trough_probabilities(dp_trim, mask, thresholds,
+                                           beta_w, 0.01)
+    for tfr in range(dp_trim.shape[0]):
+        idx_ref, probs_ref = _librosa_frame_probs(dp_trim[tfr], thresholds,
+                                                  beta_w, 0.01)
+        sel = fr == tfr
+        np.testing.assert_array_equal(pos[sel], idx_ref)
+        np.testing.assert_allclose(probs[sel], probs_ref, atol=1e-12,
+                                   err_msg=f"frame {tfr}")
 
 
-def test_pyin_trough_probabilities_pathological_cmndf_matches_serial():
-    """Deterministic worst case for the prefix-min group isolation: a
-    CMNDF trough of −30 (parabolic interpolation under spiky CMNDF) that
-    is NOT the last trough of its frame enters the running cummax and —
-    without the [0, 1.5] clip — zeroes the beta weights of troughs in the
-    next ~15 frames. The victim frame's first trough must keep its full
-    threshold weight."""
-    from scipy.special import betainc
-    from adx_tpu.features.pyin import _trough_probabilities
+def test_pyin_boltzmann_distributes_threshold_mass():
+    """A threshold with several troughs below it must split its beta
+    weight by Boltzmann(2) rank — the first trough gets ~86.5% for two
+    below-troughs, not 100% (the pre-r3 all-to-first rule)."""
+    from adx_tpu.features.pyin import _trough_mask, _trough_probabilities
 
-    sr, fmin, fmax = 22050, note_to_hz("C2"), note_to_hz("C7")
-    n_thresholds = 100
-    thresholds = np.linspace(0, 1, n_thresholds + 1)[1:]
-    beta_w = np.diff(betainc(2.0, 18.0, np.linspace(0, 1, n_thresholds + 1)))
-    n_bins_per_semitone = 10
-    n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
+    thresholds, beta_w = _pyin_setup()
+    L = 64
+    dp = np.full((1, L), 2.0)
 
-    T, n_tau = 8, 128
-    dp = np.full((T, n_tau), 2.0, dtype=np.float32)  # flat → no spurious troughs
+    def put(tau, val):
+        dp[0, tau - 1] = dp[0, tau + 1] = val + 1.0
+        dp[0, tau] = val
 
-    def put_trough(t, tau, val):
-        dp[t, tau - 1] = dp[t, tau + 1] = val + 1.0  # symmetric → shift 0
-        dp[t, tau] = val
-
-    put_trough(2, 40, -30.0)   # pathological spike, mid-frame
-    put_trough(2, 60, 0.5)     # NOT last-in-frame ⇒ spike enters the cummax
-    put_trough(3, 50, 0.1)     # victim: would be zeroed by the leak
-    put_trough(4, 45, 330.0)   # silent-region CMNDF blow-up (upper side)
-    put_trough(4, 70, 0.3)
-    put_trough(5, 55, 0.2)     # second victim frame
-    put_trough(7, 30, 0.4)     # far enough to be unaffected either way
-
-    trough_mask = np.zeros_like(dp, dtype=bool)
-    interior = dp[:, 1:-1]
-    trough_mask[:, 1:-1] = (interior < dp[:, :-2]) & (interior <= dp[:, 2:])
-
-    args = (dp, trough_mask, thresholds, beta_w, 0.01,
-            sr, fmin, fmax, n_bins_per_semitone, n_pitch_bins)
-    obs_v, vp = _trough_probabilities(*args)
-    obs_ref, vp_ref = _serial_trough_probabilities(*args)
-    np.testing.assert_allclose(obs_v, obs_ref, atol=1e-12)
-    np.testing.assert_allclose(vp, vp_ref, atol=1e-12)
-    # and the victim frames must actually carry weight (the old leak
-    # zeroed frame 3 to ~0.006 and frame 5 to ~0.009)
-    assert vp_ref[3] > 0.3 and vp_ref[5] > 0.05
+    put(10, 0.02)   # below every threshold >= 0.03
+    put(30, 0.05)   # below every threshold >= 0.06
+    mask = _trough_mask(dp)
+    fr, pos, probs = _trough_probabilities(dp, mask, thresholds, beta_w, 0.01)
+    idx_ref, probs_ref = _librosa_frame_probs(dp[0], thresholds, beta_w, 0.01)
+    np.testing.assert_array_equal(pos, idx_ref)
+    np.testing.assert_allclose(probs, probs_ref, atol=1e-12)
+    # both troughs carry mass, ranked: trough 1 > trough 2 > 0
+    lam = 2.0
+    share0 = (1 - np.exp(-lam)) / (1 - np.exp(-2 * lam))
+    two_below = thresholds > 0.05
+    w2 = beta_w[two_below].sum()
+    assert probs[1] > 0  # the old rule gave the 2nd trough exactly 0
+    np.testing.assert_allclose(probs[1], (1 - share0) * w2, atol=1e-12)
 
 
 def test_chroma_base_c_row0_is_C():

@@ -84,3 +84,35 @@ def test_pyin_end_to_end_native_vs_fallback(monkeypatch):
     np.testing.assert_array_equal(f0_n, f0_f)
     np.testing.assert_array_equal(p_n, p_f)
     assert v_n.any() and not v_n.all()
+
+
+@pytest.mark.parametrize("T,M,K", [(37, 61, 9), (12, 301, 50)])
+def test_native_matches_numpy_with_renorm(T, M, K):
+    """The per-source edge-renormalization penalty (librosa
+    transition_local row normalization) must decode identically in both
+    kernels."""
+    rng = np.random.default_rng(hash((T, M, K, "rn")) % 2**32)
+    obs_v, obs_u, log_tri, log_stay, log_switch, delta_init = _random_problem(
+        rng, T, M, K, False
+    )
+    tri = np.exp(log_tri)
+    valid = np.convolve(np.ones(M), tri, mode="full")[K: K + M]
+    rn = np.log(np.minimum(valid, 1.0)).astype(np.float32)
+    out = pyin_viterbi_native(
+        obs_v, obs_u, log_tri.astype(np.float32), K, log_stay, log_switch,
+        delta_init, rn=rn,
+    )
+    if out is None:
+        pytest.skip("native toolchain unavailable")
+    states_c, voiced_c = out
+    states_np, voiced_np = pyin_mod._viterbi_numpy(
+        obs_v, obs_u, log_tri, K, log_stay, log_switch, delta_init, rn=rn
+    )
+    np.testing.assert_array_equal(states_c, states_np)
+    np.testing.assert_array_equal(voiced_c, voiced_np)
+    # and the penalty actually matters somewhere near the band edges
+    plain = pyin_mod._viterbi_numpy(
+        obs_v, obs_u, log_tri, K, log_stay, log_switch, delta_init
+    )
+    assert not (np.array_equal(plain[0], states_np)
+                and np.array_equal(plain[1], voiced_np)) or M <= 2 * K
