@@ -60,7 +60,17 @@ def run_stage(script: str, argv: list) -> tuple:
         runpy.run_path(str(script_path), run_name="__main__")
     except SystemExit as e:
         code = e.code
+        if code is not None and not isinstance(code, int):
+            # `raise SystemExit("❌ message")` exits 1 with the message on
+            # stderr under the normal interpreter — preserve the diagnostic
+            print(code, file=sys.stderr)
         rc = code if isinstance(code, int) else (0 if code is None else 1)
+    except KeyboardInterrupt:
+        # Only some runners convert Ctrl+C to sys.exit(130) themselves, and
+        # even those can be interrupted before their try block (e.g. during
+        # the minutes-long TPU boot in build_predictor). Normalize here so
+        # the chain's rc==130 abort + timing-ledger contract always holds.
+        rc = 130
     finally:
         sys.argv = old_argv
     return rc, time.time() - t0
@@ -134,6 +144,7 @@ def main():
         allow = tuple(st.get("allow_exit_codes", (0,)))
         print(f"\n{'=' * 70}\n🚀 Stage: {name}  ({Path(st['script']).name} {' '.join(map(str, argv))})\n{'=' * 70}",
               flush=True)
+        t_stage = time.time()
         rc, secs = run_stage(st["script"], argv)
         timings.append((name, rc, secs))
         if rc == 130:
@@ -151,19 +162,30 @@ def main():
         # missing artifact is a real failure.
         if ok and st.get("expect_glob"):
             import glob as _glob
+            import os as _os
 
-            # resolve relative globs against the repo ROOT (matching how
-            # script/config paths are resolved), not the caller's CWD —
-            # otherwise running the orchestrator from another directory
-            # aborts stages that actually succeeded or passes on stale
-            # files elsewhere
+            # resolve relative globs against the CWD: the stage scripts
+            # create their result trees from the config's relative
+            # result_path against the CWD (not the repo ROOT), so the
+            # artifact check must look where the stages actually write.
+            # (script/config paths, by contrast, are repo files and resolve
+            # against ROOT.)
             pat = st["expect_glob"]
-            if not Path(pat).is_absolute():
-                pat = str(ROOT / pat)
-            if not _glob.glob(pat, recursive=True):
+            hits = _glob.glob(pat, recursive=True)
+            if not hits:
                 ok = False
                 print(f"❌ Stage {name}: expected artifact missing "
                       f"({st['expect_glob']})")
+            elif all(_os.path.getmtime(h) < t_stage - 1.0 for h in hits):
+                # Every match predates this stage's start. Legitimate when
+                # the stage resumed from a checkpoint and skipped all files,
+                # but it also masks a tolerated-rc stage that failed before
+                # producing anything — surface it instead of failing, since
+                # checkpoint resume makes old artifacts valid.
+                print(f"⚠️  Stage {name}: all artifacts matching "
+                      f"{st['expect_glob']} predate the stage start — "
+                      f"checkpoint resume, or a stale tree from an earlier "
+                      f"run masking a failure")
         status = "✅" if ok else "❌"
         print(f"{status} Stage {name}: rc={rc} in {secs:.1f} s", flush=True)
         if not ok:

@@ -71,7 +71,15 @@ def main():
                     help="Existing model-folder dataset (default: synthesize one)")
     ap.add_argument("--models", nargs="*", default=["REAL", "SUNO"])
     ap.add_argument("--tracks-per-model", type=int, default=2)
-    ap.add_argument("--track-seconds", type=float, default=12.0)
+    ap.add_argument("--track-seconds", type=float, default=12.0,
+                    help="Synthetic track length; also the FBP/occlusion "
+                         "analysis crop for the synthetic dataset")
+    ap.add_argument("--duration", type=float, default=None,
+                    help="FBP/occlusion analysis crop in seconds. Defaults "
+                         "to --track-seconds for the synthetic dataset and "
+                         "to the reference's 120 s crop for --dataset (the "
+                         "synthetic default would silently crop a user "
+                         "dataset to 12 s)")
     ap.add_argument("--sr", type=int, default=44100)
     ap.add_argument("--local-model", default="spectttra-alpha-120s")
     ap.add_argument("--max-batch", type=int, default=8)
@@ -102,12 +110,29 @@ def main():
     from adx_tpu.viz.runs_compare import extract_run_label
 
     unknown_models = [m for m in cli.models if m not in KNOWN_GROUPS]
-    if unknown_models and not cli.dataset:
-        # dataprep buckets unknown folder names into UNKNOWN
-        # (infer_group_from_path), so the sweeps would silently drop them
+    if unknown_models:
+        # dataprep re-buckets EVERY input (user-supplied --dataset included)
+        # via infer_group_from_path, so unknown folder names land in UNKNOWN
+        # and the per-model sweeps then find nothing — hours in
         print(f"❌ --models {unknown_models} are not dataprep groups "
               f"({', '.join(KNOWN_GROUPS)}); their tracks would be "
               f"re-bucketed to UNKNOWN and vanish from every sweep")
+        sys.exit(2)
+    # group keywords match SUBSTRINGS of the whole path (reference parity),
+    # so an out-root like /mnt/real/robust re-buckets every track to REAL —
+    # probe with the actual data-tree layout before spending hours
+    from adx_tpu.dataprep.pipeline import infer_group_from_path
+    data_root = out / "data"
+    bad_bucket = {
+        m: infer_group_from_path(str(data_root / "minus14" / "base" / m / "t.wav"))
+        for m in cli.models
+    }
+    bad_bucket = {m: g for m, g in bad_bucket.items() if g != m}
+    if bad_bucket:
+        print(f"❌ The out-root path re-buckets model folders: {bad_bucket}. "
+              f"Group keywords match substrings of the FULL path (reference "
+              f"parity) — pick an --out-root ({out}) containing no group "
+              f"name like 'real' or 'suno'.")
         sys.exit(2)
     probe_labels = sorted({
         extract_run_label(str(out / "results" / "Predictions" / f"minus{l}"
@@ -129,23 +154,32 @@ def main():
         src_dataset = Path(cli.dataset)
     else:
         src_dataset = out / "source_dataset"
-        if not src_dataset.exists():
+        n_wavs_expected = len(cli.models) * cli.tracks_per_model
+        n_have = len(list(src_dataset.rglob("*.wav"))) if src_dataset.exists() else 0
+        if n_have == 0:
             print(f"🎵 Synthesizing dataset: {src_dataset}")
             make_synthetic_dataset(src_dataset, cli.models,
                                    cli.tracks_per_model, cli.track_seconds,
                                    cli.sr)
+        elif n_have != n_wavs_expected:
+            # a chain killed mid-synthesis (or rerun with different
+            # --models/--tracks-per-model) leaves a partial/stale tree that
+            # exists-check reuse would silently sweep — fail fast instead
+            print(f"❌ {src_dataset} holds {n_have} WAVs but the requested "
+                  f"taxonomy needs {n_wavs_expected} "
+                  f"({len(cli.models)} models × {cli.tracks_per_model}); "
+                  f"delete it (or fix --models/--tracks-per-model) and rerun")
+            sys.exit(2)
 
-    # ---- 2. dataprep -------------------------------------------------------
-    data_root = out / "data"
+    # ---- 2. dataprep (data_root defined with the taxonomy probe above) ------
     if not cli.skip_dataprep:
-        t0 = time.time()
-        rc, _ = run_stage(
+        rc, secs = run_stage(
             "scripts/run_dataprep.py",
             [str(src_dataset), "--out-root", str(data_root),
              "--sr", str(cli.sr), "--arms", *cli.arms,
              "--lufs", *[str(l) for l in cli.lufs]],
         )
-        timings.append(("dataprep", rc, time.time() - t0))
+        timings.append(("dataprep", rc, secs))
         if rc != 0:
             print("⚠️ interrupted" if rc == 130 else "❌ dataprep failed")
             _print_summary(timings)
@@ -165,8 +199,13 @@ def main():
         "local": True, "local_model": cli.local_model,
         "max_batch": cli.max_batch, "device": "tpu",
     }
+    # FBP/occlusion analysis crop: the synthetic tracks are exactly
+    # --track-seconds long, but a user --dataset must not inherit that 12 s
+    # default — fall back to the reference's 120 s crop there
+    analysis_s = cli.duration if cli.duration is not None else (
+        float(cli.track_seconds) if not cli.dataset else 120.0)
     spectro = {
-        "sr": cli.sr, "duration": float(cli.track_seconds), "n_fft": 2048,
+        "sr": cli.sr, "duration": analysis_s, "n_fft": 2048,
         "hop_length": 512, "win_length": 2048, "spec_type": "stft",
     }
     pred_jsons, fbp_roots, occ_roots, lime_jsons = [], [], [], []
@@ -174,9 +213,8 @@ def main():
     def stage(name, script, cfg, extra_args=()):
         cfg_path = cfg_dir / f"{name}.yaml"
         cfg_path.write_text(yaml.safe_dump(cfg))
-        t0 = time.time()
-        rc, _ = run_stage(script, ["--config", str(cfg_path), *extra_args])
-        timings.append((name, rc, time.time() - t0))
+        rc, secs = run_stage(script, ["--config", str(cfg_path), *extra_args])
+        timings.append((name, rc, secs))
         if rc != 0:
             # print the timing ledger gathered so far — it's what the
             # operator needs to resume/diagnose a multi-hour chain

@@ -188,3 +188,72 @@ def test_pipeline_skip_vis_and_only_vis(tmp_path, monkeypatch):
     with pytest.raises(SystemExit) as ei:
         mod.main()
     assert ei.value.code == 2
+
+
+def _pipeline_mod():
+    sys.path.insert(0, str(ROOT / "scripts"))
+    import importlib
+
+    return importlib.import_module("run_full_pipeline")
+
+
+def test_run_stage_normalizes_keyboard_interrupt_to_130(tmp_path):
+    """Most stage runners don't convert Ctrl+C themselves (and even the ones
+    that do can be interrupted during predictor boot, outside their try):
+    run_stage must normalize KeyboardInterrupt to rc=130 so the chain's
+    interrupt-abort contract holds for every stage."""
+    script = tmp_path / "boom.py"
+    script.write_text("raise KeyboardInterrupt\n")
+    rc, _secs = _pipeline_mod().run_stage(str(script), [])
+    assert rc == 130
+
+
+def test_run_stage_prints_string_systemexit_payload(tmp_path, capsys):
+    """`raise SystemExit("msg")` exits 1 with the message on stderr under a
+    normal interpreter; run_stage must not swallow the diagnostic."""
+    script = tmp_path / "exit_msg.py"
+    script.write_text("raise SystemExit('dataset tree is empty!')\n")
+    rc, _secs = _pipeline_mod().run_stage(str(script), [])
+    assert rc == 1
+    assert "dataset tree is empty!" in capsys.readouterr().err
+
+
+def test_expect_glob_resolves_against_cwd_and_warns_on_stale(tmp_path, monkeypatch, capsys):
+    """Stage scripts mkdir their relative result_path against the CWD, so
+    the expect_glob artifact check must look there too; and artifacts that
+    all predate the stage start get a staleness warning (checkpoint resume
+    makes them legitimate, so it is a warning, not a failure)."""
+    import os
+    import time as _time
+
+    mod = _pipeline_mod()
+    work = tmp_path / "work"
+    work.mkdir()
+    stage_py = tmp_path / "writes_relative.py"
+    stage_py.write_text(
+        "import pathlib\n"
+        "pathlib.Path('out').mkdir(exist_ok=True)\n"
+        "pathlib.Path('out/results.json').write_text('{}')\n"
+    )
+    noop_py = tmp_path / "noop.py"
+    noop_py.write_text("pass\n")
+    cfg = tmp_path / "pipeline.yaml"
+    cfg.write_text(yaml.safe_dump({"stages": [
+        {"name": "writes", "script": str(stage_py), "expect_glob": "out/*.json"},
+    ]}))
+    monkeypatch.chdir(work)
+    monkeypatch.setattr(sys, "argv", ["run_full_pipeline.py", "--config", str(cfg)])
+    mod.main()  # no SystemExit: the CWD-relative artifact was found
+    assert (work / "out" / "results.json").exists()
+    assert "predate" not in capsys.readouterr().out
+
+    # second pipeline whose stage produces nothing — the stale artifact from
+    # the first run still matches, and must be called out
+    old = work / "out" / "results.json"
+    past = _time.time() - 60
+    os.utime(old, (past, past))
+    cfg.write_text(yaml.safe_dump({"stages": [
+        {"name": "noop", "script": str(noop_py), "expect_glob": "out/*.json"},
+    ]}))
+    mod.main()
+    assert "predate" in capsys.readouterr().out

@@ -70,3 +70,60 @@ def test_robustness_chain_end_to_end(tmp_path, monkeypatch):
         assert pngs, fam
         assert any("m14_base" in str(p) and "m14_resample_22k" in str(p)
                    for p in pngs), (fam, pngs[:3])
+
+
+def _chain_argv(out, **overrides):
+    argv = [
+        "run_robustness_chain.py",
+        "--out-root", str(out),
+        "--models", "REAL", "SUNO",
+        "--tracks-per-model", "2",
+        "--track-seconds", "1.0",
+        "--sr", "22050",
+        "--arms", "resample22k",
+        "--lufs", "14",
+    ]
+    for flag, vals in overrides.items():
+        argv += [flag, *map(str, vals)]
+    return argv
+
+
+def _run_chain(monkeypatch, argv):
+    sys.path.insert(0, str(ROOT / "scripts"))
+    import importlib
+
+    mod = importlib.import_module("run_robustness_chain")
+    monkeypatch.setattr(sys, "argv", argv)
+    mod.main()
+
+
+def test_chain_fails_fast_on_unknown_model_even_with_dataset(tmp_path, monkeypatch):
+    """dataprep re-buckets EVERY input via infer_group_from_path, so an
+    unknown --models entry vanishes from the sweeps even when the dataset
+    is user-supplied — the guard must not be bypassed by --dataset."""
+    argv = _chain_argv(tmp_path / "chain", **{"--dataset": [tmp_path / "ds"]})
+    argv[argv.index("SUNO")] = "MYGEN"
+    with pytest.raises(SystemExit) as ei:
+        _run_chain(monkeypatch, argv)
+    assert ei.value.code == 2
+
+
+def test_chain_fails_fast_on_group_keyword_in_out_root(tmp_path, monkeypatch):
+    """Group keywords match substrings of the FULL path (reference parity),
+    so /…/real/… in the out-root re-buckets every track to REAL."""
+    with pytest.raises(SystemExit) as ei:
+        _run_chain(monkeypatch, _chain_argv(tmp_path / "real" / "robust"))
+    assert ei.value.code == 2
+
+
+def test_chain_fails_fast_on_partial_source_dataset(tmp_path, monkeypatch):
+    """A chain killed mid-synthesis leaves a partial source tree; a rerun
+    must not silently sweep the incomplete dataset (2 models × 2 tracks
+    expected, only 1 WAV present)."""
+    out = tmp_path / "chain"
+    src = out / "source_dataset" / "REAL"
+    src.mkdir(parents=True)
+    (src / "track_0.wav").write_bytes(b"RIFF")
+    with pytest.raises(SystemExit) as ei:
+        _run_chain(monkeypatch, _chain_argv(out))
+    assert ei.value.code == 2
