@@ -142,23 +142,39 @@ class FrequencyBandPerturbation:
         # device program (engine *_multi paths); None/1 = per-file dispatch
         self.track_batch = track_batch
 
-        self.engine = engine or cached_engine(
-            predictor, sr=sr, duration=duration, n_fft=n_fft,
-            hop_length=hop_length, win_length=win_length, spec_type=self.spec_type,
-            n_mels=n_mels, fmax=fmax, n_iter=n_iter, profiler=self.profiler,
-        )
-
-        # precomputed mask matrices (band order == self.bands order)
-        self._freqs = fft_frequencies(sr=sr, n_fft=n_fft)
-        self._gains = np.asarray(
-            band_gain_matrix(
-                self._freqs, self.bands, attenuation=self.attenuation,
-                transition_mode=self.transition_mode, transition_hz=self.transition_hz,
-                transition_rel=self.transition_rel,
-                transition_min_hz=self.transition_min_hz,
-                transition_max_hz=self.transition_max_hz,
+        if predictor is None and engine is None:
+            # host-side-only instance (--visualize-only): aggregate plotting
+            # (visualize_results / expand_band_level_results) needs no chip,
+            # and building an engine here would pay the minutes-long TPU
+            # boot — or fail outright during a tunnel outage — for pure
+            # matplotlib work. Any compute method will fail loudly on None.
+            self.engine = None
+        else:
+            self.engine = engine or cached_engine(
+                predictor, sr=sr, duration=duration, n_fft=n_fft,
+                hop_length=hop_length, win_length=win_length, spec_type=self.spec_type,
+                n_mels=n_mels, fmax=fmax, n_iter=n_iter, profiler=self.profiler,
             )
-        )
+
+        # precomputed mask matrices (band order == self.bands order).
+        # band_gain_matrix returns a jax array, so np.asarray is a D2H that
+        # initializes the backend — skipped in host-side-only mode, where it
+        # would stall behind another process's TPU grant (or a tunnel
+        # outage) for work that never uses the gains.
+        if self.engine is None:
+            self._freqs = None
+            self._gains = None
+        else:
+            self._freqs = fft_frequencies(sr=sr, n_fft=n_fft)
+            self._gains = np.asarray(
+                band_gain_matrix(
+                    self._freqs, self.bands, attenuation=self.attenuation,
+                    transition_mode=self.transition_mode, transition_hz=self.transition_hz,
+                    transition_rel=self.transition_rel,
+                    transition_min_hz=self.transition_min_hz,
+                    transition_max_hz=self.transition_max_hz,
+                )
+            )
 
     # -- separation hook ----------------------------------------------------
 

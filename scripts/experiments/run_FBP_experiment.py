@@ -73,7 +73,12 @@ def main():
     ap = argparse.ArgumentParser(description="Run Frequency Band Perturbation experiment")
     ap.add_argument("--config", default=str(ROOT / "configs" / "FBP_configs" / "fbp_experiment.yaml"))
     ap.add_argument("--no-checkpoint", action="store_true", help="Disable checkpointing")
-    ap.add_argument("--resume", action="store_true", help="Resume experiment from checkpoint")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="Accepted for reference CLI parity; checkpointed files auto-skip "
+             "on any rerun (with or without this flag) — use --no-checkpoint "
+             "for a fresh run",
+    )
     ap.add_argument(
         "--visualize-only", nargs="?", const=True, default=None,
         help="Run ONLY visualization. Optional path (default: output_dir/fbp_results.json)",
@@ -124,7 +129,10 @@ def main():
             df["bands"] = df.apply(
                 lambda row: load_all_bands(row["folder"], row["file_name"], bands_root), axis=1
             )
-        fbp = FrequencyBandPerturbation(predictor=build_predictor(model_cfg))
+        # predictor=None: visualization is pure host-side matplotlib — do
+        # not pay (or fail on) the TPU boot for it (the occlusion runner's
+        # --visualize-only made the same chip-free choice)
+        fbp = FrequencyBandPerturbation(predictor=None)
         viz_dir = output_dir / "aggregate_visualizations"
         viz_dir.mkdir(exist_ok=True)
         fbp.visualize_results(df, output_dir=viz_dir)
@@ -216,7 +224,9 @@ def main():
     print("=" * 70)
     print(f"💾 Configuration: {config_path}")
     print(f"📈 Aggregate visualizations: {viz_dir}")
-    csvs = list(output_dir.glob("fbp_results_*.csv"))
+    # sorted: glob order is filesystem order, and the summary must name the
+    # NEWEST autosave (timestamps in the name sort lexically)
+    csvs = sorted(output_dir.glob("fbp_results_*.csv"))
     if csvs:
         print(f"📄 Results CSV: {csvs[-1]}")
     print("=" * 70 + "\n")

@@ -5,7 +5,7 @@ CLI- and config-compatible with the reference runner
 (reference: scripts/experiments/run_LIME_experiment.py): same YAML sections,
 flags (--save-separated-audio / --save-visualizations-only), output tree
 (full_track/explanations.json, segmented/segmented_explanations.json,
-visualizations/{overall,per_model}).
+overall_visualizations/, visualizations_per_model/).
 """
 
 from __future__ import annotations
@@ -33,7 +33,12 @@ def main():
     ap = argparse.ArgumentParser(description="Run LIME experiment for fake song detection")
     ap.add_argument("--config", default=str(ROOT / "configs/AudioLIME_configs" / "lime_experiment.yaml"))
     ap.add_argument("--no-checkpoint", action="store_true", help="Disable checkpointing")
-    ap.add_argument("--resume", action="store_true", help="Resume from checkpoint")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="Accepted for reference CLI parity; checkpointed files auto-skip "
+             "on any rerun (with or without this flag) — use --no-checkpoint "
+             "for a fresh run",
+    )
     ap.add_argument(
         "--save-separated-audio", choices=["none", "separated", "reversed"], default="none",
         help="'separated' saves stem WAVs, 'reversed' saves mixture-minus-stem WAVs.",
@@ -87,9 +92,10 @@ def main():
     print(f"💾 Checkpoint: {'Enabled' if checkpoint_dir else 'Disabled'}")
     print("=" * 70 + "\n")
 
-    predictor = build_predictor(model_cfg)
-
     if not args.save_visualizations_only:
+        # built only when explanations actually run: viz-only mode is pure
+        # host-side matplotlib and must not pay (or fail on) the TPU boot
+        predictor = build_predictor(model_cfg)
         try:
             run_lime_experiment_safe(
                 predictor=predictor,
@@ -127,25 +133,48 @@ def main():
             traceback.print_exc()
             sys.exit(1)
 
+    if args.save_separated_audio in ("separated", "reversed"):
+        # reference parity: the audio-save arms end here — they must not
+        # regenerate visualizations from a previous full run's explanations
+        print("\n✅ Experiment completed with separated audio saved. No explanations generated.")
+        return
+
     print("🔍 Loading existing explanations...")
     explanations = load_existing_explanations(explanations_path)
     if explanations:
         print(f"✅ Loaded explanations from {explanations_path}")
     else:
         print(f"⚠️  No explanations found at {explanations_path}. Cannot generate visualizations.")
+        if args.save_visualizations_only:
+            # reference parity: viz-only with nothing to render is a failure
+            sys.exit(1)
         return
 
+    print("\n📊 Generating visualizations...")
+    # each family degrades independently (reference parity): a plotting
+    # error must not turn an already-written explanations.json into rc!=0
     if viz_cfg.get("overall", True):
-        viz_path_overall = result_path / experiment_name / "visualizations" / "overall"
-        visualize_explanations(explanations, output_dir=str(viz_path_overall))
+        viz_path_overall = result_path / experiment_name / "overall_visualizations"
+        try:
+            visualize_explanations(explanations, output_dir=str(viz_path_overall))
+            print(f"✅ Overall visualizations: {viz_path_overall}")
+        except Exception as e:
+            print(f"⚠️  Error in overall visualizations: {e}")
     if viz_cfg.get("per_model", True):
-        viz_path_per_model = result_path / experiment_name / "visualizations" / "per_model"
-        visualize_explanations_by_model(explanations, output_dir=str(viz_path_per_model))
+        viz_path_per_model = result_path / experiment_name / "visualizations_per_model"
+        try:
+            visualize_explanations_by_model(explanations, output_dir=str(viz_path_per_model))
+            print(f"✅ Per-model visualizations: {viz_path_per_model}")
+        except Exception as e:
+            print(f"⚠️  Error in per-model visualizations: {e}")
     if viz_cfg.get("per_sample", False):
-        visualize_per_sample_explanations(
-            explanations,
-            features_outputdir_full=result_path / experiment_name / "full_track",
-        )
+        try:
+            visualize_per_sample_explanations(
+                explanations,
+                features_outputdir_full=result_path / experiment_name / "full_track",
+            )
+        except Exception as e:
+            print(f"⚠️  Error in per-sample visualizations: {e}")
 
     print("\n" + "=" * 70)
     print("✅ Experiment completed successfully!")

@@ -62,8 +62,15 @@ def main():
         print(f"[ERROR]: Full track directory not found: {full_root}")
         return
 
-    with open(full_root / "explanations.json", "r", encoding="utf-8") as f:
-        expl_df = json.load(f)
+    expl_path = full_root / "explanations.json"
+    if expl_path.exists():
+        with open(expl_path, "r", encoding="utf-8") as f:
+            expl_df = json.load(f)
+    else:
+        # the audio-save arm writes stem WAVs without explanations — feature
+        # extraction still works, with importances defaulting to 0.0
+        print(f"[WARN]: {expl_path} not found; component importances default to 0.0")
+        expl_df = {}
 
     for model_dir in sorted(full_root.iterdir()):
         if not model_dir.is_dir():
