@@ -176,6 +176,21 @@ class FrequencyBandPerturbation:
                 )
             )
 
+    def _require_engine(self) -> None:
+        """Fail loudly when a host-only instance hits a compute path.
+
+        ``predictor=None`` deliberately builds a visualization-only instance
+        (no TPU boot for pure matplotlib work); without this guard a later
+        explain/synthesize call died with an opaque ``AttributeError`` on
+        ``None.fbp_probs``."""
+        if self.engine is None:
+            raise RuntimeError(
+                "host-only FrequencyBandPerturbation (predictor=None) — only "
+                "visualization methods (visualize_results / "
+                "expand_band_level_results) are available; pass a predictor "
+                "or engine for compute paths"
+            )
+
     # -- separation hook ----------------------------------------------------
 
     @timed("Separating sources")
@@ -209,6 +224,7 @@ class FrequencyBandPerturbation:
         ``pre=(S, S_db, orig_prob, probs)`` skips the device dispatches —
         used by the multi-track grouped path, which computed them in
         batched programs across several files' components."""
+        self._require_engine()
         eng = self.engine
         if pre is not None:
             S, S_db, orig_prob, probs = pre
@@ -321,6 +337,7 @@ class FrequencyBandPerturbation:
         ``{path: {component: (sig, S, S_db, baseline, band_probs)}}`` with
         S/S_db left device-resident (S_db is pulled per file at figure
         time, same D2H volume as the serial path)."""
+        self._require_engine()
         eng = self.engine
         sigs: List[np.ndarray] = []
         owners: List[Tuple[str, str]] = []
@@ -357,6 +374,7 @@ class FrequencyBandPerturbation:
         """``precomputed`` maps component name → ``(sig, S, S_db, prob,
         band_probs)`` from the grouped multi-track path; it is only trusted
         on the first attempt (retries recompute serially from the file)."""
+        self._require_engine()
         if self.profiler:
             self.profiler.reset_sample()
             # the engine is shared process-wide (cached_engine); reclaim its

@@ -49,6 +49,11 @@ def main():
     )
     add_shard_args(ap)
     args = ap.parse_args()
+    if args.save_visualizations_only and args.save_separated_audio != "none":
+        # viz-only builds no predictor, so no audio would be saved — yet the
+        # audio-save early-return would print success and exit 0
+        ap.error("--save-visualizations-only cannot be combined with "
+                 "--save-separated-audio (viz-only mode saves no audio)")
     shard_index, num_shards = shard_spec_from_args(args)
 
     config = load_yaml(Path(args.config))

@@ -69,7 +69,8 @@ def main():
     else:
         # the audio-save arm writes stem WAVs without explanations — feature
         # extraction still works, with importances defaulting to 0.0
-        print(f"[WARN]: {expl_path} not found; component importances default to 0.0")
+        print(f"[WARN]: {expl_path} not found; component importances written "
+              f"as null (component_type UNKNOWN)")
         expl_df = {}
 
     for model_dir in sorted(full_root.iterdir()):
@@ -95,7 +96,12 @@ def main():
                 if component_name not in components:
                     continue
                 meta = expl_df.get(model_name, {}).get(safe_track_name, {}).get("explanations", {})
-                importance = meta.get("component_influences", {}).get(component_name, 0.0)
+                influences = meta.get("component_influences", {})
+                # a missing explanations.json (audio-save arm) must not
+                # fabricate importance 0.0 / POSITIVE rows indistinguishable
+                # from real zeros — write null/UNKNOWN instead (vis loaders
+                # fillna(0.0) at plot time, so downstream still renders)
+                importance = influences.get(component_name)
 
                 y, _ = load_audio(component_file, sr=sr, mono=True)
                 feats = dict(extract_all_features(y, sr))
@@ -108,8 +114,11 @@ def main():
                     "features": feats,
                     "component_meta": {
                         "importance": importance,
-                        "abs_importance": abs(importance),
-                        "component_type": "POSITIVE" if importance >= 0 else "NEGATIVE",
+                        "abs_importance": abs(importance) if importance is not None else None,
+                        "component_type": (
+                            "UNKNOWN" if importance is None
+                            else "POSITIVE" if importance >= 0 else "NEGATIVE"
+                        ),
                         "model": model_name,
                         "track_stem": track_stem,
                         "component_name": component_name,

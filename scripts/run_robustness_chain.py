@@ -119,20 +119,25 @@ def main():
               f"re-bucketed to UNKNOWN and vanish from every sweep")
         sys.exit(2)
     # group keywords match SUBSTRINGS of the whole path (reference parity),
-    # so an out-root like /mnt/real/robust re-buckets every track to REAL —
-    # probe with the actual data-tree layout before spending hours
+    # and dataprep buckets by SOURCE file path (dataprep/pipeline.py::
+    # infer_group_from_path) — so probe the actual source-tree layout the
+    # tracks will be read from, before spending hours. For the synthetic flow
+    # the source lives under the out-root, so an out-root keyword like
+    # /mnt/real/robust is caught too; for --dataset the user's own path is
+    # what matters (a keyword there would silently re-bucket every track).
     from adx_tpu.dataprep.pipeline import infer_group_from_path
     data_root = out / "data"
+    src_probe_root = Path(cli.dataset) if cli.dataset else out / "source_dataset"
     bad_bucket = {
-        m: infer_group_from_path(str(data_root / "minus14" / "base" / m / "t.wav"))
+        m: infer_group_from_path(str(src_probe_root / m / "t.wav"))
         for m in cli.models
     }
     bad_bucket = {m: g for m, g in bad_bucket.items() if g != m}
     if bad_bucket:
-        print(f"❌ The out-root path re-buckets model folders: {bad_bucket}. "
+        print(f"❌ The source-tree path re-buckets model folders: {bad_bucket}. "
               f"Group keywords match substrings of the FULL path (reference "
-              f"parity) — pick an --out-root ({out}) containing no group "
-              f"name like 'real' or 'suno'.")
+              f"parity) — pick a source root ({src_probe_root}) containing no "
+              f"group name like 'real' or 'suno'.")
         sys.exit(2)
     probe_labels = sorted({
         extract_run_label(str(out / "results" / "Predictions" / f"minus{l}"

@@ -116,6 +116,19 @@ def test_chain_fails_fast_on_group_keyword_in_out_root(tmp_path, monkeypatch):
     assert ei.value.code == 2
 
 
+def test_chain_fails_fast_on_group_keyword_in_dataset_path(tmp_path, monkeypatch):
+    """dataprep buckets by SOURCE path — a keyword in a user --dataset path
+    (e.g. /mnt/real/music) silently re-buckets every track, even when the
+    out-root itself is clean (ADVICE r3 medium)."""
+    ds = tmp_path / "real" / "music"
+    (ds / "REAL").mkdir(parents=True)
+    (ds / "SUNO").mkdir(parents=True)
+    argv = _chain_argv(tmp_path / "chain", **{"--dataset": [ds]})
+    with pytest.raises(SystemExit) as ei:
+        _run_chain(monkeypatch, argv)
+    assert ei.value.code == 2
+
+
 def test_chain_fails_fast_on_partial_source_dataset(tmp_path, monkeypatch):
     """A chain killed mid-synthesis leaves a partial source tree; a rerun
     must not silently sweep the incomplete dataset (2 models × 2 tracks

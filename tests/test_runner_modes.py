@@ -66,6 +66,22 @@ def test_fbp_visualize_only_needs_no_predictor(tmp_path):
     assert list(out.rglob("*.png"))
 
 
+def test_fbp_host_only_compute_raises_clearly(tmp_path):
+    """A host-only instance hitting a compute path must fail with an
+    explanatory RuntimeError, not AttributeError on engine=None (ADVICE r3)."""
+    import numpy as np
+
+    from adx_tpu.explainers.fbp import FrequencyBandPerturbation
+
+    fbp = FrequencyBandPerturbation(predictor=None)
+    with pytest.raises(RuntimeError, match="host-only"):
+        fbp.process_audio_file("x.wav", tmp_path)
+    with pytest.raises(RuntimeError, match="host-only"):
+        fbp._compute_component_importance(np.zeros(100), "mixture", "x.wav")
+    with pytest.raises(RuntimeError, match="host-only"):
+        fbp._precompute_group(["x.wav"])
+
+
 def _lime_cfg(tmp_path):
     cfg = {
         "dataset": {"dataset_path": str(tmp_path / "Data")},
@@ -91,6 +107,21 @@ def test_lime_viz_only_is_chip_free_and_exits_1_when_empty(tmp_path, monkeypatch
     with pytest.raises(SystemExit) as ei:
         mod.main()
     assert ei.value.code == 1  # nothing to render → reference exits 1
+
+
+def test_lime_viz_only_rejects_audio_save_combo(tmp_path, monkeypatch):
+    """viz-only builds no predictor so no audio would be saved — the combo
+    used to print 'completed with separated audio saved' and exit 0
+    (ADVICE r3)."""
+    mod = _lime_mod()
+    _forbid_predictor(monkeypatch, mod)
+    monkeypatch.setattr(sys, "argv", [
+        "run_LIME_experiment.py", "--config", str(_lime_cfg(tmp_path)),
+        "--save-visualizations-only", "--save-separated-audio", "separated",
+    ])
+    with pytest.raises(SystemExit) as ei:
+        mod.main()
+    assert ei.value.code == 2  # argparse error
 
 
 def test_lime_audio_save_arm_skips_visualization(tmp_path, monkeypatch):
