@@ -10,7 +10,10 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from adx_tpu.features.extraction import extract_all_features
+from adx_tpu.features.extraction import (
+    extract_all_features,
+    extract_all_features_batch,
+)
 from adx_tpu.io.audio_io import load_audio, write_wav
 from adx_tpu.io.results import append_update_features, safe_stem, to_native_dict
 from adx_tpu.parallel.host_shard import host_shard
@@ -23,9 +26,17 @@ def extract_all_features_separately(
     features_output_dir: Optional[Path] = None,
     folder_name: str = "",
     sample_rate: int = 44100,
+    device_batch: bool = True,
+    batch_size: int = 16,
 ) -> Dict[str, dict]:
     """Full-track extraction: per-file 120 s decode → feature dict keyed by
     sanitized stem, merged over any existing features.json.
+
+    ``device_batch=True`` folds equal-length tracks (the 120 s crops all
+    are) into device-batched extraction (one H2D + shared programs + device
+    pyin — see extraction.extract_all_features_batch); a batch failure falls
+    back to the serial per-sample path so error containment is per sample
+    either way.
 
     ``max_samples=None`` means "all files" (a config without
     ``features.max_samples`` reaches here as None; the reference crashes on
@@ -50,16 +61,41 @@ def extract_all_features_separately(
             except Exception as e:
                 print(f"   Warning: Could not load existing features from {features_path}: {e}")
 
-    for i, waveform in enumerate(audio_arrays):
-        if i >= max_samples:
-            break
-        if ids_to_get_features is not None and i not in ids_to_get_features:
-            continue
+    eligible = [
+        i for i in range(min(len(audio_arrays), max_samples))
+        if ids_to_get_features is None or i in ids_to_get_features
+    ]
+
+    # device batching: equal-length groups → one batched program chain;
+    # on any batch failure fall back to the serial per-sample path below,
+    # so error containment stays per sample
+    batched: Dict[int, dict] = {}
+    if device_batch and len(eligible) > 1:
+        by_len: Dict[int, list] = {}
+        for i in eligible:
+            by_len.setdefault(len(audio_arrays[i]), []).append(i)
+        for _ln, idxs in sorted(by_len.items()):
+            for j0 in range(0, len(idxs), batch_size):
+                sel = idxs[j0 : j0 + batch_size]
+                if len(sel) == 1:
+                    continue  # no win; serial path handles it
+                try:
+                    feats = extract_all_features_batch(
+                        [audio_arrays[i] for i in sel], sample_rate
+                    )
+                    batched.update(zip(sel, feats))
+                except Exception as e:  # noqa: BLE001 — fall back serial
+                    print(f"   Warning: batched extraction failed "
+                          f"({type(e).__name__}: {e}); falling back to serial")
+
+    for i in eligible:
         print(f"   Extracting features from sample {i+1}/{len(audio_arrays)}")
         try:
             safe_name = safe_stem(audio_files[i])
             # load_audio(mono=True) above already downmixed (ops.audio.to_mono)
-            mix_features = extract_all_features(waveform, sr=sample_rate)
+            mix_features = batched.get(i) or extract_all_features(
+                audio_arrays[i], sr=sample_rate
+            )
             if "intonation_pattern" in mix_features:
                 mix_features["intonation_pattern"].pop("f0_contour", None)
                 mix_features["intonation_pattern"].pop("times", None)
@@ -143,6 +179,8 @@ def run_features_extraction(
     sample_rate: int = 44100,
     shard_index: int = 0,
     num_shards: int = 1,
+    device_batch: bool = True,
+    batch_size: int = 16,
 ):
     merged_segmented_features: Dict[str, dict] = {}
 
@@ -168,6 +206,8 @@ def run_features_extraction(
                 features_output_dir=features_output_dir_full,
                 folder_name=folder.name,
                 sample_rate=sample_rate,
+                device_batch=device_batch,
+                batch_size=batch_size,
             )
             # full-track entries wrapped in the reference's segments-shaped
             # schema (src/feature_calculate.py:273-289)

@@ -26,9 +26,9 @@ from adx_tpu.features.pyin import note_to_hz, pyin
 from adx_tpu.ops.stft import istft, stft
 
 
-@functools.partial(jax.jit, static_argnames=("sr",))
-def _spectral_stats_device(y: jnp.ndarray, sr: int):
-    """All STFT-derived statistics in one compiled program."""
+def _spectral_stats_core(y: jnp.ndarray, sr: int):
+    """All STFT-derived statistics for one 1-D signal (shared by the
+    per-signal jit and the vmapped batch program)."""
     S = jnp.abs(stft(y, n_fft=2048, hop_length=512))
     out = {
         "rms_wave": sp.rms_from_audio(y),
@@ -44,6 +44,60 @@ def _spectral_stats_device(y: jnp.ndarray, sr: int):
         "onset_env": sp.onset_strength(y, sr),
     }
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("sr",))
+def _spectral_stats_device(y: jnp.ndarray, sr: int):
+    """All STFT-derived statistics in one compiled program."""
+    return _spectral_stats_core(y, sr)
+
+
+@functools.partial(jax.jit, static_argnames=("sr",))
+def _spectral_stats_device_batch(y: jnp.ndarray, sr: int):
+    """[B, n] batch of _spectral_stats_core in one program."""
+    return jax.vmap(lambda yy: _spectral_stats_core(yy, sr))(y)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _hnr_device_batch(y: jnp.ndarray, n_out: int):
+    """HNR for a [B, n] batch, reduced to [B] scalars ON DEVICE.
+
+    Same HPSS-mask → masked ISTFT math as compute_hnr's device branch, but
+    the 4·n-byte harmonic waveform never leaves the chip — the serial path's
+    D2H of it (~21 MB per 120 s stem over the ~15 MB/s tunnel) was most of
+    that feature's cost. The energy sums run in f32 on device instead of the
+    serial path's f64 host sums: measured |ΔHNR| ≲ 1e-4 dB."""
+    def one(yy):
+        S = stft(yy, n_fft=2048, hop_length=512)
+        mask_h, _ = sp.hpss(jnp.abs(S))
+        h = istft(S * mask_h, hop_length=512, n_fft=2048, length=n_out)
+        noise = yy[:n_out] - h
+        return 10.0 * jnp.log10(
+            jnp.sum(h * h) / (jnp.sum(noise * noise) + 1e-8)
+        )
+
+    return jax.vmap(one)(y)
+
+
+@jax.jit
+def _dequant16_batch(q: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) / 32768.0
+
+
+def _to_device_batch(waves: np.ndarray) -> jnp.ndarray:
+    """One H2D for a [B, n] float batch, as int16 when every sample is
+    exactly 16-bit-PCM-representable (everything decoded from PCM16 WAVs
+    is) — half the tunnel bytes, identical float32 values after the device
+    dequant. Same wire rule as ``runtime/engine.py::to_device_wave``."""
+    q = np.round(waves * 32768.0)
+    if (
+        waves.size
+        and q.min() >= -32768
+        and q.max() <= 32767
+        and np.array_equal(q.astype(np.float32) / 32768.0, waves)
+    ):
+        return _dequant16_batch(jnp.asarray(q.astype(np.int16)))
+    return jnp.asarray(waves)
 
 
 @functools.partial(jax.jit, static_argnames=("n_out",))
@@ -75,19 +129,13 @@ def _stat4(x: np.ndarray) -> Dict[str, float]:
     }
 
 
-def extract_all_features(audio, sr, reference_audio=None) -> dict:
-    """Per-waveform feature dict (reference schema)."""
-    audio = np.asarray(audio, dtype=np.float32)
+def _assemble_features(audio: np.ndarray, sr, f0: np.ndarray, dev: Dict[str, np.ndarray],
+                       hnr: float) -> dict:
+    """Build the reference-schema feature dict from the per-signal pieces
+    (shared by the serial path and extract_all_features_batch; key order and
+    value semantics are the serial path's)."""
     features: Dict[str, object] = {}
     features["duration"] = len(audio) / sr
-
-    # pyin with librosa's default sr (reference quirk, see module docstring)
-    f0, voiced_flag, voiced_probs = pyin(
-        audio, fmin=note_to_hz("C2"), fmax=note_to_hz("C7")
-    )
-
-    dev = _spectral_stats_device(jnp.asarray(audio), int(sr))
-    dev = {k: np.asarray(v) for k, v in dev.items()}
 
     # _stat4 everywhere (it float()s the values — np.float32 leftovers made
     # a direct json.dumps of the public dict raise; the in-repo writers go
@@ -113,12 +161,124 @@ def extract_all_features(audio, sr, reference_audio=None) -> dict:
 
     features["jitter"] = compute_jitter_extended(audio, sr, f0=f0)
     features["shimmer"] = compute_shimmer_extended(audio, sr)
-    features["hnr"] = compute_hnr(audio, sr)
+    features["hnr"] = hnr
     features["breath_count"] = detect_breaths(audio, sr)
     features["intonation_pattern"] = compute_intonation_pattern(audio, sr, f0=f0)
     features["voice_breaks"] = detect_voice_breaks(audio, sr)
     features["rhythm_stats"] = compute_rhythm_stats(audio, sr, onset_env=dev["onset_env"])
     return features
+
+
+def extract_all_features(audio, sr, reference_audio=None) -> dict:
+    """Per-waveform feature dict (reference schema)."""
+    audio = np.asarray(audio, dtype=np.float32)
+
+    # pyin with librosa's default sr (reference quirk, see module docstring)
+    f0, voiced_flag, voiced_probs = pyin(
+        audio, fmin=note_to_hz("C2"), fmax=note_to_hz("C7")
+    )
+
+    dev = _spectral_stats_device(jnp.asarray(audio), int(sr))
+    dev = {k: np.asarray(v) for k, v in dev.items()}
+    return _assemble_features(audio, sr, f0, dev, compute_hnr(audio, sr))
+
+
+def extract_all_features_batch(waves, sr, use_device_pyin: bool = True) -> list:
+    """Feature dicts for a batch of EQUAL-LENGTH waveforms (the stems of one
+    track, the band WAVs of one file) with one H2D and three shared device
+    programs instead of per-signal dispatches.
+
+    vs. the serial loop (measured on the v5e via the axon tunnel, 120 s
+    44.1 kHz stems): the waveform batch ships ONCE (int16 wire format when
+    PCM16-exact — everything loaded from the experiment WAV trees is), HNR
+    reduces to a scalar on device instead of pulling the 21 MB harmonic per
+    stem, and pyin runs as the device-batched program
+    (``features/pyin_device.py``, 0.44 s/stem device-resident vs
+    3.4–12.5 s/stem host).
+
+    Numerics vs ``extract_all_features``: spectral stats are the same
+    program vmapped; HNR sums reduce in f32 on device (≲1e-4 dB); device
+    pyin decodes ≥99.6% of frames to the bit-identical f0 (f32 threshold
+    razor edges — see pyin_device docstring). ``use_device_pyin=False``
+    keeps the host-exact pyin while retaining the transfer/HNR wins.
+
+    On the CPU backend this still works (tests use it) but brings no
+    speedup; long tracks pay the known slow CPU hpss sort.
+    """
+    waves = np.stack([np.asarray(w, np.float32) for w in waves])
+    if waves.ndim != 2:
+        raise ValueError(f"extract_all_features_batch expects [B, n], got {waves.shape}")
+    B, n = waves.shape
+    dev_batch = _to_device_batch(waves)
+    # pad the batch axis to the next power of two ON DEVICE (no extra tunnel
+    # bytes): every program here compiles per (B, n), and sweeps present
+    # ragged group sizes (4 stems, 12 bands, a 3-file tail) — pow2 bucketing
+    # caps the compile count at log2(max batch) per length. Zero rows are
+    # row-independent through the vmapped programs and sliced off below.
+    B_pad = 1 << (B - 1).bit_length()
+    if B_pad != B:
+        dev_batch = jnp.pad(dev_batch, ((0, B_pad - B), (0, 0)))
+
+    devs = _spectral_stats_device_batch(dev_batch, int(sr))
+    hnrs = np.asarray(_hnr_device_batch(dev_batch, n))
+    if use_device_pyin:
+        from adx_tpu.features.pyin_device import pyin_batch
+
+        f0s, _, _ = pyin_batch(dev_batch, note_to_hz("C2"), note_to_hz("C7"))
+    else:
+        f0s = np.stack([
+            pyin(w, fmin=note_to_hz("C2"), fmax=note_to_hz("C7"))[0]
+            for w in waves
+        ])
+    devs = {k: np.asarray(v) for k, v in devs.items()}
+    return [
+        _assemble_features(
+            waves[i], sr, f0s[i], {k: v[i] for k, v in devs.items()},
+            float(hnrs[i]),
+        )
+        for i in range(B)
+    ]
+
+
+def extract_features_for_paths(
+    paths,
+    sr,
+    batch_size: int = 16,
+    use_device_pyin: bool = True,
+    device_batch: bool = True,
+) -> list:
+    """Load + extract features for a list of WAV paths, folding equal-length
+    signals into device batches (``extract_all_features_batch``). Returns
+    feature dicts in input order; a path that fails to load yields ``None``
+    with a warning (per-file error containment like the sweep drivers).
+
+    ``device_batch=False`` restores the serial host-exact path per file."""
+    from adx_tpu.io.audio_io import load_audio
+
+    out = [None] * len(paths)
+    waves = {}
+    for i, p in enumerate(paths):
+        try:
+            y, _ = load_audio(p, sr=sr, mono=True)
+            waves[i] = np.asarray(y, np.float32)
+        except Exception as e:  # noqa: BLE001 — per-file containment
+            print(f"[WARN] Failed to load {p}: {type(e).__name__}: {e}")
+    if not device_batch:
+        for i, w in waves.items():
+            out[i] = extract_all_features(w, sr)
+        return out
+    by_len = {}
+    for i, w in waves.items():
+        by_len.setdefault(len(w), []).append(i)
+    for _ln, idxs in sorted(by_len.items()):
+        for j0 in range(0, len(idxs), batch_size):
+            sel = idxs[j0 : j0 + batch_size]
+            feats = extract_all_features_batch(
+                [waves[i] for i in sel], sr, use_device_pyin=use_device_pyin
+            )
+            for i, f in zip(sel, feats):
+                out[i] = f
+    return out
 
 
 def compute_jitter(y, sr, f0=None):

@@ -17,8 +17,7 @@ ROOT = Path(__file__).resolve().parents[2]
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
-from adx_tpu.features.extraction import extract_all_features
-from adx_tpu.io.audio_io import load_audio
+from adx_tpu.features.extraction import extract_features_for_paths
 from adx_tpu.io.config import load_yaml
 from adx_tpu.io.results import append_update_features
 
@@ -26,6 +25,10 @@ from adx_tpu.io.results import append_update_features
 def main():
     ap = argparse.ArgumentParser(description="Extract FBP band features")
     ap.add_argument("--config", default=str(ROOT / "configs/FBP_configs" / "fbp_bands_features.yaml"))
+    ap.add_argument("--batch-size", type=int, default=16,
+                    help="Equal-length WAVs folded per device batch")
+    ap.add_argument("--serial-features", action="store_true",
+                    help="Per-file host-exact extraction (no device batching/pyin)")
     args = ap.parse_args()
     config = load_yaml(Path(args.config))
 
@@ -87,9 +90,12 @@ def main():
                 if not bands:
                     continue
 
-                for band in tqdm(
-                    bands, desc=f"{model_name} - {track_stem} - {component}", unit="band", leave=False
-                ):
+                # all of one (track, component)'s band WAVs are equal-length
+                # resyntheses — fold them into device-batched extraction
+                # (extract_features_for_paths; ONE H2D + shared programs +
+                # device pyin instead of a per-band serial walk)
+                todo = []
+                for band in bands:
                     comp = band.get("component", "mixture")
                     low, high = band["low"], band["high"]
                     importance = band["importance"]
@@ -101,9 +107,21 @@ def main():
                     if not wav_path.exists():
                         print(f"[WARN] Missing wav file: {wav_path}")
                         continue
+                    todo.append((band, comp, low, high, importance, ptype, wav_path))
 
-                    y, _ = load_audio(wav_path, sr=sr, mono=True)
-                    feats = dict(extract_all_features(y, sr))
+                feats_list = extract_features_for_paths(
+                    [t[-1] for t in todo], sr,
+                    batch_size=args.batch_size,
+                    device_batch=not args.serial_features,
+                )
+                for (band, comp, low, high, importance, ptype, _p), feats in zip(
+                    tqdm(todo, desc=f"{model_name} - {track_stem} - {component}",
+                         unit="band", leave=False),
+                    feats_list,
+                ):
+                    if feats is None:
+                        continue
+                    feats = dict(feats)
                     track_entry = all_features.setdefault(model_name, {}).setdefault(
                         track_stem, {"type": "band", "bands": {}}
                     )

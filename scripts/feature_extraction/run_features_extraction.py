@@ -20,6 +20,10 @@ from adx_tpu.parallel.host_shard import add_shard_args, shard_spec_from_args
 def main():
     ap = argparse.ArgumentParser(description="Extract features for audio dataset")
     ap.add_argument("--config", default=str(ROOT / "configs/Features_extraction" / "features_configs.yaml"))
+    ap.add_argument("--batch-size", type=int, default=16,
+                    help="Equal-length tracks folded per device batch")
+    ap.add_argument("--serial-features", action="store_true",
+                    help="Per-file host-exact extraction (no device batching/pyin)")
     add_shard_args(ap)
     args = ap.parse_args()
     shard_index, num_shards = shard_spec_from_args(args)
@@ -65,6 +69,8 @@ def main():
             sample_rate=sample_rate,
             shard_index=shard_index,
             num_shards=num_shards,
+            device_batch=not args.serial_features,
+            batch_size=args.batch_size,
         )
     except KeyboardInterrupt:
         print("\n\n⚠️  Experiment interrupted (Ctrl+C)")

@@ -17,14 +17,17 @@ ROOT = Path(__file__).resolve().parents[2]
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
-from adx_tpu.features.extraction import extract_all_features
-from adx_tpu.io.audio_io import load_audio
+from adx_tpu.features.extraction import extract_features_for_paths
 from adx_tpu.io.results import append_update_features, safe_stem
 
 
 def main():
     ap = argparse.ArgumentParser(description="Extract AudioLIME component features")
     ap.add_argument("--config", default=str(ROOT / "configs/AudioLIME_configs" / "lime_comp_features.yaml"))
+    ap.add_argument("--batch-size", type=int, default=16,
+                    help="Equal-length WAVs folded per device batch")
+    ap.add_argument("--serial-features", action="store_true",
+                    help="Per-file host-exact extraction (no device batching/pyin)")
     args = ap.parse_args()
 
     from adx_tpu.io.config import load_yaml
@@ -91,10 +94,21 @@ def main():
                 print(f"[WARN] Components directory not found: {components_dir}")
                 continue
 
-            for component_file in components_dir.glob("*.wav"):
-                component_name = component_file.stem
-                if component_name not in components:
+            # one track's stems are equal-length — fold them into ONE
+            # device-batched extraction (shared H2D + device pyin)
+            comp_files = [
+                f for f in sorted(components_dir.glob("*.wav"))
+                if f.stem in components
+            ]
+            feats_batch = extract_features_for_paths(
+                comp_files, sr,
+                batch_size=args.batch_size,
+                device_batch=not args.serial_features,
+            )
+            for component_file, feats in zip(comp_files, feats_batch):
+                if feats is None:
                     continue
+                component_name = component_file.stem
                 meta = expl_df.get(model_name, {}).get(safe_track_name, {}).get("explanations", {})
                 influences = meta.get("component_influences", {})
                 # a missing explanations.json (audio-save arm) must not
@@ -103,8 +117,7 @@ def main():
                 # fillna(0.0) at plot time, so downstream still renders)
                 importance = influences.get(component_name)
 
-                y, _ = load_audio(component_file, sr=sr, mono=True)
-                feats = dict(extract_all_features(y, sr))
+                feats = dict(feats)
                 feats["importance"] = importance
 
                 track_entry = all_features.setdefault(model_name, {}).setdefault(

@@ -15,8 +15,7 @@ ROOT = Path(__file__).resolve().parents[2]
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
-from adx_tpu.features.extraction import extract_all_features
-from adx_tpu.io.audio_io import load_audio
+from adx_tpu.features.extraction import extract_features_for_paths
 from adx_tpu.io.config import load_yaml
 from adx_tpu.io.results import append_update_features
 
@@ -27,6 +26,10 @@ def main():
         "--config",
         default=str(ROOT / "configs/Spec_occlusion_configs" / "occlusion_patch_features.yaml"),
     )
+    ap.add_argument("--batch-size", type=int, default=16,
+                    help="Equal-length WAVs folded per device batch")
+    ap.add_argument("--serial-features", action="store_true",
+                    help="Per-file host-exact extraction (no device batching/pyin)")
     args = ap.parse_args()
     config = load_yaml(Path(args.config))
 
@@ -80,6 +83,11 @@ def main():
                     continue
                 with open(meta_path, "r", encoding="utf-8") as f:
                     windows = json.load(f).get("windows", [])
+                # top-window patch WAVs share the fixed patch-grid length —
+                # fold them into device-batched extraction (the helper
+                # groups by exact length, so a clamped edge patch still
+                # extracts correctly in its own batch)
+                todo = []
                 for win in windows:
                     rank = win["rank"]
                     abs_importance = win["abs_importance"]
@@ -93,8 +101,17 @@ def main():
                     if not wav_path.exists():
                         print(f"[WARN] Missing patch wav: {wav_path}")
                         continue
-                    y, _ = load_audio(wav_path, sr=sr, mono=True)
-                    feats = dict(extract_all_features(y, sr))
+                    todo.append((win, rank, abs_importance, ptype, wav_path))
+
+                feats_list = extract_features_for_paths(
+                    [t[-1] for t in todo], sr,
+                    batch_size=args.batch_size,
+                    device_batch=not args.serial_features,
+                )
+                for (win, rank, abs_importance, ptype, _p), feats in zip(todo, feats_list):
+                    if feats is None:
+                        continue
+                    feats = dict(feats)
                     track_entry = all_features.setdefault(model_name, {}).setdefault(
                         track_stem, {"type": "patch", "patches": {}}
                     )
