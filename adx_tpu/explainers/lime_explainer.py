@@ -55,6 +55,79 @@ def predict_fn_unified(waveforms, predictor):
     return np.stack([1.0 - fake, fake], axis=1)
 
 
+def _precompute_lime_group(
+    idxs,
+    audio_files,
+    model_time: float,
+    engine: PerturbationEngine,
+    num_samples_lime: int,
+    separation_model: str,
+    random_seed: int = 0,
+    track_batch: int = 4,
+) -> Dict[int, tuple]:
+    """Fold several tracks' LIME sweeps into batched device programs
+    (``engine.stem_mix_probs_multi``) — the FBP ``_precompute_group``
+    pattern applied to the LIME dataset walker (VERDICT r3 item 2).
+
+    Returns ``{sample index: (waveform, factorization, design rows,
+    probs)}``. The design rows come from the SAME
+    ``lime_mask_batch(key(random_seed), …)`` draw the serial
+    ``explain_instance`` makes, so per-track values match the serial path
+    up to the documented multi-program bf16 reduction-order noise. Groups
+    are formed per waveform length (a short tail file folds with its own
+    length class). Any failure here falls back to the serial per-sample
+    path — error containment stays per sample."""
+    import jax
+    import jax.numpy as jnp
+
+    from adx_tpu.ops.masks import lime_mask_batch
+
+    out: Dict[int, tuple] = {}
+    loaded: Dict[int, tuple] = {}
+    for i in idxs:
+        try:
+            w, _ = load_audio(audio_files[i], sr=44100, mono=True, offset=0,
+                              duration=model_time)
+            w = w[0] if w.ndim > 1 else w
+            loaded[i] = w
+        except Exception as e:  # noqa: BLE001 — the serial loop retries it
+            print(f"⚠️ group precompute: failed to load sample {i+1} "
+                  f"({type(e).__name__}: {e}); it will run serially")
+    by_len: Dict[int, list] = {}
+    for i, w in loaded.items():
+        by_len.setdefault(len(w), []).append(i)
+
+    data = None
+    for _ln, group in sorted(by_len.items()):
+        for j0 in range(0, len(group), track_batch):
+            sel = group[j0 : j0 + track_batch]
+            facts = []
+            for i in sel:
+                facts.append(SpleeterFactorization(
+                    input=jnp.asarray(loaded[i]), target_sr=44100,
+                    temporal_segmentation_params=1, composition_fn=None,
+                    model_name=separation_model,
+                ))
+            if len({f.get_number_components() for f in facts}) != 1:
+                continue  # heterogeneous stems — let the serial path handle
+            n_comp = facts[0].get_number_components()
+            if data is None or data.shape[1] != n_comp:
+                data = lime_mask_batch(
+                    jax.random.key(random_seed), num_samples_lime, n_comp
+                )
+            n = _ln
+            stems_stack = jnp.stack([
+                jnp.stack([c[:n] for c in f.components]) for f in facts
+            ])
+            probs_list = engine.stem_mix_probs_multi(
+                stems_stack, [np.asarray(data)] * len(sel),
+                track_batch=track_batch,
+            )
+            for i, fact, probs in zip(sel, facts, probs_list):
+                out[i] = (loaded[i], fact, np.asarray(data), np.asarray(probs))
+    return out
+
+
 def explain_predictions_separate(
     audio_files,
     predictor,
@@ -70,8 +143,14 @@ def explain_predictions_separate(
     model_name: Optional[str] = None,
     engine: Optional[PerturbationEngine] = None,
     separation_model: str = "spleeter:4stems",
+    track_batch: Optional[int] = 4,
 ):
-    """LIME-explain a set of audio files (full-track mode)."""
+    """LIME-explain a set of audio files (full-track mode).
+
+    ``track_batch`` > 1 folds that many tracks' stem-mix sweeps into
+    batched device programs before the per-sample loop (the underfilled
+    LIME stage measured 1.3×, analyze 2.9× in the explain_tracks A/B);
+    ``track_batch=None``/1 keeps the serial per-file dispatch."""
     print(f"Starting explanation for {min(len(audio_files), max_samples)} samples...")
 
     n_samples = min(len(audio_files), max_samples)
@@ -92,6 +171,26 @@ def explain_predictions_separate(
     if engine is None:
         engine = _get_engine(predictor)
 
+    # track-folded precompute: several tracks' stem-mix sweeps in batched
+    # device programs; any track missing from `pre` runs the serial path
+    pre: Dict[int, tuple] = {}
+    if engine is not None and track_batch and int(track_batch) > 1:
+        eligible = [
+            i for i in range(n_samples)
+            if i in ids_to_explain and i not in processed_samples
+        ]
+        if len(eligible) > 1:
+            try:
+                pre = _precompute_lime_group(
+                    eligible, audio_files, model_time, engine,
+                    num_samples_lime, separation_model,
+                    track_batch=int(track_batch),
+                )
+            except Exception as e:  # noqa: BLE001 — serial fallback
+                print(f"⚠️ group precompute failed "
+                      f"({type(e).__name__}: {e}); running serially")
+                pre = {}
+
     for i in range(n_samples):
         if i not in ids_to_explain:
             continue
@@ -100,43 +199,51 @@ def explain_predictions_separate(
             continue
         print(f"\n🔍 Processing sample {i+1}/{n_samples}...")
         try:
-            # decode AFTER the skip checks (a fully-checkpointed folder used
-            # to decode every 120 s WAV up front only to skip them all) and
-            # INSIDE the per-sample try: one truncated WAV must not abort
-            # the remaining dataset, same contract as the occlusion sweep
-            waveform, _ = load_audio(
-                audio_files[i], sr=44100, mono=True, offset=0, duration=model_time
-            )
             if original_predictions is not None:
                 fake_prob = original_predictions[i]
                 print(f"🔮 Model prediction: {fake_prob:.4f} ({'Fake' if fake_prob > 0.5 else 'Real'})")
             else:
                 fake_prob = None
 
-            waveform_mono = waveform[0] if waveform.ndim > 1 else waveform
-
-            fact_input = waveform_mono
-            if engine is not None:
-                # device-resident factorization: the 85 MB of stems feed the
-                # engine sweep directly instead of a D2H+H2D tunnel round trip
-                import jax.numpy as jnp
-
-                fact_input = jnp.asarray(waveform_mono)
-            factorization = SpleeterFactorization(
-                input=fact_input,
-                target_sr=44100,
-                temporal_segmentation_params=1,
-                composition_fn=None,
-                model_name=separation_model,
-            )
             explainer = LimeAudioExplainer(kernel_width=0.25)
-            explanation = explainer.explain_instance(
-                factorization=factorization,
-                predict_fn=lambda x: predict_fn_unified(x, predictor),
-                num_samples=num_samples_lime,
-                top_labels=1,
-                engine=engine,
-            )
+            if i in pre:
+                waveform_mono, factorization, data, probs = pre[i]
+                explanation = explainer.fit(
+                    data, probs, factorization._components_names, top_labels=1
+                )
+            else:
+                # decode AFTER the skip checks (a fully-checkpointed folder
+                # used to decode every 120 s WAV up front only to skip them
+                # all) and INSIDE the per-sample try: one truncated WAV must
+                # not abort the remaining dataset, same contract as the
+                # occlusion sweep
+                waveform, _ = load_audio(
+                    audio_files[i], sr=44100, mono=True, offset=0, duration=model_time
+                )
+                waveform_mono = waveform[0] if waveform.ndim > 1 else waveform
+
+                fact_input = waveform_mono
+                if engine is not None:
+                    # device-resident factorization: the 85 MB of stems feed
+                    # the engine sweep directly instead of a D2H+H2D tunnel
+                    # round trip
+                    import jax.numpy as jnp
+
+                    fact_input = jnp.asarray(waveform_mono)
+                factorization = SpleeterFactorization(
+                    input=fact_input,
+                    target_sr=44100,
+                    temporal_segmentation_params=1,
+                    composition_fn=None,
+                    model_name=separation_model,
+                )
+                explanation = explainer.explain_instance(
+                    factorization=factorization,
+                    predict_fn=lambda x: predict_fn_unified(x, predictor),
+                    num_samples=num_samples_lime,
+                    top_labels=1,
+                    engine=engine,
+                )
             weights = explanation.local_exp[explanation.top_labels[0]]
             influences = {
                 component: weight[1]
@@ -310,6 +417,7 @@ def run_lime_experiment_safe(
     separation_model: str = "spleeter:4stems",
     shard_index: int = 0,
     num_shards: int = 1,
+    track_batch: Optional[int] = 4,
 ):
     """Run the LIME experiment for fake song detection."""
     checkpoint = None
@@ -404,6 +512,7 @@ def run_lime_experiment_safe(
                     model_name=folder.name,
                     engine=engine,
                     separation_model=separation_model,
+                    track_batch=track_batch,
                 )
 
             if segmented_explanations:

@@ -107,6 +107,7 @@ class SpectrogramExplainability:
         engine: Optional[PerturbationEngine] = None,
         rng_seed: int = 0,
         gl_synth_dtype: str = "bfloat16",
+        track_batch: Optional[int] = 4,
     ):
         self.predictor = predictor
         self.sr = sr
@@ -138,6 +139,9 @@ class SpectrogramExplainability:
 
         self.checkpoint = SpectrogramCheckpoint(checkpoint_dir) if checkpoint_dir else None
         self.profiler = TimeAggregator()
+        # files folded per batched analyze+baseline program in run_experiment
+        # (None/1 = per-file dispatch); the sweep itself stays per-file
+        self.track_batch = track_batch
 
         self.engine = engine or cached_engine(
             predictor, sr=sr, duration=duration, n_fft=n_fft,
@@ -155,11 +159,18 @@ class SpectrogramExplainability:
         occlusion_value: float = 0.0,
         baseline_threshold: float = 0.3,
         verbose: bool = True,
+        pre: Optional[tuple] = None,
     ) -> OcclusionResult:
-        y, _ = load_audio(audio_path, sr=self.sr, duration=self.duration, mono=True)
-        # spectrogram + baseline fused into one program; S_db pulled to host
-        # lazily (only the figures need it)
-        S, S_db, baseline_pred = self.engine.analyze_and_baseline(y)
+        """``pre=(y, S, S_db, baseline)`` skips the per-file analyze dispatch
+        — supplied by run_experiment's track-folded group precompute
+        (``engine.analyze_and_baseline_multi``)."""
+        if pre is not None:
+            y, S, S_db, baseline_pred = pre
+        else:
+            y, _ = load_audio(audio_path, sr=self.sr, duration=self.duration, mono=True)
+            # spectrogram + baseline fused into one program; S_db pulled to
+            # host lazily (only the figures need it)
+            S, S_db, baseline_pred = self.engine.analyze_and_baseline(y)
         if verbose:
             print(f"    Baseline prediction: {baseline_pred:.4f}")
         if baseline_pred < baseline_threshold:
@@ -216,10 +227,14 @@ class SpectrogramExplainability:
 
     @timed("Computing RISE map")
     def _compute_rise_map(
-        self, audio_path: str, baseline_threshold: float = 0.3, verbose: bool = True
+        self, audio_path: str, baseline_threshold: float = 0.3,
+        verbose: bool = True, pre: Optional[tuple] = None,
     ) -> RiseResult:
-        y, _ = load_audio(audio_path, sr=self.sr, duration=self.duration, mono=True)
-        S, S_db, baseline_pred = self.engine.analyze_and_baseline(y)
+        if pre is not None:
+            y, S, S_db, baseline_pred = pre
+        else:
+            y, _ = load_audio(audio_path, sr=self.sr, duration=self.duration, mono=True)
+            S, S_db, baseline_pred = self.engine.analyze_and_baseline(y)
         if verbose:
             print(f"    Baseline prediction: {baseline_pred:.4f}")
         if baseline_pred < baseline_threshold:
@@ -396,7 +411,10 @@ class SpectrogramExplainability:
         output_dir: Path,
         baseline_threshold: float = 0.3,
         folder_name: str = "",
+        precomputed: Optional[tuple] = None,
     ) -> Optional[Dict[str, Any]]:
+        """``precomputed=(y, S, S_db, baseline)`` comes from run_experiment's
+        track-folded analyze precompute; only trusted on the first attempt."""
         if self.profiler:
             self.profiler.reset_sample()
             # the engine is shared process-wide (cached_engine); reclaim its
@@ -411,10 +429,13 @@ class SpectrogramExplainability:
                 return None
 
         if self.method == "rise":
-            result = self._compute_rise_map(audio_path, baseline_threshold, verbose=True)
+            result = self._compute_rise_map(
+                audio_path, baseline_threshold, verbose=True, pre=precomputed
+            )
         else:
             result = self._compute_occlusion_map(
-                audio_path, baseline_threshold=baseline_threshold, verbose=True
+                audio_path, baseline_threshold=baseline_threshold, verbose=True,
+                pre=precomputed,
             )
 
         if result.importance_map is None:
@@ -466,6 +487,38 @@ class SpectrogramExplainability:
             "method": self.method,
             **per_file_stats(result.importance_map, result.baseline_pred),
         }
+
+    def _precompute_group(self, audio_paths) -> Dict[str, tuple]:
+        """Fold several files' analyze+baseline into batched device programs
+        (``engine.analyze_and_baseline_multi``) — the underfilled stage of
+        the sweep (the occlusion/RISE sweep itself already saturates the
+        chip; VERDICT r3 item 2 / explain_tracks A/B: analyze 2.9×).
+        Returns ``{path: (y, S_row, S_db_row, baseline)}``; groups form per
+        waveform length, failures fall back to the serial per-file path."""
+        loaded: Dict[str, "np.ndarray"] = {}
+        for p in audio_paths:
+            try:
+                y, _ = load_audio(p, sr=self.sr, duration=self.duration, mono=True)
+                loaded[str(p)] = y
+            except Exception as e:  # noqa: BLE001 — serial loop retries it
+                print(f"    ⚠️ group precompute: failed to load {p} "
+                      f"({type(e).__name__}: {e}); it will run serially")
+        by_len: Dict[int, list] = {}
+        for p, y in loaded.items():
+            by_len.setdefault(len(y), []).append(p)
+        out: Dict[str, tuple] = {}
+        tb = max(1, int(self.track_batch or 1))
+        for _ln, group in sorted(by_len.items()):
+            for j0 in range(0, len(group), tb):
+                sel = group[j0 : j0 + tb]
+                if len(sel) == 1:
+                    continue  # no fold win; serial path handles it
+                S_m, S_db_m, base_m = self.engine.analyze_and_baseline_multi(
+                    [loaded[p] for p in sel], track_batch=tb
+                )
+                for k, p in enumerate(sel):
+                    out[p] = (loaded[p], S_m[k], S_db_m[k], float(base_m[k]))
+        return out
 
     def run_experiment(
         self,
@@ -522,6 +575,24 @@ class SpectrogramExplainability:
                     print(f"   Shard {shard_index}/{num_shards}: {len(audio_files)} files")
                 print(f"   Found {len(audio_files)} files")
 
+                # track-folded analyze+baseline for the files this sweep
+                # will actually process (checkpointed files excluded)
+                pre: Dict[str, tuple] = {}
+                if self.track_batch and int(self.track_batch) > 1:
+                    todo_paths = [str(f) for f in audio_files]
+                    if self.checkpoint:
+                        done = self.checkpoint.load_processed_files()
+                        todo_paths = [p for p in todo_paths if p not in done]
+                    if len(todo_paths) > 1:
+                        try:
+                            pre = self._precompute_group(todo_paths)
+                        except KeyboardInterrupt:
+                            raise
+                        except Exception as e:  # noqa: BLE001 — serial fallback
+                            print(f"   ⚠️ group precompute failed "
+                                  f"({type(e).__name__}: {e}); running serially")
+                            pre = {}
+
                 for idx, audio_file in enumerate(audio_files, 1):
                     print(f"\n  🎵 [{idx}/{len(audio_files)}] {audio_file.name}")
                     try:
@@ -530,6 +601,7 @@ class SpectrogramExplainability:
                             output_dir=saliency_dir,
                             baseline_threshold=baseline_threshold,
                             folder_name=folder.name,
+                            precomputed=pre.get(str(audio_file)),
                         )
                     except KeyboardInterrupt:
                         raise

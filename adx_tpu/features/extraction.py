@@ -66,7 +66,14 @@ def _hnr_device_batch(y: jnp.ndarray, n_out: int):
     the 4·n-byte harmonic waveform never leaves the chip — the serial path's
     D2H of it (~21 MB per 120 s stem over the ~15 MB/s tunnel) was most of
     that feature's cost. The energy sums run in f32 on device instead of the
-    serial path's f64 host sums: measured |ΔHNR| ≲ 1e-4 dB."""
+    serial path's f64 host sums: measured |ΔHNR| ≲ 1e-4 dB.
+
+    ``lax.map`` (sequential, one traced body), NOT vmap: the HPSS rolling
+    median sorts a [31, F, T] window tensor per signal (~2.6 GB transient
+    for 120 s at 44.1 kHz) — vmapping 8 signals asked for ~21 GB and OOM'd
+    the v5e. The serialized map keeps the known-good single-signal footprint
+    (0.16 s/track on hardware) while the call still amortizes ONE dispatch
+    and the shared H2D."""
     def one(yy):
         S = stft(yy, n_fft=2048, hop_length=512)
         mask_h, _ = sp.hpss(jnp.abs(S))
@@ -76,7 +83,9 @@ def _hnr_device_batch(y: jnp.ndarray, n_out: int):
             jnp.sum(h * h) / (jnp.sum(noise * noise) + 1e-8)
         )
 
-    return jax.vmap(one)(y)
+    from jax import lax
+
+    return lax.map(one, y)
 
 
 @jax.jit

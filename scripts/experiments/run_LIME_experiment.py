@@ -47,6 +47,10 @@ def main():
         "--save-visualizations-only", action="store_true",
         help="Skip explanation generation; regenerate visualizations from existing explanations.",
     )
+    ap.add_argument(
+        "--track-batch", type=int, default=4,
+        help="Tracks folded per batched stem-mix device program (1 = serial)",
+    )
     add_shard_args(ap)
     args = ap.parse_args()
     if args.save_visualizations_only and args.save_separated_audio != "none":
@@ -124,6 +128,7 @@ def main():
                 separation_model=lime_cfg.get("separation_model", "spleeter:4stems"),
                 shard_index=shard_index,
                 num_shards=num_shards,
+                track_batch=args.track_batch,
             )
         except KeyboardInterrupt:
             print("\n\n⚠️  Experiment interrupted (Ctrl+C)")

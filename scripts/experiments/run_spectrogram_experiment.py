@@ -105,6 +105,8 @@ def main():
         checkpoint_dir=checkpoint_dir,
         highlight_percent=visualization_cfg.get("highlight_percent", 20.0),
         abs_threshold=visualization_cfg.get("abs_threshold", None),
+        # files folded per batched analyze+baseline program (1 = serial)
+        track_batch=explainability_cfg.get("track_batch", 4),
     )
     if method == "rise":
         rise_cfg = explainability_cfg.get("rise", {})

@@ -32,14 +32,23 @@ def main():
         "of the posted WAV (first request pays the sweep compiles)",
     )
     ap.add_argument(
-        "--explain-batch-window-ms", type=float, default=0.0,
+        "--explain-batch-window-ms", type=float, default=150.0,
         help="coalesce concurrent /explain requests arriving within this "
-        "window into one multi-track batched explanation (0 = serialized)",
+        "window into one multi-track batched explanation (default 150; "
+        "the upload-aware batcher dispatches a lone request immediately, "
+        "so singles pay no window tax — pass 0 to serialize)",
     )
     ap.add_argument(
         "--explain-max-batch", type=int, default=4,
         help="cap on coalesced /explain batch size (each distinct size T "
-        "traces a new multi-track program on first use — minutes cold)",
+        "traces a new multi-track program on first use — minutes cold; "
+        "see --warm-batches)",
+    )
+    ap.add_argument(
+        "--warm-batches", action="store_true",
+        help="pre-trace the coalesced /explain T=1..max-batch programs at "
+        "startup, OFF the request path (first concurrent pair then pays no "
+        "multi-program trace)",
     )
     args = ap.parse_args()
 
@@ -55,6 +64,7 @@ def main():
         explain=args.explain,
         explain_batch_window_ms=args.explain_batch_window_ms,
         explain_max_batch=args.explain_max_batch,
+        warm_batches=args.warm_batches,
     )
 
 

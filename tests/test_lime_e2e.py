@@ -336,3 +336,38 @@ def test_per_sample_viz_tolerates_null_model_prediction(tmp_path):
     }}}}
     visualize_per_sample_explanations(expl, str(tmp_path / "viz"))
     assert (tmp_path / "viz" / "REAL" / "s0").exists()
+
+
+def test_lime_track_fold_matches_serial(predictor, dataset, tmp_path):
+    """run_lime_experiment_safe with the track-folded stem-mix precompute
+    (track_batch=4) must reproduce the serial explain_instance path
+    (track_batch=1) within the documented multi-program noise."""
+    import json as _json
+
+    outs = {}
+    for label, tb in (("serial", 1), ("folded", 4)):
+        out = tmp_path / label
+        expl_path = out / "full_track" / "explanations.json"
+        run_lime_experiment_safe(
+            predictor=predictor,
+            model_time=1.0,
+            explain=True,
+            max_samples_explain=2,
+            dataset_path=dataset,
+            num_samples_lime=32,
+            models_to_explain=["REAL", "SUNO"],
+            ids_to_explain=[0, 1],
+            checkpoint_dir=None,
+            explanations_path=str(expl_path),
+            track_batch=tb,
+        )
+        outs[label] = _json.loads(expl_path.read_text())
+    assert set(outs["serial"]) == set(outs["folded"]) == {"REAL", "SUNO"}
+    for model in outs["serial"]:
+        for track, entry in outs["serial"][model].items():
+            inf_s = entry["explanations"]["component_influences"]
+            inf_g = outs["folded"][model][track]["explanations"]["component_influences"]
+            assert set(inf_s) == set(inf_g)
+            for comp in inf_s:
+                np.testing.assert_allclose(inf_s[comp], inf_g[comp], atol=5e-5,
+                                           err_msg=f"{model}/{track}/{comp}")

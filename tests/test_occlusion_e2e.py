@@ -164,3 +164,21 @@ def test_baseline_threshold_skips(predictor, dataset, tmp_path):
     out = tmp_path / "outskip"
     df = expl.run_experiment(base_path=dataset, output_dir=out, baseline_threshold=1.1)
     assert df.empty
+
+
+def test_occlusion_track_fold_matches_serial(predictor, dataset, tmp_path):
+    """run_experiment with the track-folded analyze precompute
+    (track_batch=4) must reproduce the serial per-file dispatch
+    (track_batch=1) within f32 multi-program reduction-order noise."""
+    df_s = make_explainer(predictor, tmp_path / "a", track_batch=1).run_experiment(
+        base_path=dataset, output_dir=tmp_path / "outs", baseline_threshold=0.0,
+        results_path=tmp_path / "outs" / "r.json",
+    )
+    df_g = make_explainer(predictor, tmp_path / "b", track_batch=4).run_experiment(
+        base_path=dataset, output_dir=tmp_path / "outg", baseline_threshold=0.0,
+        results_path=tmp_path / "outg" / "r.json",
+    )
+    assert list(df_s["file_name"]) == list(df_g["file_name"])
+    for col in ("baseline_pred", "mean_importance", "max_importance",
+                "std_importance"):
+        np.testing.assert_allclose(df_s[col], df_g[col], atol=2e-5, err_msg=col)

@@ -674,3 +674,26 @@ def test_explain_batcher_max_batch_zero_clamped():
         assert out == {"i": 4.0}
     finally:
         batcher.close()
+
+
+def test_warm_explain_batches_traces_each_size():
+    """warm_explain_batches pre-traces T=1 via explain() and each T>1 via
+    explain_many() with T identical synthetic tracks (VERDICT r3 item 4)."""
+    from adx_tpu.serving import warm_explain_batches
+
+    calls = []
+
+    class Stub:
+        kwargs = {"sr": 8000, "duration": 0.25}
+
+        def explain(self, w, sr):
+            calls.append((1, sr, len(w)))
+            return {}
+
+        def explain_many(self, items):
+            calls.append((len(items), items[0][1], len(items[0][0])))
+            return [{}] * len(items)
+
+    warm_explain_batches(Stub(), 3)
+    assert [c[0] for c in calls] == [1, 2, 3]
+    assert all(sr == 8000 and n == 2000 for _, sr, n in calls)
