@@ -129,10 +129,11 @@ def plot_confusion_matrices(df, models, colors, output_dir):
     print(f"✅ Confusion matrices saved: {out_file}")
 
 
-def plot_metrics_table(df, models, output_dir):
-    setup_professional_style()
-    out_dir = Path(output_dir) / "metrics"
-    out_dir.mkdir(parents=True, exist_ok=True)
+def metrics_table_data(df, models):
+    """The performance-table cell values (incl. the reference's ':.3f'
+    string formatting) — split out so tests/test_reference_parity.py can
+    exec the reference's own metrics loop
+    (scripts/run_sonics_pred_vis.py:158-172) next to this one."""
     metrics_data = []
     for model in models:
         df_model = df[(df["model"] == model) & (df["true_binary"] != -1) & (df["pred_binary"] != -1)]
@@ -148,6 +149,14 @@ def plot_metrics_table(df, models, output_dir):
                     "N": f"{len(df_model)}",
                 }
             )
+    return metrics_data
+
+
+def plot_metrics_table(df, models, output_dir):
+    setup_professional_style()
+    out_dir = Path(output_dir) / "metrics"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    metrics_data = metrics_table_data(df, models)
     if not metrics_data:
         print("⚠️ No metrics data")
         return

@@ -784,3 +784,145 @@ def test_normalize_to_lufs_with_tp_parity():
         for k in want_info:
             np.testing.assert_allclose(got_info[k], want_info[k], rtol=0,
                                        atol=0)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4: the last exec-the-reference numpy/pandas surfaces — the
+# predictions-vis metrics table, the occlusion aggregate summary CSV, and the
+# compare-across-runs common-key intersection.
+
+
+def _extract_block(path: Path, start_marker: str, end_marker: str) -> str:
+    lines = path.read_text().splitlines()
+    start = next(i for i, l in enumerate(lines) if start_marker in l)
+    end = next(i for i, l in enumerate(lines[start:], start) if end_marker in l)
+    return textwrap.dedent("\n".join(lines[start : end + 1]))
+
+
+def test_predictions_metrics_table_parity():
+    """The performance-table cell values (incl. ':.3f' formatting) against
+    the reference's own loop (scripts/run_sonics_pred_vis.py:158-172)."""
+    import pandas as pd
+    from sklearn.metrics import (
+        accuracy_score,
+        f1_score,
+        precision_score,
+        recall_score,
+    )
+
+    from adx_tpu.viz.predictions_viz import metrics_table_data
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for model in ("REAL", "SUNO", "UDIO"):
+        for _ in range(13):
+            tb = int(rng.integers(-1, 2))  # includes the -1 sentinel rows
+            pb = int(rng.integers(-1, 2))
+            rows.append({"model": model, "true_binary": tb, "pred_binary": pb})
+    df = pd.DataFrame(rows)
+    models = ["REAL", "SUNO", "UDIO"]
+
+    block = _extract_block(
+        Path("/root/reference/scripts/run_sonics_pred_vis.py"),
+        "metrics_data = []",
+        "if not metrics_data",
+    )
+    block = "\n".join(block.splitlines()[:-1])  # drop the trailing `if`
+    ns = {
+        "df": df, "models": models, "pd": pd,
+        "accuracy_score": accuracy_score, "precision_score": precision_score,
+        "recall_score": recall_score, "f1_score": f1_score,
+    }
+    exec(compile(block, "ref_metrics_block", "exec"), ns)
+    assert ns["metrics_data"] == metrics_table_data(df, models)
+
+
+def test_summary_statistics_csv_parity(tmp_path):
+    """summary_statistics.csv bytes against the reference's groupby block
+    (src/spectrogram_explainability.py:1127-1134)."""
+    import pandas as pd
+
+    from adx_tpu.viz.saliency import visualize_aggregate_results
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "folder": ["REAL"] * 5 + ["SUNO"] * 4,
+        "mean_importance": rng.normal(0.01, 0.02, 9),
+        "max_importance": rng.normal(0.2, 0.05, 9),
+        "min_importance": rng.normal(-0.1, 0.05, 9),
+        "std_importance": np.abs(rng.normal(0.05, 0.01, 9)),
+        "baseline_pred": rng.uniform(0.3, 0.9, 9),
+    })
+    block = _extract_block(
+        REF_SRC / "spectrogram_explainability.py",
+        "summary = results_df.groupby",
+        ").round(4)",
+    )
+    ns = {"results_df": df, "pd": pd}
+    exec(compile(block, "ref_summary_block", "exec"), ns)
+    ns["summary"].to_csv(tmp_path / "want.csv")
+
+    visualize_aggregate_results(df, tmp_path / "out")
+    got = (tmp_path / "out" / "summary_statistics.csv").read_text()
+    assert got == (tmp_path / "want.csv").read_text()
+
+
+def _fbp_fixture_tree(root: Path) -> None:
+    """Two runs × two models; run B misses one (track, component) so the
+    intersection must drop it from BOTH runs."""
+    import json as _json
+
+    bands = lambda seed: [
+        {"component": "mixture", "low": float(lo), "high": float(hi),
+         "importance": round(0.01 * (seed + k), 4),
+         "abs_importance": abs(round(0.01 * (seed + k), 4)),
+         "type": "POSITIVE" if seed + k >= 0 else "NEGATIVE"}
+        for k, (lo, hi) in enumerate([(0, 250), (250, 4000), (4000, 8000)])
+    ]
+    layout = {
+        "minus14/base": {"REAL": ["t1", "t2"], "SUNO": ["t1"]},
+        "minus14/resample22k": {"REAL": ["t1"], "SUNO": ["t1"]},
+    }
+    for run, models in layout.items():
+        for m, tracks in models.items():
+            for i, tr in enumerate(tracks):
+                d = root / run / "FBP" / "bands" / m / tr / "mixture"
+                d.mkdir(parents=True)
+                (d / f"{tr}_bands_metadata.json").write_text(
+                    _json.dumps({"bands": bands(i - 1)})
+                )
+
+
+def test_fbp_runs_intersection_parity(tmp_path):
+    """Common-key intersection + run labels of the FBP runs comparison
+    against the reference's own loaders
+    (scripts/runs_comparision/compare_fbp_results_across_runs.py:60-205)."""
+    import json as _json
+    import re as _re
+
+    import pandas as pd
+
+    from adx_tpu.viz import runs_compare as rc
+
+    _fbp_fixture_tree(tmp_path)
+    roots = [str(tmp_path / "minus14" / "base" / "FBP"),
+             str(tmp_path / "minus14" / "resample22k" / "FBP")]
+
+    ns = _load_reference_defs(
+        Path("/root/reference/scripts/runs_comparision/"
+             "compare_fbp_results_across_runs.py"),
+        ["try_num", "extract_run_label", "load_single_fbp_root",
+         "load_fbp_bands_for_runs"],
+        extra={"pd": pd, "json": _json, "re": _re, "Path": Path,
+               "Sequence": list},
+    )
+    want_df, want_label = ns["load_fbp_bands_for_runs"](roots)
+    got_df, got_label = rc.load_fbp_bands_for_runs(roots)
+
+    assert got_label == want_label
+    # the intersection dropped REAL/t2 (present only in run A)
+    assert "t2" not in set(want_df["track_stem"])
+    cols = sorted(set(want_df.columns) & set(got_df.columns))
+    want_rows = sorted(map(tuple, want_df[cols].itertuples(index=False)))
+    got_rows = sorted(map(tuple, got_df[cols].itertuples(index=False)))
+    assert want_rows == got_rows
