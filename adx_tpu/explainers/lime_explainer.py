@@ -128,6 +128,20 @@ def _precompute_lime_group(
     return out
 
 
+def _lazy_lime_groups(eligible, track_batch: int) -> Dict[int, list]:
+    """Order-chunked group assignment for the just-in-time precompute:
+    sample index → its group's indices. Groups of ``track_batch`` in sweep
+    order (sweeps crop to one duration, so order-chunking loses nothing);
+    mixed lengths inside a chunk still fold per-length inside
+    ``_precompute_lime_group``."""
+    groups: Dict[int, list] = {}
+    for j in range(0, len(eligible), track_batch):
+        g = eligible[j : j + track_batch]
+        for i in g:
+            groups[i] = g
+    return groups
+
+
 def explain_predictions_separate(
     audio_files,
     predictor,
@@ -171,25 +185,20 @@ def explain_predictions_separate(
     if engine is None:
         engine = _get_engine(predictor)
 
-    # track-folded precompute: several tracks' stem-mix sweeps in batched
-    # device programs; any track missing from `pre` runs the serial path
+    # track-folded precompute, JUST-IN-TIME per track_batch group: an
+    # upfront whole-folder precompute would pin every track's 4 device-
+    # resident full-length stems (~85 MB per 120 s track) for the whole
+    # sweep — linear HBM growth and a v5e crash at ~50 tracks. Entries pop
+    # as consumed; any track missing from `pre` runs the serial path.
     pre: Dict[int, tuple] = {}
+    groups: Dict[int, list] = {}
     if engine is not None and track_batch and int(track_batch) > 1:
         eligible = [
             i for i in range(n_samples)
             if i in ids_to_explain and i not in processed_samples
         ]
         if len(eligible) > 1:
-            try:
-                pre = _precompute_lime_group(
-                    eligible, audio_files, model_time, engine,
-                    num_samples_lime, separation_model,
-                    track_batch=int(track_batch),
-                )
-            except Exception as e:  # noqa: BLE001 — serial fallback
-                print(f"⚠️ group precompute failed "
-                      f"({type(e).__name__}: {e}); running serially")
-                pre = {}
+            groups = _lazy_lime_groups(eligible, int(track_batch))
 
     for i in range(n_samples):
         if i not in ids_to_explain:
@@ -197,6 +206,18 @@ def explain_predictions_separate(
         if i in processed_samples:
             print(f"⏭️  Sample {i+1} already processed, skipping...")
             continue
+        if i not in pre and i in groups:
+            try:
+                pre.update(_precompute_lime_group(
+                    groups[i], audio_files, model_time, engine,
+                    num_samples_lime, separation_model,
+                    track_batch=int(track_batch),
+                ))
+            except Exception as e:  # noqa: BLE001 — serial fallback
+                print(f"⚠️ group precompute failed "
+                      f"({type(e).__name__}: {e}); running serially")
+            for j in groups[i]:
+                groups.pop(j, None)
         print(f"\n🔍 Processing sample {i+1}/{n_samples}...")
         try:
             if original_predictions is not None:
@@ -207,7 +228,7 @@ def explain_predictions_separate(
 
             explainer = LimeAudioExplainer(kernel_width=0.25)
             if i in pre:
-                waveform_mono, factorization, data, probs = pre[i]
+                waveform_mono, factorization, data, probs = pre.pop(i)
                 explanation = explainer.fit(
                     data, probs, factorization._components_names, top_labels=1
                 )

@@ -575,33 +575,44 @@ class SpectrogramExplainability:
                     print(f"   Shard {shard_index}/{num_shards}: {len(audio_files)} files")
                 print(f"   Found {len(audio_files)} files")
 
-                # track-folded analyze+baseline for the files this sweep
-                # will actually process (checkpointed files excluded)
+                # track-folded analyze+baseline, JUST-IN-TIME per
+                # track_batch group: an upfront whole-folder precompute
+                # would pin every file's device-resident S/S_db (~127 MB
+                # per 120 s file) for the whole sweep — linear HBM growth
+                # and a v5e crash at ~50 files. Entries pop as consumed.
                 pre: Dict[str, tuple] = {}
+                groups: Dict[str, list] = {}
                 if self.track_batch and int(self.track_batch) > 1:
                     todo_paths = [str(f) for f in audio_files]
                     if self.checkpoint:
                         done = self.checkpoint.load_processed_files()
                         todo_paths = [p for p in todo_paths if p not in done]
-                    if len(todo_paths) > 1:
+                    tb = int(self.track_batch)
+                    for j in range(0, len(todo_paths), tb):
+                        g = todo_paths[j : j + tb]
+                        for p in g:
+                            groups[p] = g
+
+                for idx, audio_file in enumerate(audio_files, 1):
+                    print(f"\n  🎵 [{idx}/{len(audio_files)}] {audio_file.name}")
+                    key = str(audio_file)
+                    if key not in pre and key in groups:
                         try:
-                            pre = self._precompute_group(todo_paths)
+                            pre.update(self._precompute_group(groups[key]))
                         except KeyboardInterrupt:
                             raise
                         except Exception as e:  # noqa: BLE001 — serial fallback
                             print(f"   ⚠️ group precompute failed "
                                   f"({type(e).__name__}: {e}); running serially")
-                            pre = {}
-
-                for idx, audio_file in enumerate(audio_files, 1):
-                    print(f"\n  🎵 [{idx}/{len(audio_files)}] {audio_file.name}")
+                        for p in groups[key]:
+                            groups.pop(p, None)
                     try:
                         result = self.process_audio_file(
-                            audio_path=str(audio_file),
+                            audio_path=key,
                             output_dir=saliency_dir,
                             baseline_threshold=baseline_threshold,
                             folder_name=folder.name,
-                            precomputed=pre.get(str(audio_file)),
+                            precomputed=pre.pop(key, None),
                         )
                     except KeyboardInterrupt:
                         raise

@@ -70,15 +70,17 @@ def extract_all_features_separately(
     # on any batch failure fall back to the serial per-sample path below,
     # so error containment stays per sample
     batched: Dict[int, dict] = {}
-    if device_batch and len(eligible) > 1:
+    if device_batch and eligible:
         by_len: Dict[int, list] = {}
         for i in eligible:
             by_len.setdefault(len(audio_arrays[i]), []).append(i)
         for _ln, idxs in sorted(by_len.items()):
             for j0 in range(0, len(idxs), batch_size):
+                # singletons go through the B=1 batch path too: routing them
+                # to host pyin would make a track's feature numerics depend
+                # on accidental batch grouping (device f32 vs host f64 razor
+                # edges) — adding one file could move ANOTHER file's values
                 sel = idxs[j0 : j0 + batch_size]
-                if len(sel) == 1:
-                    continue  # no win; serial path handles it
                 try:
                     feats = extract_all_features_batch(
                         [audio_arrays[i] for i in sel], sample_rate

@@ -97,15 +97,12 @@ def _to_device_batch(waves: np.ndarray) -> jnp.ndarray:
     """One H2D for a [B, n] float batch, as int16 when every sample is
     exactly 16-bit-PCM-representable (everything decoded from PCM16 WAVs
     is) — half the tunnel bytes, identical float32 values after the device
-    dequant. Same wire rule as ``runtime/engine.py::to_device_wave``."""
-    q = np.round(waves * 32768.0)
-    if (
-        waves.size
-        and q.min() >= -32768
-        and q.max() <= 32767
-        and np.array_equal(q.astype(np.float32) / 32768.0, waves)
-    ):
-        return _dequant16_batch(jnp.asarray(q.astype(np.int16)))
+    dequant. Wire rule owned by ``io/audio_io.py::pcm16_wire``."""
+    from adx_tpu.io.audio_io import pcm16_wire
+
+    q = pcm16_wire(waves)
+    if q is not None:
+        return _dequant16_batch(jnp.asarray(q))
     return jnp.asarray(waves)
 
 
@@ -282,9 +279,24 @@ def extract_features_for_paths(
     for _ln, idxs in sorted(by_len.items()):
         for j0 in range(0, len(idxs), batch_size):
             sel = idxs[j0 : j0 + batch_size]
-            feats = extract_all_features_batch(
-                [waves[i] for i in sel], sr, use_device_pyin=use_device_pyin
-            )
+            try:
+                feats = extract_all_features_batch(
+                    [waves[i] for i in sel], sr, use_device_pyin=use_device_pyin
+                )
+            except Exception as e:  # noqa: BLE001 — one bad batch (transient
+                # tunnel error, device OOM) must not abort the whole feature
+                # stage: retry this batch's files serially, each in its own
+                # containment like the sweep drivers
+                print(f"[WARN] Batched extraction failed for a {len(sel)}-file "
+                      f"batch ({type(e).__name__}: {e}); retrying serially")
+                feats = []
+                for i in sel:
+                    try:
+                        feats.append(extract_all_features(waves[i], sr))
+                    except Exception as ee:  # noqa: BLE001
+                        print(f"[WARN] Failed to extract {paths[i]}: "
+                              f"{type(ee).__name__}: {ee}")
+                        feats.append(None)
             for i, f in zip(sel, feats):
                 out[i] = f
     return out

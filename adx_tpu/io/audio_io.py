@@ -54,6 +54,29 @@ def pcm16_quantize(y: np.ndarray) -> np.ndarray:
     ).astype(np.int16)
 
 
+def pcm16_wire(y: np.ndarray):
+    """int16 wire form of ``y`` when every sample is EXACTLY
+    16-bit-PCM-representable (everything decoded from a PCM16 WAV is),
+    else ``None``.
+
+    Single owner of the wire-format rule (round, ×32768 scale, [min,max]
+    range check — −32768 is a legal full-scale negative — and the
+    roundtrip-equality test) shared by ``runtime/engine.py::to_device_wave``
+    and ``features/extraction.py::_to_device_batch``: hand-rolled copies of
+    this check have drifted before (the 32767→32768 scale fix and the
+    |q|-vs-min/max fix each had to chase twins)."""
+    y = np.asarray(y, np.float32)
+    q = np.round(y * 32768.0)
+    if (
+        y.size
+        and q.min() >= -32768
+        and q.max() <= 32767
+        and np.array_equal(q.astype(np.float32) / 32768.0, y)
+    ):
+        return q.astype(np.int16)
+    return None
+
+
 def pcm16_roundtrip(y: np.ndarray) -> np.ndarray:
     """In-memory twin of ``write_wav(PCM_16)`` + ``read_wav``: the exact
     float values a wave takes after one trip through a 16-bit WAV.  Used

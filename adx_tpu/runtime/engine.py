@@ -808,15 +808,12 @@ class PerturbationEngine:
 
         if isinstance(y, _jax.Array):
             return y
+        from adx_tpu.io.audio_io import pcm16_wire
+
         y = np.asarray(y, np.float32)
-        q = np.round(y * 32768.0)
-        # range check on [min, max], not |q|: -32768 (a PCM16 full-scale
-        # negative, common in clipped masters) is exactly representable and
-        # must take the int16 wire format too
-        if y.size and q.min() >= -32768 and q.max() <= 32767 and np.array_equal(
-            q.astype(np.float32) / 32768.0, y
-        ):
-            return self._dequant16(jnp.asarray(q.astype(np.int16)))
+        q = pcm16_wire(y)  # single owner of the wire-format rule
+        if q is not None:
+            return self._dequant16(jnp.asarray(q))
         return jnp.asarray(y)
 
     def analyze(self, y: np.ndarray):

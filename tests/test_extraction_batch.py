@@ -118,3 +118,42 @@ def test_serial_fallback_flag(tmp_path, rng):
     write_wav(p, w.astype(np.float32), SR)
     out = extract_features_for_paths([p], SR, device_batch=False)
     _assert_close(extract_all_features(w, SR), out[0])
+
+
+def test_pcm16_wire_single_owner():
+    """pcm16_wire owns the int16 wire-format rule (round, x32768 scale,
+    [-32768, 32767] range incl. full-scale negative, roundtrip equality)."""
+    from adx_tpu.io.audio_io import pcm16_wire
+
+    y = np.array([0.5, -1.0, 0.25], np.float32)  # -1.0 -> -32768 is legal
+    q = pcm16_wire(y)
+    assert q is not None and q.dtype == np.int16
+    assert np.array_equal(q, [16384, -32768, 8192])
+    assert np.array_equal(q.astype(np.float32) / 32768.0, y)
+    # not representable -> None (float not on the PCM16 grid)
+    assert pcm16_wire(np.array([0.1], np.float32)) is None
+    # out of range -> None
+    assert pcm16_wire(np.array([1.5], np.float32)) is None
+    assert pcm16_wire(np.array([], np.float32)) is None
+
+
+def test_batch_failure_falls_back_serially(tmp_path, rng, monkeypatch):
+    """One failing device batch must not abort the stage — the helper
+    retries that batch's files serially (per-file containment)."""
+    import adx_tpu.features.extraction as E
+    from adx_tpu.io.audio_io import write_wav
+
+    waves = _waves(rng, n=SR, b=2)
+    paths = []
+    for i, w in enumerate(waves):
+        p = tmp_path / f"f{i}.wav"
+        write_wav(p, w.astype(np.float32), SR)
+        paths.append(p)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic device failure")
+
+    monkeypatch.setattr(E, "extract_all_features_batch", boom)
+    out = E.extract_features_for_paths(paths, SR)
+    assert all(o is not None for o in out)
+    _assert_close(extract_all_features(waves[0], SR), out[0])
