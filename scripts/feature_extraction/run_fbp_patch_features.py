@@ -25,7 +25,7 @@ from adx_tpu.io.results import append_update_features
 def main():
     ap = argparse.ArgumentParser(description="Extract FBP band features")
     ap.add_argument("--config", default=str(ROOT / "configs/FBP_configs" / "fbp_bands_features.yaml"))
-    ap.add_argument("--batch-size", type=int, default=8,
+    ap.add_argument("--batch-size", type=int, default=16,
                     help="Equal-length WAVs folded per device batch")
     ap.add_argument("--serial-features", action="store_true",
                     help="Per-file host-exact extraction (no device batching/pyin)")

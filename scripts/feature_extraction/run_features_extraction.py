@@ -20,7 +20,7 @@ from adx_tpu.parallel.host_shard import add_shard_args, shard_spec_from_args
 def main():
     ap = argparse.ArgumentParser(description="Extract features for audio dataset")
     ap.add_argument("--config", default=str(ROOT / "configs/Features_extraction" / "features_configs.yaml"))
-    ap.add_argument("--batch-size", type=int, default=8,
+    ap.add_argument("--batch-size", type=int, default=16,
                     help="Equal-length tracks folded per device batch")
     ap.add_argument("--serial-features", action="store_true",
                     help="Per-file host-exact extraction (no device batching/pyin)")

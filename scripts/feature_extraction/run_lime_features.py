@@ -24,7 +24,7 @@ from adx_tpu.io.results import append_update_features, safe_stem
 def main():
     ap = argparse.ArgumentParser(description="Extract AudioLIME component features")
     ap.add_argument("--config", default=str(ROOT / "configs/AudioLIME_configs" / "lime_comp_features.yaml"))
-    ap.add_argument("--batch-size", type=int, default=8,
+    ap.add_argument("--batch-size", type=int, default=16,
                     help="Equal-length WAVs folded per device batch")
     ap.add_argument("--serial-features", action="store_true",
                     help="Per-file host-exact extraction (no device batching/pyin)")

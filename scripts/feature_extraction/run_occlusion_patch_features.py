@@ -26,7 +26,7 @@ def main():
         "--config",
         default=str(ROOT / "configs/Spec_occlusion_configs" / "occlusion_patch_features.yaml"),
     )
-    ap.add_argument("--batch-size", type=int, default=8,
+    ap.add_argument("--batch-size", type=int, default=16,
                     help="Equal-length WAVs folded per device batch")
     ap.add_argument("--serial-features", action="store_true",
                     help="Per-file host-exact extraction (no device batching/pyin)")
