@@ -2,6 +2,8 @@
 
 from adx_tpu.features.extraction import (
     extract_all_features,
+    extract_all_features_batch,
+    extract_features_for_paths,
     compute_jitter,
     compute_jitter_extended,
     compute_shimmer,
