@@ -545,7 +545,8 @@ def post_explain(url: str, audio=None, sr: int = 44100,
 
 
 def warm_explain_batches(explain_service: ExplainService, max_batch: int,
-                         sizes: Optional[list] = None) -> None:
+                         sizes: Optional[list] = None,
+                         use_batched_path: bool = True) -> None:
     """Pre-trace the coalesced ``/explain`` programs OFF the request path.
 
     The first coalesced batch of a new size T traces a fresh family of
@@ -564,9 +565,13 @@ def warm_explain_batches(explain_service: ExplainService, max_batch: int,
     w = (0.01 * np.random.default_rng(0).standard_normal(n)).astype(np.float32)
     for T in sizes if sizes is not None else range(1, max_batch + 1):
         t0 = _time.time()
-        if T <= 1:
+        if T <= 1 and not use_batched_path:
             explain_service.explain(w, sr)
         else:
+            # T=1 goes through explain_many too when coalescing is on: the
+            # batcher dispatches lone requests through the SAME *_multi
+            # program family, so warming T=1 via the serial explain() left
+            # the first real single request paying a ~200 s trace (measured)
             explain_service.explain_many([(w, sr)] * T)
         print(f"warmed /explain batch T={T} in {_time.time() - t0:.1f} s",
               flush=True)
@@ -613,10 +618,12 @@ def serve(
         explain_max_batch=explain_max_batch,
     )
     if explain and warm_batches and srv.explain_service is not None:
-        n_warm = explain_max_batch if explain_batch_window_ms > 0 else 1
+        coalescing = explain_batch_window_ms > 0
+        n_warm = explain_max_batch if coalescing else 1
         print(f"pre-tracing /explain batch programs T=1..{n_warm} "
               f"(off the request path)...", flush=True)
-        warm_explain_batches(srv.explain_service, n_warm)
+        warm_explain_batches(srv.explain_service, n_warm,
+                             use_batched_path=coalescing)
     mode = f"batching window {batch_window_ms} ms" if batch_window_ms > 0 else "serialized"
     if explain:
         emode = (f"explain window {explain_batch_window_ms} ms" if

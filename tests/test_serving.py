@@ -687,13 +687,21 @@ def test_warm_explain_batches_traces_each_size():
         kwargs = {"sr": 8000, "duration": 0.25}
 
         def explain(self, w, sr):
-            calls.append((1, sr, len(w)))
+            calls.append(("serial", 1, sr, len(w)))
             return {}
 
         def explain_many(self, items):
-            calls.append((len(items), items[0][1], len(items[0][0])))
+            calls.append(("many", len(items), items[0][1], len(items[0][0])))
             return [{}] * len(items)
 
     warm_explain_batches(Stub(), 3)
-    assert [c[0] for c in calls] == [1, 2, 3]
-    assert all(sr == 8000 and n == 2000 for _, sr, n in calls)
+    # coalescing default: T=1 warms through explain_many too — the batcher
+    # dispatches lone requests through the same *_multi program family
+    # (warming T=1 via explain() left the first real single request paying
+    # a measured ~200 s trace)
+    assert [(k, t) for k, t, *_ in calls] == [("many", 1), ("many", 2), ("many", 3)]
+    assert all(sr == 8000 and n == 2000 for _, _, sr, n in calls)
+
+    calls.clear()
+    warm_explain_batches(Stub(), 1, use_batched_path=False)
+    assert [(k, t) for k, t, *_ in calls] == [("serial", 1)]
