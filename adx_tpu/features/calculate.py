@@ -119,6 +119,8 @@ def extract_features_segmented(
     audio_file_stem: Optional[str] = None,
     segment_duration: float = 10.0,
     sample_rate: int = 44100,
+    device_batch: bool = True,
+    batch_size: int = 16,
 ) -> Dict[str, Dict]:
     if ids_to_get_features is None:
         ids_to_get_features = list(range(1000))
@@ -163,6 +165,8 @@ def extract_features_segmented(
             else None,
             folder_name=segment_dir_name,
             sample_rate=sample_rate,
+            device_batch=device_batch,
+            batch_size=batch_size,
         )
     return results
 
@@ -251,6 +255,8 @@ def run_features_extraction(
                     audio_file_stem=audio_stem,
                     max_duration=model_time,
                     sample_rate=sample_rate,
+                    device_batch=device_batch,
+                    batch_size=batch_size,
                 )
                 entry = merged_segmented_features[folder.name].setdefault(
                     audio_stem, {"type": "segment", "segments": {}}
