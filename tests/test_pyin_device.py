@@ -94,3 +94,22 @@ def test_pyin_batch_validates(rng):
         PD.pyin_batch(_mk(SR, rng), FMIN, FMAX, sr=SR, win_length=2000)
     with pytest.raises(ValueError, match=r"\[B, n\]"):
         PD.pyin_batch(np.zeros(100, np.float32), FMIN, FMAX, sr=SR)
+
+
+def test_pyin_batch_short_signal(rng):
+    """A clip barely longer than one frame decodes without shape errors and
+    matches the host path (identity-step masking covers most of the padded
+    scan)."""
+    n = 3000  # ~2 frames at hop 512
+    t = np.arange(n) / SR
+    w = (0.3 * np.sin(2 * np.pi * 220 * t)
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)[None]
+    f0b, vb, pb = PD.pyin_batch(w, FMIN, FMAX, sr=SR)
+    _assert_matches_host(w, f0b, vb, pb)
+
+
+def test_pyin_batch_b1(rng):
+    """B=1 (the sweep drivers' singleton groups route through here)."""
+    waves = _mk(SR, rng)[:1]
+    f0b, vb, pb = PD.pyin_batch(waves, FMIN, FMAX, sr=SR)
+    _assert_matches_host(waves, f0b, vb, pb)
