@@ -93,14 +93,15 @@ def _precompute_lime_group(
         except Exception as e:  # noqa: BLE001 — the serial loop retries it
             print(f"⚠️ group precompute: failed to load sample {i+1} "
                   f"({type(e).__name__}: {e}); it will run serially")
-    by_len: Dict[int, list] = {}
-    for i, w in loaded.items():
-        by_len.setdefault(len(w), []).append(i)
+    from adx_tpu.batching import equal_length_chunks
 
     data = None
-    for _ln, group in sorted(by_len.items()):
-        for j0 in range(0, len(group), track_batch):
-            sel = group[j0 : j0 + track_batch]
+    for sel in equal_length_chunks(loaded, track_batch):
+        # contain failures PER SUB-BATCH: a transient error in one
+        # length class's sweep must not discard the sub-batches already
+        # computed into `out` (the caller would re-separate and re-sweep
+        # every track of the group serially)
+        try:
             facts = []
             for i in sel:
                 facts.append(SpleeterFactorization(
@@ -109,13 +110,13 @@ def _precompute_lime_group(
                     model_name=separation_model,
                 ))
             if len({f.get_number_components() for f in facts}) != 1:
-                continue  # heterogeneous stems — let the serial path handle
+                continue  # heterogeneous stems — serial path handles
             n_comp = facts[0].get_number_components()
             if data is None or data.shape[1] != n_comp:
                 data = lime_mask_batch(
                     jax.random.key(random_seed), num_samples_lime, n_comp
                 )
-            n = _ln
+            n = len(loaded[sel[0]])
             stems_stack = jnp.stack([
                 jnp.stack([c[:n] for c in f.components]) for f in facts
             ])
@@ -124,7 +125,12 @@ def _precompute_lime_group(
                 track_batch=track_batch,
             )
             for i, fact, probs in zip(sel, facts, probs_list):
-                out[i] = (loaded[i], fact, np.asarray(data), np.asarray(probs))
+                out[i] = (loaded[i], fact, np.asarray(data),
+                          np.asarray(probs))
+        except Exception as e:  # noqa: BLE001 — serial loop retries sel
+            print(f"⚠️ group precompute: sub-batch "
+                  f"{[i + 1 for i in sel]} failed "
+                  f"({type(e).__name__}: {e}); those samples run serially")
     return out
 
 
@@ -197,7 +203,11 @@ def explain_predictions_separate(
             i for i in range(n_samples)
             if i in ids_to_explain and i not in processed_samples
         ]
-        if len(eligible) > 1:
+        # singletons included: a lone eligible file still folds through the
+        # (B=1) multi program so its numerics don't depend on how many
+        # unprocessed peers happen to share the folder (same consistency
+        # rule as the occlusion precompute / extract_all_features_batch)
+        if eligible:
             groups = _lazy_lime_groups(eligible, int(track_batch))
 
     for i in range(n_samples):
@@ -219,16 +229,22 @@ def explain_predictions_separate(
             for j in groups[i]:
                 groups.pop(j, None)
         print(f"\n🔍 Processing sample {i+1}/{n_samples}...")
+        # Pop the precomputed entry BEFORE the try: a per-sample failure
+        # below (e.g. a null model_prediction) must not strand the entry —
+        # each one pins ~85 MB of device-resident stems, and leaking them
+        # across a sweep is the linear HBM growth the just-in-time
+        # precompute exists to avoid.
+        pre_entry = pre.pop(i, None)
         try:
-            if original_predictions is not None:
+            fake_prob = None
+            if original_predictions is not None and i < len(original_predictions):
                 fake_prob = original_predictions[i]
+            if fake_prob is not None:
                 print(f"🔮 Model prediction: {fake_prob:.4f} ({'Fake' if fake_prob > 0.5 else 'Real'})")
-            else:
-                fake_prob = None
 
             explainer = LimeAudioExplainer(kernel_width=0.25)
-            if i in pre:
-                waveform_mono, factorization, data, probs = pre.pop(i)
+            if pre_entry is not None:
+                waveform_mono, factorization, data, probs = pre_entry
                 explanation = explainer.fit(
                     data, probs, factorization._components_names, top_labels=1
                 )

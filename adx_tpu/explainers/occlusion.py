@@ -503,21 +503,22 @@ class SpectrogramExplainability:
             except Exception as e:  # noqa: BLE001 — serial loop retries it
                 print(f"    ⚠️ group precompute: failed to load {p} "
                       f"({type(e).__name__}: {e}); it will run serially")
-        by_len: Dict[int, list] = {}
-        for p, y in loaded.items():
-            by_len.setdefault(len(y), []).append(p)
+        from adx_tpu.batching import equal_length_chunks
+
         out: Dict[str, tuple] = {}
         tb = max(1, int(self.track_batch or 1))
-        for _ln, group in sorted(by_len.items()):
-            for j0 in range(0, len(group), tb):
-                sel = group[j0 : j0 + tb]
-                if len(sel) == 1:
-                    continue  # no fold win; serial path handles it
-                S_m, S_db_m, base_m = self.engine.analyze_and_baseline_multi(
-                    [loaded[p] for p in sel], track_batch=tb
-                )
-                for k, p in enumerate(sel):
-                    out[p] = (loaded[p], S_m[k], S_db_m[k], float(base_m[k]))
+        for sel in equal_length_chunks(loaded, tb):
+            # singleton tails still go through the (B=1) multi program,
+            # NOT the serial analyze path: the vmapped and serial
+            # programs differ by the documented multi-program reduction
+            # noise, so a tail file's numerics must not change just
+            # because an unrelated file joins its group (same
+            # consistency rule as extract_all_features_batch B=1)
+            S_m, S_db_m, base_m = self.engine.analyze_and_baseline_multi(
+                [loaded[p] for p in sel], track_batch=tb
+            )
+            for k, p in enumerate(sel):
+                out[p] = (loaded[p], S_m[k], S_db_m[k], float(base_m[k]))
         return out
 
     def run_experiment(

@@ -71,24 +71,23 @@ def extract_all_features_separately(
     # so error containment stays per sample
     batched: Dict[int, dict] = {}
     if device_batch and eligible:
-        by_len: Dict[int, list] = {}
-        for i in eligible:
-            by_len.setdefault(len(audio_arrays[i]), []).append(i)
-        for _ln, idxs in sorted(by_len.items()):
-            for j0 in range(0, len(idxs), batch_size):
-                # singletons go through the B=1 batch path too: routing them
-                # to host pyin would make a track's feature numerics depend
-                # on accidental batch grouping (device f32 vs host f64 razor
-                # edges) — adding one file could move ANOTHER file's values
-                sel = idxs[j0 : j0 + batch_size]
-                try:
-                    feats = extract_all_features_batch(
-                        [audio_arrays[i] for i in sel], sample_rate
-                    )
-                    batched.update(zip(sel, feats))
-                except Exception as e:  # noqa: BLE001 — fall back serial
-                    print(f"   Warning: batched extraction failed "
-                          f"({type(e).__name__}: {e}); falling back to serial")
+        from adx_tpu.batching import equal_length_chunks
+
+        # singletons go through the B=1 batch path too: routing them
+        # to host pyin would make a track's feature numerics depend
+        # on accidental batch grouping (device f32 vs host f64 razor
+        # edges) — adding one file could move ANOTHER file's values
+        for sel in equal_length_chunks(
+            {i: audio_arrays[i] for i in eligible}, batch_size
+        ):
+            try:
+                feats = extract_all_features_batch(
+                    [audio_arrays[i] for i in sel], sample_rate
+                )
+                batched.update(zip(sel, feats))
+            except Exception as e:  # noqa: BLE001 — fall back serial
+                print(f"   Warning: batched extraction failed "
+                      f"({type(e).__name__}: {e}); falling back to serial")
 
     for i in eligible:
         print(f"   Extracting features from sample {i+1}/{len(audio_arrays)}")

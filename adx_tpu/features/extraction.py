@@ -271,34 +271,37 @@ def extract_features_for_paths(
             print(f"[WARN] Failed to load {p}: {type(e).__name__}: {e}")
     if not device_batch:
         for i, w in waves.items():
-            out[i] = extract_all_features(w, sr)
-        return out
-    by_len = {}
-    for i, w in waves.items():
-        by_len.setdefault(len(w), []).append(i)
-    for _ln, idxs in sorted(by_len.items()):
-        for j0 in range(0, len(idxs), batch_size):
-            sel = idxs[j0 : j0 + batch_size]
             try:
-                feats = extract_all_features_batch(
-                    [waves[i] for i in sel], sr, use_device_pyin=use_device_pyin
-                )
-            except Exception as e:  # noqa: BLE001 — one bad batch (transient
-                # tunnel error, device OOM) must not abort the whole feature
-                # stage: retry this batch's files serially, each in its own
-                # containment like the sweep drivers
-                print(f"[WARN] Batched extraction failed for a {len(sel)}-file "
-                      f"batch ({type(e).__name__}: {e}); retrying serially")
-                feats = []
-                for i in sel:
-                    try:
-                        feats.append(extract_all_features(waves[i], sr))
-                    except Exception as ee:  # noqa: BLE001
-                        print(f"[WARN] Failed to extract {paths[i]}: "
-                              f"{type(ee).__name__}: {ee}")
-                        feats.append(None)
-            for i, f in zip(sel, feats):
-                out[i] = f
+                out[i] = extract_all_features(w, sr)
+            except Exception as e:  # noqa: BLE001 — same per-file
+                # containment as the batched path: one transient device
+                # error must not abort a whole --serial-features stage
+                print(f"[WARN] Failed to extract {paths[i]}: "
+                      f"{type(e).__name__}: {e}")
+        return out
+    from adx_tpu.batching import equal_length_chunks
+
+    for sel in equal_length_chunks(waves, batch_size):
+        try:
+            feats = extract_all_features_batch(
+                [waves[i] for i in sel], sr, use_device_pyin=use_device_pyin
+            )
+        except Exception as e:  # noqa: BLE001 — one bad batch (transient
+            # tunnel error, device OOM) must not abort the whole feature
+            # stage: retry this batch's files serially, each in its own
+            # containment like the sweep drivers
+            print(f"[WARN] Batched extraction failed for a {len(sel)}-file "
+                  f"batch ({type(e).__name__}: {e}); retrying serially")
+            feats = []
+            for i in sel:
+                try:
+                    feats.append(extract_all_features(waves[i], sr))
+                except Exception as ee:  # noqa: BLE001
+                    print(f"[WARN] Failed to extract {paths[i]}: "
+                          f"{type(ee).__name__}: {ee}")
+                    feats.append(None)
+        for i, f in zip(sel, feats):
+            out[i] = f
     return out
 
 

@@ -445,6 +445,7 @@ def make_server(
     explain_kwargs: Optional[dict] = None,
     explain_batch_window_ms: float = 0.0,
     explain_max_batch: int = 4,
+    explain_service: Optional["ExplainService"] = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; call ``serve_forever()``.
 
@@ -459,11 +460,18 @@ def make_server(
     ``explain_batch_window_ms > 0`` additionally coalesces concurrent
     ``/explain`` requests into one multi-track batched explanation
     (``ExplainBatcher`` over the engine's ``*_multi`` sweeps).
+
+    ``explain_service`` accepts a pre-built (e.g. pre-warmed) service; the
+    constructor binds and listens immediately, so any warm-up that must
+    finish before clients can connect has to happen BEFORE this call —
+    connections accepted into the backlog during a minutes-long cold trace
+    just hang, which reads as an outage to health checkers.
     """
     batcher = MicroBatcher(predictor, batch_window_ms) if batch_window_ms > 0 else None
-    explain_service = (
-        ExplainService(predictor, **explain_kwargs) if explain_kwargs is not None else None
-    )
+    if explain_service is None:
+        explain_service = (
+            ExplainService(predictor, **explain_kwargs) if explain_kwargs is not None else None
+        )
     explain_batcher = (
         ExplainBatcher(explain_service, explain_batch_window_ms, explain_max_batch)
         if explain_service is not None and explain_batch_window_ms > 0 else None
@@ -610,20 +618,26 @@ def serve(
         np.zeros(predictor.cfg.audio.n_samples, np.float32),
         predictor.cfg.audio.sample_rate,
     )
+    # build + warm the explain service BEFORE the server binds: the
+    # HTTPServer constructor starts listening, and connections queued into
+    # the backlog during a minutes-long cold trace hang silently — the
+    # exact first-request tail --warm-batches exists to avoid
+    explain_service = ExplainService(predictor) if explain else None
+    if explain and warm_batches and explain_service is not None:
+        coalescing = explain_batch_window_ms > 0
+        n_warm = explain_max_batch if coalescing else 1
+        print(f"pre-tracing /explain batch programs T=1..{n_warm} "
+              f"(before binding, off the request path)...", flush=True)
+        warm_explain_batches(explain_service, n_warm,
+                             use_batched_path=coalescing)
     srv = make_server(
         predictor, host=host, port=port, model_name=model,
         batch_window_ms=batch_window_ms,
         explain_kwargs={} if explain else None,
         explain_batch_window_ms=explain_batch_window_ms,
         explain_max_batch=explain_max_batch,
+        explain_service=explain_service,
     )
-    if explain and warm_batches and srv.explain_service is not None:
-        coalescing = explain_batch_window_ms > 0
-        n_warm = explain_max_batch if coalescing else 1
-        print(f"pre-tracing /explain batch programs T=1..{n_warm} "
-              f"(off the request path)...", flush=True)
-        warm_explain_batches(srv.explain_service, n_warm,
-                             use_batched_path=coalescing)
     mode = f"batching window {batch_window_ms} ms" if batch_window_ms > 0 else "serialized"
     if explain:
         emode = (f"explain window {explain_batch_window_ms} ms" if

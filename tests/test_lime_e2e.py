@@ -338,6 +338,29 @@ def test_per_sample_viz_tolerates_null_model_prediction(tmp_path):
     assert (tmp_path / "viz" / "REAL" / "s0").exists()
 
 
+def test_lime_null_prediction_does_not_drop_sample(predictor, dataset, tmp_path):
+    """original_predictions entries can be None (the reference's segmented
+    writer emits model_prediction: null) — such a sample must still be
+    explained, not fail formatting inside the try and silently leak its
+    precomputed device stems."""
+    from adx_tpu.explainers.lime_explainer import explain_predictions_separate
+
+    files = sorted((dataset / "REAL").glob("*.wav"))
+    info = explain_predictions_separate(
+        files, predictor, model_time=1.0, max_samples=2,
+        original_predictions=[None, 0.7], num_samples_lime=16,
+        ids_to_explain=[0, 1], track_batch=2,
+    )
+    stems = {p.stem for p in files}
+    assert set(info) == stems
+    by_stem = {k: v for k, v in info.items()}
+    none_entry = by_stem[files[0].stem]
+    assert none_entry["model_prediction"] is None
+    assert none_entry["predicted_class"] is None
+    assert set(none_entry["component_influences"]) == {
+        "vocals0", "drums0", "bass0", "other0"}
+
+
 def test_lime_track_fold_matches_serial(predictor, dataset, tmp_path):
     """run_lime_experiment_safe with the track-folded stem-mix precompute
     (track_batch=4) must reproduce the serial explain_instance path
