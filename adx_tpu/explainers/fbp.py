@@ -450,6 +450,7 @@ class FrequencyBandPerturbation:
                     self._save_frequency_band_importances(
                         comp_result.batch_importances or [], file_name, comp_output_dir
                     )
+                    _t_render = time.time()
                     visualize_fbp_saliency(
                         importance_map=comp_result.importance_map,
                         spectrogram_db=comp_result.spectrogram_db,
@@ -460,6 +461,9 @@ class FrequencyBandPerturbation:
                         highlight_percent=20.0,
                         abs_threshold=None,
                     )
+                    if self.profiler:
+                        self.profiler.record("Rendering saliency figure",
+                                             time.time() - _t_render)
 
                 all_batch_importances = [b for bands in comp_bands.values() for b in bands]
                 visualize_file_bands(

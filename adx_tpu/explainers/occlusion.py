@@ -16,6 +16,7 @@ generated and reduced entirely on device.
 from __future__ import annotations
 
 import os
+import time
 from datetime import datetime
 from pathlib import Path
 from typing import Any, Dict, List, NamedTuple, Optional
@@ -449,6 +450,7 @@ class SpectrogramExplainability:
 
         output_path = track_output_dir / f"saliency_{file_name}.png"
         method_name = "RISE" if self.method == "rise" else "Occlusion"
+        _t_render = time.time()
         visualize_spectrogram_saliency(
             importance_map=result.importance_map,
             spectrogram_db=result.spectrogram_db,
@@ -462,6 +464,8 @@ class SpectrogramExplainability:
             abs_threshold=self.abs_threshold,
             spec_type=self.spec_type,
         )
+        if self.profiler:
+            self.profiler.record("Rendering saliency figure", time.time() - _t_render)
 
         if self.method == "occlusion" and result.patch_importances is not None:
             windows_dir = track_output_dir / "top_windows"

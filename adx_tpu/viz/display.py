@@ -9,11 +9,44 @@ mel-scaled frequency tick labeling.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
 
 from adx_tpu.ops.mel import hz_to_mel, mel_to_hz
+
+# Column budget for DISPLAY-ONLY decimation of wide spectrogram/saliency
+# arrays. 5400 = the widest figure in the repo (18 in) × the highest save
+# dpi (300) — every axes raster is strictly narrower, so the Agg renderer
+# was going to nearest-downsample past this anyway; pre-decimating just
+# moves the (identical-policy) nearest pick before the O(cells) colormap
+# pass. A 120 s track is 10,336 frames → ~1.9× fewer cells per panel,
+# measured 3× on the FBP 4-panel figure. Values plotted are real data
+# columns (subsampling, never averaging); stats/masks stay full-res at the
+# call sites. Opt out with ADX_TPU_DISPLAY_MAX_COLS=0.
+_DISPLAY_MAX_COLS_DEFAULT = 5400
+
+
+def display_col_index(n_time: int, max_cols: Optional[int] = None) -> Optional[np.ndarray]:
+    """Column subsample index for display-only decimation, or ``None``.
+
+    Returns ``None`` when no decimation is needed (``n_time`` within
+    budget) or it is disabled (``ADX_TPU_DISPLAY_MAX_COLS=0``). The index
+    samples at output-pixel centers (``floor((i+0.5)·n/m)``), the same
+    nearest-neighbor policy Agg applies when rasterizing, so each rendered
+    pixel still shows a real data column."""
+    mc = max_cols
+    if mc is None:
+        try:
+            mc = int(os.environ.get("ADX_TPU_DISPLAY_MAX_COLS",
+                                    _DISPLAY_MAX_COLS_DEFAULT))
+        except ValueError:
+            mc = _DISPLAY_MAX_COLS_DEFAULT
+    if mc <= 0 or n_time <= mc:
+        return None
+    idx = np.floor((np.arange(mc) + 0.5) * (n_time / mc)).astype(int)
+    return np.minimum(idx, n_time - 1)
 
 
 def specshow(
@@ -36,7 +69,15 @@ def specshow(
     if ax is None:
         ax = plt.gca()
     n_freq, n_time = data.shape
+    # time extent from the ORIGINAL frame count — display decimation below
+    # must not change the axes coordinates
     t_max = n_time * hop_length / sr
+    dec = display_col_index(n_time)
+    if dec is not None:
+        data = np.asarray(data)[:, dec]
+        if isinstance(alpha, np.ndarray) and alpha.ndim == 2:
+            alpha = alpha[:, dec]
+        n_time = data.shape[1]
 
     if y_axis == "log":
         # librosa's y_axis='log': linear bin frequencies on a base-2 symlog

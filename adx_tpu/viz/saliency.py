@@ -20,7 +20,7 @@ import pandas as pd
 import seaborn as sns
 
 from adx_tpu.ops.mel import fft_frequencies
-from adx_tpu.viz.display import specshow
+from adx_tpu.viz.display import display_col_index, specshow
 
 
 def _importance_mask(importance_map, highlight_percent, abs_threshold):
@@ -153,6 +153,14 @@ def visualize_fbp_saliency(
     filtered_map = np.full_like(importance_map, np.nan)
     filtered_map[mask] = importance_map[mask]
 
+    # display-only column decimation (stats/mask above are full-res); the
+    # explicit extent keeps the frame-index x coordinates of the full map,
+    # so ticks and data coords are unchanged
+    n_t = importance_map.shape[1]
+    dec = display_col_index(n_t)
+    _d = (lambda a: a[:, dec]) if dec is not None else (lambda a: a)
+    ext = (-0.5, n_t - 0.5, -0.5, n_freq - 0.5)
+
     fig, axes = plt.subplots(4, 1, figsize=(18, 16))
 
     img1 = specshow(
@@ -165,8 +173,9 @@ def visualize_fbp_saliency(
 
     fullmap_absmax = np.max(np.abs(importance_map))
     im2 = axes[1].imshow(
-        importance_map, aspect="auto", origin="lower", cmap="seismic",
+        _d(importance_map), aspect="auto", origin="lower", cmap="seismic",
         interpolation="none", vmin=-fullmap_absmax, vmax=fullmap_absmax,
+        extent=ext,
     )
     axes[1].set_title("Full Importance (Δ Prediction)", fontsize=13, fontweight="bold")
     axes[1].set_ylabel("Frequency (Hz)", fontsize=11)
@@ -175,8 +184,9 @@ def visualize_fbp_saliency(
     plt.colorbar(im2, ax=axes[1], label="Importance (Δ prediction)", orientation="vertical")
 
     im3 = axes[2].imshow(
-        filtered_map, aspect="auto", origin="lower", cmap="seismic",
+        _d(filtered_map), aspect="auto", origin="lower", cmap="seismic",
         interpolation="none", vmin=-fullmap_absmax, vmax=fullmap_absmax,
+        extent=ext,
     )
     axes[2].set_title(f"Highlighted Importance ({maskinfo})", fontsize=13, fontweight="bold")
     axes[2].set_ylabel("Frequency (Hz)", fontsize=11)
@@ -186,11 +196,12 @@ def visualize_fbp_saliency(
 
     alpha_mask = np.zeros_like(importance_map, dtype=float) + 0.20
     alpha_mask[mask] = 0.65
-    axes[3].imshow(spectrogram_db, aspect="auto", origin="lower", cmap="gray", alpha=0.92)
+    axes[3].imshow(_d(spectrogram_db), aspect="auto", origin="lower",
+                   cmap="gray", alpha=0.92, extent=ext)
     axes[3].imshow(
-        importance_map, aspect="auto", origin="lower", cmap="seismic",
-        alpha=alpha_mask, vmin=-fullmap_absmax, vmax=fullmap_absmax,
-        interpolation="none",
+        _d(importance_map), aspect="auto", origin="lower", cmap="seismic",
+        alpha=_d(alpha_mask), vmin=-fullmap_absmax, vmax=fullmap_absmax,
+        interpolation="none", extent=ext,
     )
     axes[3].set_title(
         f"Spectrogram + FBP saliency\nHighlighted: {maskinfo} (alpha=1 core, 0.25 background)",

@@ -214,6 +214,18 @@ def main():
     print("\n📊 Generating visualizations...")
     viz_dir = output_dir / "aggregate_visualizations"
     try:
+        # Enrich with the per-file band metadata saved during the run —
+        # exactly what the --visualize-only path does. The reference ships
+        # its per-row "bands" key commented out (src/dsp_band_ops.py:852),
+        # so ITS end-of-run aggregate viz always prints "No bands data" and
+        # writes nothing; deviate where broken (the JSON/CSV outputs are
+        # untouched — bands live only in the in-memory frame).
+        bands_root = Path(args.bands_root) if args.bands_root else output_dir / "bands"
+        if not df.empty and bands_root.exists():
+            df = df.copy()
+            df["bands"] = df.apply(
+                lambda row: load_all_bands(row["folder"], row["file_name"], bands_root), axis=1
+            )
         fbp.visualize_results(df, output_dir=viz_dir)
         print("   ✅ Result visualizations")
     except Exception as e:

@@ -155,3 +155,63 @@ def test_lime_audio_save_arm_skips_visualization(tmp_path, monkeypatch):
     ])
     mod.main()  # returns without SystemExit and without visualizing
     assert ran["safe"]
+
+
+def test_fbp_end_of_run_renders_aggregates(tmp_path, monkeypatch):
+    """A fresh full FBP experiment run must end with non-empty aggregate
+    visualizations. The reference ships its per-row 'bands' key commented
+    out (src/dsp_band_ops.py:852) so ITS end-of-run aggregate pass always
+    prints 'No bands data' and writes nothing — we deviate where broken by
+    re-loading the per-file bands metadata the run just saved (same
+    enrichment the --visualize-only path already does)."""
+    import importlib
+
+    import numpy as np
+    import yaml
+
+    from adx_tpu.io.audio_io import write_wav
+
+    mod = importlib.import_module("run_FBP_experiment")
+
+    sr = 8000
+    data = tmp_path / "Data"
+    rng = np.random.default_rng(0)
+    n = sr // 2
+    t = np.arange(n) / sr
+    for model in ["REAL", "SUNO"]:
+        for i in range(2):
+            y = 0.4 * np.sin(2 * np.pi * (300 + 200 * i) * t) + 0.05 * rng.standard_normal(n)
+            write_wav(data / model / f"track_{i}.wav", y.astype(np.float32), sr)
+
+    cfg = {
+        "dataset": {"base_path": str(data),
+                    "models_to_process": ["REAL", "SUNO"],
+                    "max_samples_per_model": 2},
+        "model": {"local": True, "local_model": "tiny"},
+        "bands": {"preset": "default",
+                  "presets": {"default": [[100, 500], [500, 1500]]},
+                  "attenuation": 0.25,
+                  "transition": {"mode": "abs", "hz": 50.0}},
+        "spectrogram": {"sr": sr, "duration": 0.5, "n_fft": 256,
+                        "hop_length": 128, "win_length": 256,
+                        "spec_type": "stft"},
+        "explainability": {"use_separation": False,
+                           "normalize_loudness": True},
+        "output": {"result_path": str(tmp_path / "res"),
+                   "experiment_name": "E"},
+        "checkpoint": {"enabled": False},
+    }
+    cfg_path = tmp_path / "fbp.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_FBP_experiment.py", "--config", str(cfg_path), "--no-checkpoint",
+    ])
+    mod.main()
+
+    viz = tmp_path / "res" / "E" / "aggregate_visualizations"
+    pngs = {p.name for p in viz.glob("*.png")}
+    # the band-level families require the re-loaded bands; presence of
+    # heatmap_model_x_band.png is the regression gate
+    assert "heatmap_model_x_band.png" in pngs, pngs
+    assert len(pngs) >= 4
