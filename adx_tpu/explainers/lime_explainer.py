@@ -10,6 +10,7 @@ class it worked around does not exist here, SURVEY.md §5.2).
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -84,6 +85,7 @@ def _precompute_lime_group(
 
     out: Dict[int, tuple] = {}
     loaded: Dict[int, tuple] = {}
+    t_load = time.time()
     for i in idxs:
         try:
             w, _ = load_audio(audio_files[i], sr=44100, mono=True, offset=0,
@@ -93,6 +95,8 @@ def _precompute_lime_group(
         except Exception as e:  # noqa: BLE001 — the serial loop retries it
             print(f"⚠️ group precompute: failed to load sample {i+1} "
                   f"({type(e).__name__}: {e}); it will run serially")
+    t_load = time.time() - t_load
+    t_sep = t_sweep = 0.0
     from adx_tpu.batching import equal_length_chunks
 
     data = None
@@ -102,6 +106,7 @@ def _precompute_lime_group(
         # computed into `out` (the caller would re-separate and re-sweep
         # every track of the group serially)
         try:
+            t0 = time.time()
             facts = []
             for i in sel:
                 facts.append(SpleeterFactorization(
@@ -120,10 +125,13 @@ def _precompute_lime_group(
             stems_stack = jnp.stack([
                 jnp.stack([c[:n] for c in f.components]) for f in facts
             ])
+            t_sep += time.time() - t0
+            t0 = time.time()
             probs_list = engine.stem_mix_probs_multi(
                 stems_stack, [np.asarray(data)] * len(sel),
                 track_batch=track_batch,
             )
+            t_sweep += time.time() - t0
             for i, fact, probs in zip(sel, facts, probs_list):
                 out[i] = (loaded[i], fact, np.asarray(data),
                           np.asarray(probs))
@@ -131,6 +139,8 @@ def _precompute_lime_group(
             print(f"⚠️ group precompute: sub-batch "
                   f"{[i + 1 for i in sel]} failed "
                   f"({type(e).__name__}: {e}); those samples run serially")
+    print(f"⏱️ group precompute [{len(out)}/{len(idxs)} tracks]: "
+          f"load {t_load:.1f}s, separate {t_sep:.1f}s, sweep {t_sweep:.1f}s")
     return out
 
 
@@ -229,6 +239,7 @@ def explain_predictions_separate(
             for j in groups[i]:
                 groups.pop(j, None)
         print(f"\n🔍 Processing sample {i+1}/{n_samples}...")
+        _t_sample = time.time()
         # Pop the precomputed entry BEFORE the try: a per-sample failure
         # below (e.g. a null model_prediction) must not strand the entry —
         # each one pins ~85 MB of device-resident stems, and leaking them
@@ -319,7 +330,8 @@ def explain_predictions_separate(
                     prefix=safe_name,
                 )
 
-            print(f"✅ Finished processing sample {i+1}.")
+            print(f"✅ Finished processing sample {i+1} "
+                  f"({time.time() - _t_sample:.1f}s).")
             print("📊 Components influence:")
             for component, weight in influences.items():
                 print(f"  {component}: {weight:.4f}")
@@ -500,9 +512,11 @@ def run_lime_experiment_safe(
         original_probs = None
         if not save_separated_audio_only and not save_reversed_separated_audio_only:
             print(f"   Getting predictions for {len(all_audio)} files...")
+            _t_pred = time.time()
             original_probs = predict_batch_from_files(
                 predictor, all_audio, verbose=True, sr=44100, duration=model_time
             )
+            print(f"   ⏱️ predictions phase: {time.time() - _t_pred:.1f}s")
             results[folder.name] = [prob > 0.5 for prob in original_probs]
 
         if explain:
