@@ -65,6 +65,7 @@ def _precompute_lime_group(
     separation_model: str,
     random_seed: int = 0,
     track_batch: int = 4,
+    preloaded_waves: Optional[Dict[int, np.ndarray]] = None,
 ) -> Dict[int, tuple]:
     """Fold several tracks' LIME sweeps into batched device programs
     (``engine.stem_mix_probs_multi``) — the FBP ``_precompute_group``
@@ -88,8 +89,13 @@ def _precompute_lime_group(
     t_load = time.time()
     for i in idxs:
         try:
-            w, _ = load_audio(audio_files[i], sr=44100, mono=True, offset=0,
-                              duration=model_time)
+            if preloaded_waves is not None and i in preloaded_waves:
+                # decoded once already, by the predictions phase (identical
+                # load_audio parameters — see run_lime_experiment_safe)
+                w = preloaded_waves[i]
+            else:
+                w, _ = load_audio(audio_files[i], sr=44100, mono=True,
+                                  offset=0, duration=model_time)
             w = w[0] if w.ndim > 1 else w
             loaded[i] = w
         except Exception as e:  # noqa: BLE001 — the serial loop retries it
@@ -174,8 +180,14 @@ def explain_predictions_separate(
     engine: Optional[PerturbationEngine] = None,
     separation_model: str = "spleeter:4stems",
     track_batch: Optional[int] = 4,
+    preloaded_waves: Optional[Dict[int, np.ndarray]] = None,
 ):
     """LIME-explain a set of audio files (full-track mode).
+
+    ``preloaded_waves`` maps sample index → waveform already decoded with
+    the SAME parameters this function would use (sr=44100, offset 0,
+    duration=``model_time``) — the experiment driver passes the waves its
+    predictions phase just decoded so each WAV is decoded once per run.
 
     ``track_batch`` > 1 folds that many tracks' stem-mix sweeps into
     batched device programs before the per-sample loop (the underfilled
@@ -232,6 +244,7 @@ def explain_predictions_separate(
                     groups[i], audio_files, model_time, engine,
                     num_samples_lime, separation_model,
                     track_batch=int(track_batch),
+                    preloaded_waves=preloaded_waves,
                 ))
             except Exception as e:  # noqa: BLE001 — serial fallback
                 print(f"⚠️ group precompute failed "
@@ -265,9 +278,12 @@ def explain_predictions_separate(
                 # all) and INSIDE the per-sample try: one truncated WAV must
                 # not abort the remaining dataset, same contract as the
                 # occlusion sweep
-                waveform, _ = load_audio(
-                    audio_files[i], sr=44100, mono=True, offset=0, duration=model_time
-                )
+                if preloaded_waves is not None and i in preloaded_waves:
+                    waveform = preloaded_waves[i]
+                else:
+                    waveform, _ = load_audio(
+                        audio_files[i], sr=44100, mono=True, offset=0, duration=model_time
+                    )
                 waveform_mono = waveform[0] if waveform.ndim > 1 else waveform
 
                 fact_input = waveform_mono
@@ -510,11 +526,22 @@ def run_lime_experiment_safe(
             continue
 
         original_probs = None
+        # decode-once: collect the predictions phase's decoded waves for the
+        # explain phase below (same load_audio parameters there), capped so a
+        # huge folder can't pin GBs of host RAM (16 × 120 s f32 ≈ 340 MB).
+        # RemoteSonics ignores waves_out (it posts files) → dict stays empty
+        # and the explain phase decodes as before.
+        folder_waves: Optional[Dict[int, np.ndarray]] = (
+            {} if explain and full_track_explanations and len(all_audio) <= 16
+            else None
+        )
         if not save_separated_audio_only and not save_reversed_separated_audio_only:
             print(f"   Getting predictions for {len(all_audio)} files...")
             _t_pred = time.time()
             original_probs = predict_batch_from_files(
-                predictor, all_audio, verbose=True, sr=44100, duration=model_time
+                predictor, all_audio, verbose=True, sr=44100,
+                duration=model_time,
+                **({"waves_out": folder_waves} if folder_waves is not None else {}),
             )
             print(f"   ⏱️ predictions phase: {time.time() - _t_pred:.1f}s")
             results[folder.name] = [prob > 0.5 for prob in original_probs]
@@ -564,7 +591,9 @@ def run_lime_experiment_safe(
                     engine=engine,
                     separation_model=separation_model,
                     track_batch=track_batch,
+                    preloaded_waves=folder_waves or None,
                 )
+                folder_waves = None  # release before the next folder
 
             if segmented_explanations:
                 print(f"\n🔊 Processing segmented explanations for folder: {folder.name}")

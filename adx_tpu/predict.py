@@ -166,6 +166,7 @@ class LocalSonics:
         sr: int = 44100,
         duration: Optional[float] = None,
         verbose: bool = True,
+        waves_out: Optional[dict] = None,
         **kwargs,
     ) -> List[float]:
         """Batched dataset sweep (reference surface: src/sonics_api.py:289-317,
@@ -177,6 +178,11 @@ class LocalSonics:
         Per-row true lengths ride along so ``predict_batch`` can zero each
         row's resample tail — batched results equal the single-file path
         EXACTLY even when group members have different lengths.
+
+        ``waves_out`` (a dict) collects the successfully decoded waveforms
+        as ``{index: float32 wave}`` so a caller that needs the same audio
+        next (e.g. the LIME explain phase) doesn't decode every WAV twice —
+        pass it only for datasets small enough to hold in host RAM.
         """
         probs: List[float] = []
         paths = list(audio_paths)
@@ -188,7 +194,10 @@ class LocalSonics:
                     print(f"   Predicting {idx+1}/{len(paths)}: {Path(path).name}")
                 try:
                     y, _ = load_audio(path, sr=sr, duration=duration, mono=True)
-                    waves.append(np.asarray(y, np.float32))
+                    w = np.asarray(y, np.float32)
+                    waves.append(w)
+                    if waves_out is not None:
+                        waves_out[idx] = w
                 except Exception as e:  # noqa: BLE001 — degrade per file
                     # e.g. mp3 without ffmpeg in the image: skip the file
                     # (NaN marker) instead of killing the dataset sweep

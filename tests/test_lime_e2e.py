@@ -394,3 +394,55 @@ def test_lime_track_fold_matches_serial(predictor, dataset, tmp_path):
             for comp in inf_s:
                 np.testing.assert_allclose(inf_s[comp], inf_g[comp], atol=5e-5,
                                            err_msg=f"{model}/{track}/{comp}")
+
+
+def test_lime_decode_once_matches_and_skips_second_decode(predictor, dataset, tmp_path, monkeypatch):
+    """The experiment driver hands the predictions phase's decoded waves to
+    the explain phase (decode-once): each WAV must be load_audio'd exactly
+    once per run, and the explanations must be IDENTICAL to a run without
+    the preload (same array feeds both paths)."""
+    import adx_tpu.explainers.lime_explainer as lx
+    import adx_tpu.predict as predict_mod
+    from adx_tpu.io import audio_io
+
+    real_load = audio_io.load_audio
+    counts = {}
+
+    def counting_load(path, *a, **kw):
+        counts[str(path)] = counts.get(str(path), 0) + 1
+        return real_load(path, *a, **kw)
+
+    # both modules import load_audio by name
+    monkeypatch.setattr(lx, "load_audio", counting_load)
+    monkeypatch.setattr(predict_mod, "load_audio", counting_load)
+
+    def run(out):
+        expl = out / "full_track" / "explanations.json"
+        run_lime_experiment_safe(
+            predictor=predictor, model_time=1.0, explain=True,
+            max_samples_explain=2, dataset_path=dataset,
+            num_samples_lime=16, models_to_explain=["REAL", "SUNO"],
+            ids_to_explain=[0, 1], explanations_path=str(expl),
+            track_batch=2,
+        )
+        return json.loads(expl.read_text())
+
+    counts.clear()
+    got = run(tmp_path / "once")
+    assert counts and all(c == 1 for c in counts.values()), counts
+
+    # disable the preload (cap excluded by a 0-size dict? simplest: huge
+    # folder threshold bypass via monkeypatching the explain entry to drop
+    # the kwarg) — compare against the double-decode baseline
+    real_explain = lx.explain_predictions_separate
+
+    def no_preload(*a, **kw):
+        kw["preloaded_waves"] = None
+        return real_explain(*a, **kw)
+
+    monkeypatch.setattr(lx, "explain_predictions_separate", no_preload)
+    counts.clear()
+    base = run(tmp_path / "twice")
+    assert any(c == 2 for c in counts.values()), counts
+
+    assert got == base  # bit-identical JSON: same decoded array in both paths
