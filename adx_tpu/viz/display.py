@@ -49,6 +49,46 @@ def display_col_index(n_time: int, max_cols: Optional[int] = None) -> Optional[n
     return np.minimum(idx, n_time - 1)
 
 
+def envelope_decimate(times, values, max_bins: Optional[int] = None):
+    """Min/max envelope decimation for waveform LINE plots.
+
+    A line plot of N ≫ raster-width samples paints, per pixel column,
+    exactly the vertical span [min, max] of the samples in that column —
+    so emitting two points (bin-min, bin-max) per column reproduces the
+    rendered envelope while cutting a 5.3M-point 120 s waveform to ~11k
+    points (plot time seconds → milliseconds). Within-column stroke
+    density under alpha blending differs slightly; same knob as the image
+    decimation (``ADX_TPU_DISPLAY_MAX_COLS``, 0 disables).
+
+    Returns ``(times', values')`` — the inputs unchanged when short
+    enough or disabled."""
+    values = np.asarray(values)
+    times = np.asarray(times)
+    n = values.shape[-1]
+    mc = max_bins
+    if mc is None:
+        try:
+            mc = int(os.environ.get("ADX_TPU_DISPLAY_MAX_COLS",
+                                    _DISPLAY_MAX_COLS_DEFAULT))
+        except ValueError:
+            mc = _DISPLAY_MAX_COLS_DEFAULT
+    if mc <= 0 or n <= 2 * mc or len(times) != n:
+        return times, values
+    edges = np.floor(np.arange(mc + 1) * (n / mc)).astype(int)
+    edges[-1] = n
+    starts = edges[:-1]
+    vmin = np.minimum.reduceat(values, starts)
+    vmax = np.maximum.reduceat(values, starts)
+    # min first then max per bin: the polyline zig-zags through each
+    # column's full span, exactly the ink a full-resolution plot leaves
+    t_bin = times[np.minimum(starts + (np.diff(edges) // 2), n - 1)]
+    out_t = np.repeat(t_bin, 2)
+    out_v = np.empty(2 * mc, values.dtype)
+    out_v[0::2] = vmin
+    out_v[1::2] = vmax
+    return out_t, out_v
+
+
 def specshow(
     data: np.ndarray,
     sr: int = 44100,

@@ -21,13 +21,13 @@ from adx_tpu.features.extraction import compute_rhythm_stats, compute_rms_envelo
 from adx_tpu.ops.db import amplitude_to_db
 from adx_tpu.ops.mel import hz_to_mel, melspectrogram
 from adx_tpu.ops.stft import stft
-from adx_tpu.viz.display import specshow
+from adx_tpu.viz.display import envelope_decimate, specshow
 
 
 def plot_waveform(audio, sr=44100, title="Waveform", output_path=None):
     plt.figure(figsize=(10, 4))
     times = np.arange(len(audio)) / sr
-    plt.plot(times, audio, linewidth=0.5)
+    plt.plot(*envelope_decimate(times, audio), linewidth=0.5)
     plt.title(title)
     plt.xlabel("Time [s]")
     plt.ylabel("Amplitude")
@@ -169,11 +169,12 @@ def plot_spectral_summary(audio, sr=44100, output_dir=None, prefix=""):
 def plot_all_waveforms(original_audio, components, component_names, sr, output_path, prefix=""):
     n_comps = len(components)
     fig, axs = plt.subplots(n_comps + 1, 1, figsize=(12, 2.5 * (n_comps + 1)))
-    axs[0].plot(original_audio, color="grey")
+    _idx0 = np.arange(len(original_audio))
+    axs[0].plot(*envelope_decimate(_idx0, original_audio), color="grey")
     axs[0].set_title("Original Audio - Waveform")
     axs[0].set_xlim(0, len(original_audio))
     for i, (audio, name) in enumerate(zip(components, component_names)):
-        axs[i + 1].plot(audio)
+        axs[i + 1].plot(*envelope_decimate(np.arange(len(audio)), audio))
         axs[i + 1].set_title(f"{name.capitalize()} - Waveform")
         axs[i + 1].set_xlim(0, len(audio))
     plt.tight_layout(pad=2.0)

@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import seaborn as sns
 
+from adx_tpu.viz.display import envelope_decimate
+
 
 def _normalize_model_name(folder_lower: str):
     """Folder → canonical model name (reference: src/lime_visualizations.py:19-33)."""
@@ -318,7 +320,10 @@ def plot_waveforms_overlay_with_influences(
     plt.figure(figsize=figsize)
     duration = len(original_audio) / sr
     times = np.linspace(0, duration, len(original_audio))
-    plt.plot(times, original_audio, color="grey", linewidth=1.1, alpha=0.55, label="Original")
+    # 120 s waveforms are 5.3M points per line × 6 lines — envelope-
+    # decimate for display (measured ~28 s → sub-second per sample figure)
+    plt.plot(*envelope_decimate(times, original_audio), color="grey",
+             linewidth=1.1, alpha=0.55, label="Original")
 
     color_map = {
         "vocals0": "red", "drums0": "blue", "bass0": "green",
@@ -336,7 +341,7 @@ def plot_waveforms_overlay_with_influences(
         next_color_idx += 1
         infl_str = f"{influence:.3f}" if influence is not None else "N/A"
         plt.plot(
-            times, audio_to_plot, color=color, alpha=0.8,
+            *envelope_decimate(times, audio_to_plot), color=color, alpha=0.8,
             label=f"{comp} (influence: {infl_str})", linewidth=1.15,
         )
     plt.xlabel("Time [s]")

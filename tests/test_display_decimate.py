@@ -117,3 +117,58 @@ def test_fbp_saliency_stats_and_coords_are_full_res(tmp_path, monkeypatch):
     assert xlims[str(tmp_path / "full.png")] == pytest.approx(
         xlims[str(tmp_path / "dec.png")])
     assert (tmp_path / "dec.png").exists()
+
+
+class TestEnvelopeDecimate:
+    def test_short_passthrough(self):
+        from adx_tpu.viz.display import envelope_decimate
+        t = np.arange(100) / 10.0
+        v = np.sin(t)
+        t2, v2 = envelope_decimate(t, v, max_bins=200)
+        assert t2 is t and v2 is v
+
+    def test_envelope_preserved(self):
+        from adx_tpu.viz.display import envelope_decimate
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(1_000_000).astype(np.float32)
+        t = np.arange(len(v)) / 44100.0
+        t2, v2 = envelope_decimate(t, v, max_bins=1000)
+        assert len(v2) == 2000 and len(t2) == 2000
+        # global extremes survive exactly
+        assert v2.min() == v.min() and v2.max() == v.max()
+        # per-bin spans cover the true spans
+        edges = np.floor(np.arange(1001) * (len(v) / 1000)).astype(int)
+        edges[-1] = len(v)
+        for k in [0, 1, 499, 999]:
+            seg = v[edges[k]:edges[k + 1]]
+            assert v2[2 * k] == seg.min() and v2[2 * k + 1] == seg.max()
+        # times monotone non-decreasing
+        assert np.all(np.diff(t2) >= 0)
+
+    def test_env_disable(self, monkeypatch):
+        from adx_tpu.viz.display import envelope_decimate
+        monkeypatch.setenv("ADX_TPU_DISPLAY_MAX_COLS", "0")
+        v = np.zeros(100_000); t = np.arange(len(v), dtype=float)
+        t2, v2 = envelope_decimate(t, v)
+        assert len(v2) == len(v)
+
+    def test_mismatched_times_passthrough(self):
+        from adx_tpu.viz.display import envelope_decimate
+        v = np.zeros(100_000); t = np.arange(10, dtype=float)
+        t2, v2 = envelope_decimate(t, v, max_bins=100)
+        assert v2 is v  # defensive: never silently misalign
+
+    def test_waveform_overlay_plot_fast_and_written(self, tmp_path):
+        import time as _time
+        from adx_tpu.viz.lime_viz import plot_waveforms_overlay_with_influences
+        rng = np.random.default_rng(0)
+        n = 44100 * 30
+        audio = rng.standard_normal(n).astype(np.float32) * 0.1
+        comps = [rng.standard_normal(n).astype(np.float32) * 0.05 for _ in range(4)]
+        names = ["vocals0", "drums0", "bass0", "other0"]
+        t0 = _time.time()
+        plot_waveforms_overlay_with_influences(
+            audio, comps, names, {c: 0.1 for c in names}, 44100, tmp_path, prefix="p")
+        dt = _time.time() - t0
+        assert (tmp_path / "p_waveforms_overlay_influences.png").exists()
+        assert dt < 20, dt  # full-res was ~28 s for 120 s on this host
