@@ -114,12 +114,21 @@ def plot_confusion_matrices(df, models, colors, output_dir):
         axes = [axes]
     for i, model in enumerate(models):
         df_model = df[(df["model"] == model) & (df["true_binary"] != -1) & (df["pred_binary"] != -1)]
+        if df_model.empty:
+            # a configured model absent from the predictions tree (the
+            # default config lists all five reference generators) —
+            # sklearn's confusion_matrix raises on empty input, killing
+            # the whole vis stage for a partial dataset
+            print(f"⚠️ No predictions for model '{model}' — empty panel")
+            axes[i].set_title(f"{model}\n(no data)")
+            axes[i].axis("off")
+            continue
         cm = confusion_matrix(df_model["true_binary"], df_model["pred_binary"], labels=[0, 1])
         sns.heatmap(
             cm, annot=True, fmt="d", cmap="Blues", ax=axes[i],
             xticklabels=["Real", "Fake"], yticklabels=["Real", "Fake"],
         )
-        acc = accuracy_score(df_model["true_binary"], df_model["pred_binary"]) if len(df_model) else 0.0
+        acc = accuracy_score(df_model["true_binary"], df_model["pred_binary"])
         axes[i].set_title(f"{model}\nACC: {acc:.3f}")
     plt.suptitle("Confusion Matrices per Model", fontsize=16, fontweight="bold")
     plt.tight_layout()

@@ -66,8 +66,12 @@ def test_prediction_visualizations(predictor, dataset, tmp_path):
     assert len(df) == 6
     assert set(df["true_binary"].unique()) <= {0, 1}
 
-    models = ["REAL", "SUNO"]
-    colors = {"REAL": "#1f77b4", "SUNO": "#2ca02c"}
+    # SUNO_PRO is in the default config's model list but absent from this
+    # tree — every plotting family must tolerate a configured-but-absent
+    # model (sklearn's confusion_matrix raises on empty input; this killed
+    # the predictions_vis stage of a 3-model sweep)
+    models = ["REAL", "SUNO", "SUNO_PRO"]
+    colors = {"REAL": "#1f77b4", "SUNO": "#2ca02c", "SUNO_PRO": "#d62728"}
     viz = tmp_path / "viz"
     plot_model_predictions_lines(df, models, colors, viz)
     plot_confusion_matrices(df, models, colors, viz)
