@@ -470,6 +470,7 @@ class SpectrogramExplainability:
         if self.method == "occlusion" and result.patch_importances is not None:
             windows_dir = track_output_dir / "top_windows"
             windows_dir.mkdir(exist_ok=True)
+            _t_win = time.time()
             self._save_top_occlusion_patches_from_list(
                 y=result.y,
                 S=result.S,
@@ -478,6 +479,8 @@ class SpectrogramExplainability:
                 save_dir=windows_dir,
                 file_name=file_name,
             )
+            if self.profiler:
+                self.profiler.record("Exporting top windows", time.time() - _t_win)
 
         if self.checkpoint:
             self.checkpoint.mark_as_processed(str(audio_path))
