@@ -72,7 +72,7 @@ def envelope_decimate(times, values, max_bins: Optional[int] = None):
                                     _DISPLAY_MAX_COLS_DEFAULT))
         except ValueError:
             mc = _DISPLAY_MAX_COLS_DEFAULT
-    if mc <= 0 or n <= 2 * mc or len(times) != n:
+    if mc <= 0 or values.ndim != 1 or n <= 2 * mc or len(times) != n:
         return times, values
     edges = np.floor(np.arange(mc + 1) * (n / mc)).astype(int)
     edges[-1] = n
