@@ -41,7 +41,10 @@ def main():
     result_root = Path(output_cfg.get("result_path"))
     experiment_name = output_cfg.get("experiment_name", "fbp_bands")
     sr = int(audio_cfg.get("samplerate", 44100))
-    components = set(bands_cfg.get("components", ["mixture"]))
+    # sorted, not set(): the component loop writes JSON keys in iteration
+    # order, and per-process string-hash randomization made that order
+    # differ between otherwise-identical runs
+    components = sorted(set(bands_cfg.get("components", ["mixture"])))
     version = bands_cfg.get("version", "separated")
 
     result_root = (
@@ -69,7 +72,7 @@ def main():
             continue
         model_name = model_dir.name
         print(f"Processing model: {model_name}")
-        track_dirs = [d for d in model_dir.iterdir() if d.is_dir()]
+        track_dirs = sorted(d for d in model_dir.iterdir() if d.is_dir())
         for track_dir in tqdm(track_dirs, desc=model_name, unit="track"):
             track_stem = track_dir.name
             for component in components:

@@ -41,7 +41,7 @@ def main():
     lime_root = Path(dataset_cfg.get("lime_result_path"))
     result_root = Path(output_cfg.get("result_path"))
     sr = int(audio_cfg.get("samplerate", 44100))
-    components = set(components_cfg.get("components", ["mixture"]))
+    components = sorted(set(components_cfg.get("components", ["mixture"])))
     version = components_cfg.get("version", "separated")
 
     output_root = (

@@ -42,7 +42,11 @@ def main():
     result_root = Path(output_cfg.get("result_path"))
     experiment_name = output_cfg.get("experiment_name", "occlusion_patches")
     sr = int(audio_cfg.get("samplerate", 44100))
-    groups = set(patches_cfg.get("groups", ["best", "most_influential"]))
+    # sorted, not set(): per-process string-hash randomization made the
+    # group iteration (and thus the output JSON's key insertion order)
+    # differ between otherwise-identical runs — caught by a cross-sweep
+    # byte diff whose parsed content was equal
+    groups = sorted(set(patches_cfg.get("groups", ["best", "most_influential"])))
 
     output_root = result_root / experiment_name
     output_root.mkdir(parents=True, exist_ok=True)
