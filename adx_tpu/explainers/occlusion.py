@@ -294,7 +294,10 @@ class SpectrogramExplainability:
             "windows": [],
         }
 
-        # batched inversion of the masked-S windows (when needed)
+        # batched inversion of the masked-S windows (when needed): sliced +
+        # PCM16-quantized ON DEVICE — each row only keeps ~patch_t·hop of
+        # the full-track resynthesis, and shipping the full [rows, n] f32
+        # over the tunnel was ~20 s/file (sweep6 'Exporting top windows')
         inverted = None
         if not self.use_original_audio and save_audio and top_patches:
             pf = top_patches[0]["f_end"] - top_patches[0]["f_start"]
@@ -307,7 +310,14 @@ class SpectrogramExplainability:
                 starts = np.asarray(
                     [(p["t_start"], p["f_start"]) for p in top_patches], np.int32
                 )
-                inverted = self.engine.keep_patch_audio(S, starts, pf, pt, len(y))
+                slice_starts = np.asarray(
+                    [max(0, int(p["t_start"] * self.hop_length)) for p in top_patches],
+                    np.int32,
+                )
+                inverted = self.engine.keep_patch_audio_pcm16_slices(
+                    S, starts, pf, pt, len(y),
+                    slice_starts, max(1, pt * self.hop_length),
+                )
 
         for rank, p in enumerate(top_patches, 1):
             t_start, t_end = p["t_start"], p["t_end"]
@@ -326,20 +336,25 @@ class SpectrogramExplainability:
                 if len(y_window) < window_samples:
                     y_window = np.pad(y_window, (0, window_samples - len(y_window)))
             elif save_audio:
-                y_full = (
-                    inverted[rank - 1]
-                    if inverted is not None
-                    else self.engine.keep_patch_audio(
+                start_sample = max(0, int(t_start * self.hop_length))
+                end_sample = min(int(start_sample + window_samples), len(y))
+                keep = max(0, end_sample - start_sample)
+                if inverted is not None:
+                    # device rows are [slice_len] int16 starting at this
+                    # window's start_sample; trim the zero tail past len(y)
+                    y_window = inverted[rank - 1][:keep]
+                else:
+                    # non-uniform window (clamped edge patch): same device
+                    # slice+quantize path, one row
+                    y_window = self.engine.keep_patch_audio_pcm16_slices(
                         S,
                         np.asarray([(t_start, f_start)], np.int32),
                         f_end - f_start,
                         t_end - t_start,
                         len(y),
-                    )[0]
-                )
-                start_sample = max(0, int(t_start * self.hop_length))
-                end_sample = min(int(start_sample + window_samples), len(y_full))
-                y_window = y_full[start_sample:end_sample]
+                        np.asarray([start_sample], np.int32),
+                        int(window_samples),
+                    )[0][:keep]
 
             importance_type = _importance_type(importance)
             if save_audio and y_window is not None:

@@ -505,6 +505,31 @@ class PerturbationEngine:
 
         self._keep_patch_chunk = _keep_patch_chunk
 
+        @functools.partial(
+            jax.jit, static_argnames=("patch_f", "patch_t", "n_out", "slice_len")
+        )
+        def _keep_patch_slice_pcm16_chunk(
+            S, starts, slice_starts,
+            patch_f: int, patch_t: int, n_out: int, slice_len: int,
+        ):
+            """keep_patch resynthesis + per-row window slice + PCM16, all on
+            device: the top-window export only keeps ~patch_t·hop samples of
+            each full-track inversion, so slicing/quantizing before the D2H
+            cuts the transfer ~40× (three groups × [rows, 5.3M] f32 over the
+            ~15-22 MB/s tunnel was ~20 s/file). Rows are zero-padded by
+            slice_len before the dynamic_slice so a tail window reads zeros
+            instead of triggering JAX's out-of-bounds start clamping (the
+            host trims to the true window length afterwards)."""
+            y = _keep_patch_chunk(S, starts, patch_f, patch_t, n_out)
+            y = jnp.pad(y.astype(jnp.float32), ((0, 0), (0, slice_len)))
+            rows = jax.vmap(
+                lambda yi, s: jax.lax.dynamic_slice(yi, (s,), (slice_len,))
+            )(y, slice_starts)
+            q = jnp.clip(jnp.round(rows * 32768.0), -32768.0, 32767.0)
+            return q.astype(jnp.int16)
+
+        self._keep_patch_slice_pcm16_chunk = _keep_patch_slice_pcm16_chunk
+
         def _rise_synth(S, masks, n_out):
             """Masked resynthesis for RISE. STFT mode defaults to the
             bfloat16 inverse-rDFT matmul (MXU) — the dense masks force a
@@ -1233,6 +1258,42 @@ class PerturbationEngine:
             padded, n = pad_batch(part, min(ck, tgt))
             y = self._keep_patch_chunk(S, jnp.asarray(padded), patch_f, patch_t, n_out)
             out[lo : lo + n] = np.asarray(y)[:n]
+        return out
+
+    def keep_patch_audio_pcm16_slices(
+        self,
+        S,
+        starts: np.ndarray,
+        patch_f: int,
+        patch_t: int,
+        n_out: int,
+        slice_starts: np.ndarray,
+        slice_len: int,
+    ) -> np.ndarray:
+        """``keep_patch_audio`` + per-row window slice + PCM16 quantize ON
+        DEVICE → int16 ``[B, slice_len]`` (libsndfile scale 32768, same rule
+        as ``pcm16_quantize`` — device vs host ≤ 1 LSB, the precedent set by
+        the FBP band-audio export). ``slice_starts[i]`` is row i's first
+        kept sample; samples past ``n_out`` read as zeros (the caller trims
+        tail windows to their true length)."""
+        ck = self.chunk
+        if self.spec_type == "mel":
+            # same HBM guard as keep_patch_audio (MEL_SYNTH_COL_BUDGET note)
+            ck = max(1, min(ck, self.MEL_SYNTH_COL_BUDGET // max(S.shape[-1], 1)))
+        out = np.empty((len(starts), slice_len), np.int16)
+        slice_starts = np.asarray(slice_starts, np.int32)
+        for lo in range(0, len(starts), ck):
+            part = starts[lo : lo + ck]
+            tgt = 1
+            while tgt < len(part):
+                tgt <<= 1
+            padded, n = pad_batch(part, min(ck, tgt))
+            padded_sl, _ = pad_batch(slice_starts[lo : lo + ck], min(ck, tgt))
+            q = self._keep_patch_slice_pcm16_chunk(
+                S, jnp.asarray(padded), jnp.asarray(padded_sl),
+                patch_f, patch_t, n_out, slice_len,
+            )
+            out[lo : lo + n] = np.asarray(q)[:n]
         return out
 
     def _require_stft(self, what: str) -> None:

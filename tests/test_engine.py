@@ -546,3 +546,48 @@ def test_keep_patch_audio_partial_chunk_matches_full(engine, track):
     for k in range(3):
         one = engine.keep_patch_audio(S, starts[k : k + 1], 4, 8, len(track))
         np.testing.assert_allclose(one[0], full[k], atol=1e-6)
+
+
+def test_keep_patch_pcm16_slices_match_host_path(engine, track):
+    """Device slice+quantize (keep_patch_audio_pcm16_slices) must equal the
+    old host path — full-track keep_patch_audio, host slice, pcm16_quantize
+    — within 1 LSB (same rule as the FBP band-audio device export)."""
+    from adx_tpu.io.audio_io import pcm16_quantize
+
+    S, _ = engine.analyze(track)
+    pf, pt = 4, 8
+    hop = engine.hop_length
+    starts = np.asarray([(0, 0), (1, 2), (2, 1)], np.int32)
+    slice_starts = np.asarray([t * hop for t, _f in starts], np.int32)
+    slice_len = pt * hop
+
+    q = engine.keep_patch_audio_pcm16_slices(
+        S, starts, pf, pt, len(track), slice_starts, slice_len
+    )
+    assert q.dtype == np.int16 and q.shape == (3, slice_len)
+
+    full = engine.keep_patch_audio(S, starts, pf, pt, len(track))
+    for k in range(3):
+        s0 = int(slice_starts[k])
+        host = pcm16_quantize(full[k][s0 : s0 + slice_len])
+        if len(host) < slice_len:  # tail window: device reads zeros
+            host = np.pad(host, (0, slice_len - len(host)))
+        assert np.max(np.abs(q[k].astype(np.int32) - host.astype(np.int32))) <= 1
+
+
+def test_keep_patch_pcm16_slices_tail_window_zero_padded(engine, track):
+    """A slice reaching past the track end must read zeros, not clamp the
+    start (JAX dynamic_slice default) — the caller trims to true length."""
+    pf, pt = 4, 8
+    hop = engine.hop_length
+    S, _ = engine.analyze(track)
+    # start so the window sticks out past the end
+    t_start = max(0, (len(track) - 3 * hop) // hop)
+    starts = np.asarray([(t_start, 0)], np.int32)
+    s0 = t_start * hop
+    q = engine.keep_patch_audio_pcm16_slices(
+        S, starts, pf, pt, len(track), np.asarray([s0], np.int32), pt * hop
+    )[0]
+    n_real = max(0, len(track) - s0)
+    if n_real < pt * hop:
+        assert np.all(q[n_real:] == 0)
