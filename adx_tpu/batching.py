@@ -19,7 +19,7 @@ Contract notes the callers rely on:
 
 from __future__ import annotations
 
-from typing import Dict, Hashable, List, Mapping, Sequence, Sized
+from typing import Dict, Hashable, List, Mapping, Sized
 
 
 def equal_length_chunks(

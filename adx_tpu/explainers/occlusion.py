@@ -536,9 +536,22 @@ class SpectrogramExplainability:
             # noise, so a tail file's numerics must not change just
             # because an unrelated file joins its group (same
             # consistency rule as extract_all_features_batch B=1)
-            S_m, S_db_m, base_m = self.engine.analyze_and_baseline_multi(
-                [loaded[p] for p in sel], track_batch=tb
-            )
+            try:
+                S_m, S_db_m, base_m = self.engine.analyze_and_baseline_multi(
+                    [loaded[p] for p in sel], track_batch=tb
+                )
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:  # noqa: BLE001 — serial loop retries sel
+                # contain the failure to THIS equal-length chunk: earlier
+                # chunks' batched results must survive (their numerics come
+                # from the multi program and must not silently re-run
+                # through the serial path just because an unrelated chunk
+                # hit a transient error — same rule as _precompute_lime_group)
+                print(f"    ⚠️ group precompute: analyze failed for "
+                      f"{len(sel)} file(s) ({type(e).__name__}: {e}); "
+                      f"they will run serially")
+                continue
             for k, p in enumerate(sel):
                 out[p] = (loaded[p], S_m[k], S_db_m[k], float(base_m[k]))
         return out

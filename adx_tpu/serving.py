@@ -465,12 +465,21 @@ def make_server(
     constructor binds and listens immediately, so any warm-up that must
     finish before clients can connect has to happen BEFORE this call —
     connections accepted into the backlog during a minutes-long cold trace
-    just hang, which reads as an outage to health checkers.
+    just hang, which reads as an outage to health checkers. A pre-built
+    service already carries its own kwargs, so passing ``explain_kwargs``
+    alongside it is ambiguous and rejected (the overrides would otherwise
+    be dropped silently and ``/explain`` would serve the service's config).
     """
     batcher = MicroBatcher(predictor, batch_window_ms) if batch_window_ms > 0 else None
     if explain_service is None:
         explain_service = (
             ExplainService(predictor, **explain_kwargs) if explain_kwargs is not None else None
+        )
+    elif explain_kwargs:
+        raise ValueError(
+            "make_server: pass explain overrides to the ExplainService you "
+            "pre-built, not via explain_kwargs — a pre-built explain_service "
+            "keeps its own kwargs and the explain_kwargs dict would be ignored"
         )
     explain_batcher = (
         ExplainBatcher(explain_service, explain_batch_window_ms, explain_max_batch)

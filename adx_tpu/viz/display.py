@@ -28,6 +28,20 @@ from adx_tpu.ops.mel import hz_to_mel, mel_to_hz
 _DISPLAY_MAX_COLS_DEFAULT = 5400
 
 
+def _max_cols(max_cols: Optional[int]) -> int:
+    """Resolve the display column budget: explicit arg, else the
+    ``ADX_TPU_DISPLAY_MAX_COLS`` env knob, else the raster-width default.
+    Single owner so image and waveform decimation always read the same
+    budget."""
+    if max_cols is not None:
+        return max_cols
+    try:
+        return int(os.environ.get("ADX_TPU_DISPLAY_MAX_COLS",
+                                  _DISPLAY_MAX_COLS_DEFAULT))
+    except ValueError:
+        return _DISPLAY_MAX_COLS_DEFAULT
+
+
 def display_col_index(n_time: int, max_cols: Optional[int] = None) -> Optional[np.ndarray]:
     """Column subsample index for display-only decimation, or ``None``.
 
@@ -36,13 +50,7 @@ def display_col_index(n_time: int, max_cols: Optional[int] = None) -> Optional[n
     samples at output-pixel centers (``floor((i+0.5)·n/m)``), the same
     nearest-neighbor policy Agg applies when rasterizing, so each rendered
     pixel still shows a real data column."""
-    mc = max_cols
-    if mc is None:
-        try:
-            mc = int(os.environ.get("ADX_TPU_DISPLAY_MAX_COLS",
-                                    _DISPLAY_MAX_COLS_DEFAULT))
-        except ValueError:
-            mc = _DISPLAY_MAX_COLS_DEFAULT
+    mc = _max_cols(max_cols)
     if mc <= 0 or n_time <= mc:
         return None
     idx = np.floor((np.arange(mc) + 0.5) * (n_time / mc)).astype(int)
@@ -65,13 +73,7 @@ def envelope_decimate(times, values, max_bins: Optional[int] = None):
     values = np.asarray(values)
     times = np.asarray(times)
     n = values.shape[-1]
-    mc = max_bins
-    if mc is None:
-        try:
-            mc = int(os.environ.get("ADX_TPU_DISPLAY_MAX_COLS",
-                                    _DISPLAY_MAX_COLS_DEFAULT))
-        except ValueError:
-            mc = _DISPLAY_MAX_COLS_DEFAULT
+    mc = _max_cols(max_bins)
     if mc <= 0 or values.ndim != 1 or n <= 2 * mc or len(times) != n:
         return times, values
     edges = np.floor(np.arange(mc + 1) * (n / mc)).astype(int)

@@ -69,6 +69,24 @@ def load_all_bands(folder: str, filename: str, bands_root: Path) -> list:
     return all_bands
 
 
+def enrich_bands(df: pd.DataFrame, output_dir: Path, args) -> pd.DataFrame:
+    """Attach the per-file band metadata saved during the run as a ``bands``
+    column (in-memory only — the JSON/CSV outputs are untouched). Shared by
+    the end-of-run and ``--visualize-only`` paths. The reference ships its
+    per-row "bands" key commented out (src/dsp_band_ops.py:852), so ITS
+    end-of-run aggregate viz always prints "No bands data" and writes
+    nothing; deviate where broken."""
+    bands_root = Path(args.bands_root) if args.bands_root else output_dir / "bands"
+    if df.empty or not bands_root.exists():
+        return df
+    print(f"Loading bands from {bands_root}")
+    df = df.copy()
+    df["bands"] = df.apply(
+        lambda row: load_all_bands(row["folder"], row["file_name"], bands_root), axis=1
+    )
+    return df
+
+
 def main():
     ap = argparse.ArgumentParser(description="Run Frequency Band Perturbation experiment")
     ap.add_argument("--config", default=str(ROOT / "configs" / "FBP_configs" / "fbp_experiment.yaml"))
@@ -123,12 +141,7 @@ def main():
             sys.exit(1)
         print(f"📊 Loading results: {path}")
         df = load_results_from_json(path) if path.suffix == ".json" else pd.read_csv(path)
-        bands_root = Path(args.bands_root) if args.bands_root else output_dir / "bands"
-        if bands_root.exists():
-            print(f"Loading bands from {bands_root}")
-            df["bands"] = df.apply(
-                lambda row: load_all_bands(row["folder"], row["file_name"], bands_root), axis=1
-            )
+        df = enrich_bands(df, output_dir, args)
         # predictor=None: visualization is pure host-side matplotlib — do
         # not pay (or fail on) the TPU boot for it (the occlusion runner's
         # --visualize-only made the same chip-free choice)
@@ -214,18 +227,7 @@ def main():
     print("\n📊 Generating visualizations...")
     viz_dir = output_dir / "aggregate_visualizations"
     try:
-        # Enrich with the per-file band metadata saved during the run —
-        # exactly what the --visualize-only path does. The reference ships
-        # its per-row "bands" key commented out (src/dsp_band_ops.py:852),
-        # so ITS end-of-run aggregate viz always prints "No bands data" and
-        # writes nothing; deviate where broken (the JSON/CSV outputs are
-        # untouched — bands live only in the in-memory frame).
-        bands_root = Path(args.bands_root) if args.bands_root else output_dir / "bands"
-        if not df.empty and bands_root.exists():
-            df = df.copy()
-            df["bands"] = df.apply(
-                lambda row: load_all_bands(row["folder"], row["file_name"], bands_root), axis=1
-            )
+        df = enrich_bands(df, output_dir, args)
         fbp.visualize_results(df, output_dir=viz_dir)
         print("   ✅ Result visualizations")
     except Exception as e:
