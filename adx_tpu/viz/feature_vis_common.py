@@ -31,12 +31,25 @@ TYPE_MAPPING = {
     "UDIO": "GENERATED",
 }
 
-BOX_FILL_COLORS = {
+# full-saturation per-model palette for scatters/lines/markers
+# (reference: run_overall_features_vis.py:23-29 PROFESSIONAL_COLORS; the
+# per-model scatter families use it, e.g. run_FBP_features_vis.py:1530)
+PROFESSIONAL_COLORS = {
     "ElevenLabs": "#ff7f0e",
     "REAL": "#1f77b4",
     "SUNO": "#2ca02c",
     "SUNO_PRO": "#d62728",
     "UDIO": "#9467bd",
+}
+
+# pastel palette for boxplot FACES only
+# (reference: run_overall_features_vis.py:31-38, applied at :638)
+BOX_FILL_COLORS = {
+    "ElevenLabs": "#ffbb78",
+    "REAL": "#aec7e8",
+    "SUNO": "#98df8a",
+    "SUNO_PRO": "#ff9896",
+    "UDIO": "#c5b0d5",
 }
 
 FEATURE_GROUPS_DEF = {
@@ -677,7 +690,7 @@ def feature_vs_target_scatters(
         for val in sorted(sub[hue_col].unique()):
             s = sub[sub[hue_col] == val]
             plt.scatter(s[col], s[target_col], label=str(val), alpha=0.65, s=45,
-                        color=BOX_FILL_COLORS.get(val))
+                        color=PROFESSIONAL_COLORS.get(val))
         if confidence_threshold is not None:
             plt.axhspan(0.5 - confidence_threshold / 2, 0.5 + confidence_threshold / 2,
                         alpha=0.1, color="gray", label="low confidence")

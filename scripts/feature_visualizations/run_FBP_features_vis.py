@@ -27,7 +27,7 @@ if str(ROOT) not in sys.path:
 
 from adx_tpu.io.config import load_yaml
 from adx_tpu.viz.feature_vis_common import (
-    BOX_FILL_COLORS,
+    PROFESSIONAL_COLORS,
     grouped_feature_boxplots,
     load_collection_features_json,
     setup_professional_style,
@@ -287,7 +287,7 @@ def viz_feature_values_vs_importance_by_freq_band(features_df, base_output_folde
             for model in sorted(bdf["model"].unique()):
                 s = bdf[bdf["model"] == model]
                 plt.scatter(s[feat], s["importance"], label=model, alpha=0.7,
-                            color=BOX_FILL_COLORS.get(model))
+                            color=PROFESSIONAL_COLORS.get(model))
             plt.axhline(0, color="black", lw=0.8)
             plt.xlabel(feat)
             plt.ylabel("FBP importance (Δ)")

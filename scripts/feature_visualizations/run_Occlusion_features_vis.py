@@ -25,7 +25,7 @@ if str(ROOT) not in sys.path:
 
 from adx_tpu.io.config import load_yaml
 from adx_tpu.viz.feature_vis_common import (
-    BOX_FILL_COLORS,
+    PROFESSIONAL_COLORS,
     build_feature_groups,
     grouped_feature_boxplots,
     load_collection_features_json,
@@ -142,7 +142,7 @@ def _feature_vs_importance_per_model(window_df, col, feature_folder, feature_lab
                              sharey=True, squeeze=False)
     for ax, model in zip(axes[0], models):
         mdf = sub[sub["model"] == model]
-        color = BOX_FILL_COLORS.get(model, "#333333")
+        color = PROFESSIONAL_COLORS.get(model, "#333333")
         pos = mdf[mdf["influence_sign"] == "positive"]
         neg = mdf[mdf["influence_sign"] == "negative"]
         if not pos.empty:

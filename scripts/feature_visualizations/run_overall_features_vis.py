@@ -23,7 +23,6 @@ if str(ROOT) not in sys.path:
 
 from adx_tpu.io.config import load_yaml
 from adx_tpu.viz.feature_vis_common import (
-    BOX_FILL_COLORS,
     MODEL_ORDER,
     TYPE_MAPPING,
     comparison_table_suite,
@@ -122,7 +121,7 @@ def plot_features_by_model_line_all(
     run_overall_features_vis.py:415-574)."""
     import matplotlib.pyplot as plt
 
-    from adx_tpu.viz.feature_vis_common import BOX_FILL_COLORS, setup_professional_style
+    from adx_tpu.viz.feature_vis_common import PROFESSIONAL_COLORS, setup_professional_style
 
     setup_professional_style()
     out_dir = Path(output_root) / "feature_lines_by_model"
@@ -134,7 +133,7 @@ def plot_features_by_model_line_all(
         for model in sorted(merged_df["model"].unique()):
             mdf = merged_df[merged_df["model"] == model].sort_values("track_stem")
             x = np.arange(len(mdf))
-            color = BOX_FILL_COLORS.get(model)
+            color = PROFESSIONAL_COLORS.get(model)
             axes[0].plot(x, mdf["prediction_score"].values, marker="o", label=model, color=color)
             axes[1].plot(x, mdf[feat].values, marker="s", label=model, color=color)
         axes[0].set_ylabel("P(fake)")

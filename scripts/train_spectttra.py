@@ -129,14 +129,17 @@ def main():
             cfg.audio.sample_rate,
         )
     eval_fn = make_eval_step(cfg, mesh, dtype=dtype) if val_items else None
+    val_cache: list = []  # decode the val set ONCE (host decode+resample of
+    # 120 s tracks costs ~2 s each — re-paying it every eval stalls the chip)
 
     def run_eval(params):
-        val_batches = batch_iterator(
-            val_items, min(args.batch_size, len(val_items)),
-            cfg.audio.n_samples, cfg.audio.sample_rate,
-            shuffle=False, epochs=1, drop_last=False,
-        )
-        return evaluate(eval_fn, params, val_batches)
+        if not val_cache:
+            val_cache.extend(batch_iterator(
+                val_items, min(args.batch_size, len(val_items)),
+                cfg.audio.n_samples, cfg.audio.sample_rate,
+                shuffle=False, epochs=1, drop_last=False,
+            ))
+        return evaluate(eval_fn, params, val_cache)
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -34,6 +34,11 @@ GOLDEN_FILES = (
     "occlusion_results.json",
     "explanations.json",
     "features.json",
+    # VERDICT r4 item 7: the surfaces whose drift was historically caught
+    # only by cross-sweep diffing
+    "explanations_segmented.json",
+    "summary_statistics.csv",
+    "fbp_runs_compare.csv",
 )
 
 
@@ -105,7 +110,48 @@ def generate_tree(dst: Path) -> None:
         models_to_explain=["REAL", "SUNO"], ids_to_explain=[0, 1],
         checkpoint_dir=None,
         explanations_path=str(dst / "explanations.json"),
+        # segmented mode on the same tracks: 1 s tracks / 0.5 s model → 2
+        # segments each (the reference's `model_prediction: null` quirk and
+        # segment keying are pinned here)
+        segmented_explanations=True,
+        segment_duration=float(dur),
+        segmented_explanations_path=str(dst / "explanations_segmented.json"),
+        # segments are explained via exported per-segment WAVs (reference
+        # design) — without this dir the segment loop has nothing to explain
+        features_output_dir_segmented=str(work / "lime_seg"),
     )
+
+    # summary_statistics.csv through the production aggregate writer
+    # (viz/saliency.py::visualize_aggregate_results — the groupby/round
+    # surface that drifted silently before the goldens existed)
+    import pandas as pd
+
+    from adx_tpu.viz.saliency import visualize_aggregate_results
+
+    occ_csvs = sorted(
+        p for p in (work / "occ").glob("spectrogram_results_*.csv")
+        if not p.name.endswith("_progress.csv")
+    )
+    visualize_aggregate_results(pd.read_csv(occ_csvs[-1]), work / "occ_agg")
+    (dst / "summary_statistics.csv").write_text(
+        (work / "occ_agg" / "summary_statistics.csv").read_text()
+    )
+
+    # runs-compare intersection: the same FBP run under two taxonomy-labeled
+    # roots, run B missing one track so the common-keys filter actually
+    # filters (viz/runs_compare.py::load_fbp_bands_for_runs)
+    import shutil
+
+    from adx_tpu.viz.runs_compare import load_fbp_bands_for_runs
+
+    run_a = work / "runs" / "minus14" / "fbp_exp"
+    run_b = work / "runs" / "minus14_noise_snr30" / "fbp_exp"
+    shutil.copytree(work / "fbp", run_a)
+    shutil.copytree(work / "fbp", run_b)
+    drop = sorted((run_b / "bands" / "SUNO").iterdir())[-1]
+    shutil.rmtree(drop)
+    df_common, _labels = load_fbp_bands_for_runs([str(run_a), str(run_b)])
+    df_common.to_csv(dst / "fbp_runs_compare.csv", index=False)
 
     run_features_extraction(
         dataset_path=dataset, model_time=float(dur), max_samples=2,
@@ -149,6 +195,11 @@ def diff_trees(golden_dir: Path, fresh_dir: Path, rel_tol: float = 0.0):
             continue
         if not f.exists():
             problems.append(f"{name}: fresh tree failed to produce it")
+            continue
+        if name.endswith(".csv"):
+            # CSVs carry no run-specific paths — byte-equal is the contract
+            if g.read_text() != f.read_text():
+                problems.append(f"{name}: CSV bytes differ")
             continue
         a = normalize(json.loads(g.read_text()))
         b = normalize(json.loads(f.read_text()))
