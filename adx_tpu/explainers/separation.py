@@ -75,6 +75,9 @@ class SpleeterUNet(nn.Module):
 
     channels: int = 2
     deterministic: bool = True
+    train: bool = False  # True = BN collects batch_stats (Keras training
+    # semantics) for scripts/train_separation_unet.py; inference default
+    # (False) is byte-identical to the original converted-checkpoint graph
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -84,7 +87,8 @@ class SpleeterUNet(nn.Module):
         for i, f in enumerate(filters):
             c = nn.Conv(f, (5, 5), strides=(2, 2), padding="SAME", name=f"conv{i}")(h)
             convs.append(c)
-            b = nn.BatchNorm(use_running_average=True, epsilon=1e-3, name=f"bn{i}")(c)
+            b = nn.BatchNorm(use_running_average=not self.train,
+                             epsilon=1e-3, name=f"bn{i}")(c)
             h = nn.leaky_relu(b, 0.2)
 
         h = convs[-1]  # Spleeter feeds conv6 pre-BN into the decoder
@@ -94,7 +98,8 @@ class SpleeterUNet(nn.Module):
                 transpose_kernel=True, name=f"up{i}",
             )(h)
             h = nn.relu(h)
-            h = nn.BatchNorm(use_running_average=True, epsilon=1e-3, name=f"upbn{i}")(h)
+            h = nn.BatchNorm(use_running_average=not self.train,
+                             epsilon=1e-3, name=f"upbn{i}")(h)
             if i < 3:
                 h = nn.Dropout(0.5, deterministic=self.deterministic)(h)
             h = jnp.concatenate([convs[len(filters) - 2 - i], h], axis=-1)
@@ -104,7 +109,8 @@ class SpleeterUNet(nn.Module):
             transpose_kernel=True, name="up_final",
         )(h)
         h = nn.relu(h)
-        h = nn.BatchNorm(use_running_average=True, epsilon=1e-3, name="bn_final")(h)
+        h = nn.BatchNorm(use_running_average=not self.train,
+                         epsilon=1e-3, name="bn_final")(h)
         mask = nn.Conv(
             self.channels, (4, 4), padding="SAME", kernel_dilation=(2, 2), name="logit"
         )(h)

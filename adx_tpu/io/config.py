@@ -61,6 +61,14 @@ def build_predictor(model_cfg: dict):
             from pathlib import Path as _Path
 
             p = _Path(ckpt)
+            if not p.exists() and not p.is_absolute():
+                # committed configs ship repo-relative checkpoint paths
+                # (checkpoints/alpha120s/best) while sweeps run from a
+                # scratch CWD — fall back to the repo root before declaring
+                # the checkpoint missing
+                root_p = _Path(__file__).resolve().parents[2] / p
+                if root_p.exists():
+                    p = root_p
             ckpt_state = p.stat().st_mtime if p.exists() else "missing"
             # normalize: 'results/ckpt' and its absolute/Path spellings must
             # hit ONE cache slot — a twin predictor pins a second full
@@ -85,7 +93,7 @@ def build_predictor(model_cfg: dict):
                 del _PREDICTOR_CACHE[k]
             _PREDICTOR_CACHE[key] = LocalSonics.from_pretrained(
                 model_name,
-                checkpoint_dir=model_cfg.get("checkpoint_dir"),
+                checkpoint_dir=ckpt,  # the resolved path the key was built on
                 device=str(model_cfg.get("device", "tpu")),
                 max_batch=int(model_cfg.get("max_batch", 8)),
             )

@@ -242,16 +242,22 @@ class LocalSonics:
                 load_torch_checkpoint,
             )
 
+            import sys as _sys
+
+            # stderr like the random-init warning: bench.py's driver
+            # contract is ONE JSON line on stdout, with or without weights
             if is_native_checkpoint(checkpoint_dir):
                 cfg = (
                     tiny_test_config() if name in ("tiny", "spectttra-tiny")
                     else resolve_preset(name)
                 )
                 params = load_native_checkpoint(checkpoint_dir)
-                print(f"📥 Loaded native (orbax) checkpoint from {checkpoint_dir}")
+                print(f"📥 Loaded native (orbax) checkpoint from {checkpoint_dir}",
+                      file=_sys.stderr)
             else:
                 cfg, params = load_torch_checkpoint(checkpoint_dir)
-                print(f"📥 Loaded converted checkpoint from {checkpoint_dir}")
+                print(f"📥 Loaded converted checkpoint from {checkpoint_dir}",
+                      file=_sys.stderr)
         else:
             if name in ("tiny", "spectttra-tiny"):
                 cfg = tiny_test_config()

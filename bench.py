@@ -59,6 +59,14 @@ def main():
         "bf16-pass FAST by default and drift ~0.06 from CPU f32)",
     )
     ap.add_argument(
+        "--checkpoint", metavar="DIR", default=None,
+        help="Orbax/converted checkpoint dir for the classifier weights. "
+        "Default: checkpoints/alpha120s/best when it exists (the committed "
+        "trained flagship — VERDICT r4 item 1: bench the real model, not "
+        "seeded-random weights), else random init with a stderr warning. "
+        "Pass 'random' to force random init.",
+    )
+    ap.add_argument(
         "--tracks", type=int, default=1, metavar="T",
         help="Multi-track throughput mode: explain T distinct 120 s tracks "
         "per iteration through the engine's *_multi batched sweeps and "
@@ -112,8 +120,15 @@ def main():
     from adx_tpu.runtime.engine import PerturbationEngine
 
     t_setup = time.time()
+    default_ckpt = Path(__file__).resolve().parent / "checkpoints" / "alpha120s" / "best"
+    if cli.checkpoint == "random":
+        ckpt_dir = None
+    elif cli.checkpoint:
+        ckpt_dir = cli.checkpoint
+    else:
+        ckpt_dir = str(default_ckpt) if default_ckpt.exists() else None
     predictor = LocalSonics.from_pretrained(
-        "spectttra-alpha-120s", max_batch=8,
+        "spectttra-alpha-120s", max_batch=8, checkpoint_dir=ckpt_dir,
         dtype=jax.numpy.bfloat16 if cli.dtype == "bf16" else jax.numpy.float32,
     )
     engine = PerturbationEngine(

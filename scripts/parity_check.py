@@ -27,6 +27,10 @@ import json
 import sys
 from pathlib import Path
 
+ROOT = Path(__file__).resolve().parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
 
 def _load(path):
     with open(path, "r", encoding="utf-8") as f:
@@ -96,11 +100,120 @@ def find_and_compare(root_a: Path, root_b: Path, rel_glob: str, tol: float,
     return ok, len(shared)
 
 
+def features_mode(paths, sr: int, tol_rel: float, tol_abs: float,
+                  batch_size: int) -> bool:
+    """Host-pyin vs device-pyin feature parity (VERDICT r4 item 5).
+
+    Runs ``extract_features_for_paths`` twice over the SAME WAVs — once on
+    the default device-batched path (``--batch-size 16`` in the drivers,
+    device pyin) and once on the serial host-exact path — and gates every
+    numeric feature value at ``|Δ| ≤ max(tol_rel·max(|host|,|dev|),
+    tol_abs)`` with NaN patterns required to match exactly.
+
+    Committed bound (PARITY.md): measured on the real v5e at 120 s × 4-stem
+    scale, values agree within 4.9e-4 relative with 0 NaN mismatches; the
+    default ``tol_rel=5e-3`` leaves 10× headroom for pyin's documented f32
+    razor-edge frame flips (99.65-100 % frame agreement on hardware).
+    """
+    import math
+
+    import numpy as np
+
+    from adx_tpu.features.extraction import extract_features_for_paths
+
+    if not paths:
+        # synthetic probe set: vibrato harmonic stack + percussion-ish
+        # bursts — exercises pyin, spectral kernels, HNR and rhythm
+        import tempfile
+
+        from adx_tpu.io.audio_io import write_wav
+
+        tmp = Path(tempfile.mkdtemp(prefix="parity_features_"))
+        n = int(10.0 * sr)
+        t = np.arange(n) / sr
+        rng = np.random.default_rng(0)
+        probes = [
+            0.4 * np.sin(2 * np.pi * 220 * t * (1 + 0.01 * np.sin(2 * np.pi * 5 * t)))
+            + 0.05 * rng.standard_normal(n),
+            0.3 * np.sin(2 * np.pi * 146.8 * t)
+            + 0.2 * np.sin(2 * np.pi * 1320 * t) * (np.sin(2 * np.pi * 2.0 * t) > 0)
+            + 0.02 * rng.standard_normal(n),
+        ]
+        paths = []
+        for i, y in enumerate(probes):
+            p = tmp / f"probe_{i}.wav"
+            write_wav(p, y.astype(np.float32), sr)
+            paths.append(p)
+        print(f"(no WAVs given — synthesized {len(paths)} probe tracks at {tmp})")
+
+    print(f"features parity: {len(paths)} files at sr={sr}, "
+          f"tol_rel={tol_rel:g}, tol_abs={tol_abs:g}")
+    dev = extract_features_for_paths(paths, sr, batch_size=batch_size,
+                                     device_batch=True)
+    host = extract_features_for_paths(paths, sr, device_batch=False)
+
+    ok = True
+    for p, d, h in zip(paths, dev, host):
+        if d is None or h is None:
+            print(f"[FAIL ] {Path(p).name}: extraction returned None "
+                  f"(device={d is not None}, host={h is not None})")
+            ok = False
+            continue
+        dn = dict(_walk_numbers(d))
+        hn = dict(_walk_numbers(h))
+        if set(dn) != set(hn):
+            print(f"[FAIL ] {Path(p).name}: feature keys differ "
+                  f"(only-device={sorted(set(dn) - set(hn))[:5]}, "
+                  f"only-host={sorted(set(hn) - set(dn))[:5]})")
+            ok = False
+            continue
+        worst, worst_key, n_fail, n_nan_mismatch = 0.0, None, 0, 0
+        for k in hn:
+            hv, dv = hn[k], dn[k]
+            if math.isnan(hv) or math.isnan(dv):
+                if math.isnan(hv) != math.isnan(dv):
+                    n_nan_mismatch += 1
+                    print(f"         NaN mismatch at {k}: host={hv} device={dv}")
+                continue
+            delta = abs(hv - dv)
+            # gate margin: 1.0 = exactly at tolerance; >1 fails
+            margin = delta / max(tol_rel * max(abs(hv), abs(dv)), tol_abs)
+            if margin > worst:
+                worst, worst_key = margin, k
+            if margin > 1.0:
+                n_fail += 1
+        file_ok = n_fail == 0 and n_nan_mismatch == 0
+        ok &= file_ok
+        print(f"[{'OK' if file_ok else 'FAIL':5s}] {Path(p).name}: "
+              f"{len(hn)} values, worst Δ = {worst:.3f}× tolerance at "
+              f"{worst_key or '-'}; {n_fail} over tol, "
+              f"{n_nan_mismatch} NaN mismatches")
+    print("✅ FEATURES PARITY OK" if ok else "❌ FEATURES PARITY FAILED")
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser(description="Compare two experiment result trees")
-    ap.add_argument("tree_a", help="Result tree A (e.g. reference outputs)")
-    ap.add_argument("tree_b", help="Result tree B (e.g. adx_tpu outputs)")
+    ap.add_argument("tree_a", nargs="?", help="Result tree A (e.g. reference outputs)")
+    ap.add_argument("tree_b", nargs="?", help="Result tree B (e.g. adx_tpu outputs)")
     ap.add_argument("--tol", type=float, default=1e-3, help="Absolute tolerance")
+    ap.add_argument(
+        "--features", nargs="*", metavar="WAV", default=None,
+        help="Features mode: compare the DEVICE-batched feature path "
+             "(default driver path) against the serial host path on these "
+             "WAVs (none given → synthetic probe tracks). Gates every value "
+             "at --tol-rel/--tol-abs with exact NaN-pattern agreement.",
+    )
+    ap.add_argument("--sr", type=int, default=44100,
+                    help="Features mode: sample rate to extract at")
+    ap.add_argument("--tol-rel", type=float, default=5e-3,
+                    help="Features mode: relative tolerance (committed bound, "
+                         "see PARITY.md)")
+    ap.add_argument("--tol-abs", type=float, default=1e-6,
+                    help="Features mode: absolute floor under which "
+                         "differences always pass")
+    ap.add_argument("--batch-size", type=int, default=16,
+                    help="Features mode: device batch size (drivers' default)")
     ap.add_argument(
         "--allow-missing", action="store_true",
         help="Report missing files/keys without failing the gate (default: "
@@ -115,6 +228,13 @@ def main():
     )
     args = ap.parse_args()
 
+    if args.features is not None:
+        ok = features_mode(args.features, args.sr, args.tol_rel,
+                           args.tol_abs, args.batch_size)
+        sys.exit(0 if ok else 1)
+
+    if not args.tree_a or not args.tree_b:
+        ap.error("tree_a and tree_b are required (or use --features)")
     root_a, root_b = Path(args.tree_a), Path(args.tree_b)
     all_ok = True
     total = 0
