@@ -152,7 +152,12 @@ def main():
             mask, updates = unet_train.apply(
                 v, mix_mag, rngs={"dropout": key}, mutable=["batch_stats"],
             )
-            return jnp.mean(jnp.abs(mask[..., 0] * mix_mag[..., 0] - target)), updates
+            l1 = jnp.mean(jnp.abs(mask[..., 0] * mix_mag[..., 0] - target))
+            # per-stem energy normalization: sparse/transient stems (drums)
+            # contribute gradients comparable to dense harmonic stems —
+            # raw L1 let drums under-train (SI-SNR −0.2 dB at 800 steps vs
+            # +19.9 vocals)
+            return l1 / (jnp.mean(target) + 1e-4), updates
 
         keys = jax.random.split(rng, len(names))
         losses, updates = jax.vmap(one)(variables, stem_mags, keys)
