@@ -265,6 +265,11 @@ def load_spleeter_params(weights_dir: str | Path, model_name: str) -> Optional[D
         if not p.exists():
             return None
         flat = dict(np.load(p))
+        # float16-stored trees (the synthetic-trained UNet ships f16 to
+        # halve the repo weight) compute as f32 like converted checkpoints
+        flat = {k: (v.astype(np.float32)
+                    if np.issubdtype(v.dtype, np.floating) else v)
+                for k, v in flat.items()}
         tree: Dict[str, Any] = {}
         for key, value in flat.items():
             node = tree

@@ -60,6 +60,14 @@ def synth_stems(rng) -> dict:
     env = np.exp(-np.linspace(0, 7, blen))
     for s in range(int(rng.integers(0, step)), n - blen, step):
         drums[s:s + blen] += env * rng.standard_normal(blen)
+    # band-limit drums to 1.5-8 kHz (like real percussion brightness, and
+    # spectrally distinct from other's chord/noise floor — full-band noise
+    # bursts were mask-confusable with other's stationary noise and the
+    # UNet's drums SI-SNR sat at ~0 dB)
+    D = np.fft.rfft(drums)
+    f = np.fft.rfftfreq(n, 1.0 / SR)
+    D *= np.clip((f - 1000.0) / 500.0, 0, 1) * np.clip((9000.0 - f) / 1000.0, 0, 1)
+    drums = np.fft.irfft(D, n)
 
     fb = rng.uniform(50.0, 95.0)
     bass = np.sin(2 * np.pi * fb * t) + 0.3 * np.sin(2 * np.pi * 2 * fb * t)
@@ -68,7 +76,7 @@ def synth_stems(rng) -> dict:
     chord = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
                 for f in (523.3, 659.3, 784.0))
     other = 0.5 * chord * (0.6 + 0.4 * np.sin(2 * np.pi * 0.25 * t)) \
-        + 0.6 * rng.standard_normal(n) * 0.05
+        + 0.012 * rng.standard_normal(n)
 
     stems = {"vocals": vocals, "drums": drums, "bass": bass, "other": other}
     gains = {"vocals": 0.32, "drums": 0.25, "bass": 0.28, "other": 0.15}
@@ -207,8 +215,15 @@ def main():
             leaves = jax.tree_util.tree_flatten_with_path(host_vars[coll])[0]
             for path, leaf in leaves:
                 key = "/".join([coll] + [p.key for p in path])
-                flat[key] = np.asarray(leaf[si])
-        np.savez(out_dir / f"4stems_{stem}.npz", **flat)
+                arr = np.asarray(leaf[si])
+                # params ship f16 (halves the repo weight; the loader casts
+                # back to f32); batch_stats stay f32 — BN variances of raw
+                # STFT magnitudes exceed the f16 range (65504) and would
+                # round to inf
+                if coll == "params":
+                    arr = arr.astype(np.float16)
+                flat[key] = arr
+        np.savez_compressed(out_dir / f"4stems_{stem}.npz", **flat)
     print(f"💾 {out_dir}/4stems_*.npz")
 
     # SI-SNR eval through the PRODUCTION loader + separation path

@@ -1,0 +1,61 @@
+"""Round-5 regressions: f16-stored UNet weight loading and repo-relative
+checkpoint_dir resolution from sweep CWDs."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_load_spleeter_params_casts_f16_to_f32(tmp_path):
+    """f16-stored trees must come back f32 (and batch_stats saved f32 must
+    stay finite — BN variances of raw magnitudes overflow f16)."""
+    from adx_tpu.explainers.separation import load_spleeter_params
+
+    flat = {
+        "params/conv0/kernel": np.ones((2, 2, 1, 4), np.float16),
+        "params/logit/bias": np.zeros((1,), np.float16),
+        "batch_stats/bn0/var": np.full((4,), 1.0e5, np.float32),
+    }
+    np.savez_compressed(tmp_path / "4stems_vocals.npz", **flat)
+    for stem in ("drums", "bass", "other"):
+        np.savez_compressed(tmp_path / f"4stems_{stem}.npz", **flat)
+
+    params = load_spleeter_params(tmp_path, "spleeter:4stems")
+    assert params is not None
+    k = params["vocals"]["params"]["conv0"]["kernel"]
+    assert k.dtype == np.float32
+    var = params["vocals"]["batch_stats"]["bn0"]["var"]
+    assert np.isfinite(var).all() and var.dtype == np.float32
+
+
+def test_build_predictor_resolves_repo_relative_checkpoint(tmp_path, monkeypatch):
+    """A committed config's repo-relative checkpoint path must resolve even
+    when the pipeline runs from a scratch CWD (how every sweep runs)."""
+    ckpt_rel = "checkpoints/alpha120s/best"
+    if not (REPO / ckpt_rel).exists():
+        import pytest
+
+        pytest.skip("committed flagship checkpoint not present")
+    from adx_tpu.io.config import build_predictor
+
+    monkeypatch.chdir(tmp_path)  # sweep-style CWD without checkpoints/
+    predictor = build_predictor({
+        "local": True,
+        "local_model": "awsaf49/sonics-spectttra-alpha-120s",
+        "checkpoint_dir": ckpt_rel,
+        "max_batch": 2,
+    })
+    # trained weights, not the seeded random init: compare one param tensor
+    from adx_tpu.models.spectttra import init_params
+
+    rand = init_params(predictor.cfg, __import__("jax").random.key(0))
+
+    def leaf0(tree):
+        import jax
+
+        return np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
+    assert not np.allclose(leaf0(predictor.params), leaf0(rand))
