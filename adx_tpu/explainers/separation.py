@@ -157,13 +157,23 @@ def _unet_separate_device(y, stacked_params, n_ch, separation_exponent, n_out):
     S = stft(y, n_fft=_SEP_N_FFT, hop_length=_SEP_HOP)
     mag, phase = magphase(S)
     T = mag.shape[-1]
+    bins = _SEP_N_FFT // 4
     pad_t = (-T) % 512
-    x = jnp.pad(mag[: _SEP_N_FFT // 4, :], ((0, 0), (0, pad_t)))  # keep 1024 bins
-    x = jnp.repeat(x.T[None, :, :, None], n_ch, axis=-1)  # [1, T', 1024, C]
+    x = jnp.pad(mag[:bins, :], ((0, 0), (0, pad_t)))  # keep 1024 bins
+    # Spleeter's native processing unit is a 512-frame segment (its
+    # waveform adapter batches [n_seg, 512, 1024, C] through the net) —
+    # and a whole-track [1, T', 1024, C] image vmapped over 4 stems OOMs
+    # v5e HBM at 120 s (16.7 GB > 15.75 measured). Segments as the batch
+    # axis + lax.map over stems caps live activations at one stem's
+    # working set; clips ≤ 512 frames are bit-identical to the old path.
+    x = jnp.repeat(x.T[:, :, None], n_ch, axis=-1)          # [T', 1024, C]
+    x = x.reshape(-1, 512, bins, n_ch)                       # [n_seg, 512, 1024, C]
 
     unet = SpleeterUNet(channels=n_ch)
-    m = jax.vmap(lambda p: unet.apply(p, x))(stacked_params)  # [S, 1, T', 1024, C]
-    masks = jnp.mean(m[:, 0], axis=-1).transpose(0, 2, 1)[:, :, :T]  # [S, 1024, T]
+    m = jax.lax.map(lambda p: unet.apply(p, x), stacked_params)  # [S, n_seg, 512, 1024, C]
+    n_seg = x.shape[0]
+    masks = jnp.mean(m, axis=-1).reshape(-1, n_seg * 512, bins)
+    masks = masks.transpose(0, 2, 1)[:, :, :T]               # [S, 1024, T]
     masks = masks ** separation_exponent
     # Spleeter's extended Wiener masks: eps/n in the numerator keeps the
     # masks summing to exactly 1 even where every net output underflows.

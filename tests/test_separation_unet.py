@@ -198,3 +198,51 @@ def test_unet_separate_and_dispatch(two_stem_vars, tmp_path, monkeypatch):
     stems2 = separate(y, sr, "spleeter:2stems")
     assert set(stems2) == {"vocals0", "accompaniment0"}
     np.testing.assert_allclose(stems2["vocals0"], stems["vocals0"], atol=1e-6)
+
+
+def test_unet_separate_long_clip_segments(two_stem_vars):
+    """Clips longer than Spleeter's 512-frame processing unit run through
+    the segment-batched path (whole-track images OOM v5e HBM at 120 s —
+    measured 16.7 GB > 15.75). Batched segments must equal applying the
+    net to each 512-frame segment serially: conv inference is
+    batch-independent, so any reshape/ordering bug breaks exact equality."""
+    import jax
+    import jax.numpy as jnp
+
+    from adx_tpu.explainers.separation import _SEP_HOP, _SEP_N_FFT
+    from adx_tpu.ops.stft import istft, magphase, stft
+
+    per_stem = map_tf_variables(two_stem_vars, ["vocals", "accompaniment"])
+    params = {s: _nest(v) for s, v in per_stem.items()}
+
+    sr = 44100
+    rng = np.random.default_rng(3)
+    # 2 full segments: T = len//hop + 1 = 1024 frames
+    y = rng.standard_normal(1023 * _SEP_HOP).astype(np.float32) * 0.1
+
+    got = unet_separate(y, sr, params, "spleeter:2stems")
+
+    # manual serial-segment reference with the same building blocks
+    S = stft(jnp.asarray(y), n_fft=_SEP_N_FFT, hop_length=_SEP_HOP)
+    mag, phase = magphase(S)
+    T = mag.shape[-1]
+    bins = _SEP_N_FFT // 4
+    x = jnp.pad(mag[:bins, :], ((0, 0), (0, (-T) % 512)))
+    x = jnp.repeat(x.T[:, :, None], _CH, axis=-1).reshape(-1, 512, bins, _CH)
+    assert x.shape[0] == 2  # really exercises >1 segment
+    unet = SpleeterUNet(channels=_CH)
+    masks = []
+    for stem in ("vocals", "accompaniment"):
+        segs = [unet.apply(params[stem], x[i : i + 1]) for i in range(x.shape[0])]
+        m = jnp.concatenate(segs, axis=0)  # [n_seg, 512, bins, C]
+        masks.append(jnp.mean(m, axis=-1).reshape(-1, bins).T[:, :T])
+    masks = jnp.stack(masks) ** 2.0
+    eps = 1e-10
+    ratio = (masks + eps / 2) / (jnp.sum(masks, axis=0, keepdims=True) + eps)
+    full = jnp.concatenate(
+        [ratio, jnp.zeros((2, mag.shape[0] - bins, T))], axis=1)
+    want = istft(full * mag[None] * phase[None], hop_length=_SEP_HOP,
+                 n_fft=_SEP_N_FFT, length=len(y))
+    for i, stem in enumerate(("vocals0", "accompaniment0")):
+        assert got[stem].shape == y.shape and np.isfinite(got[stem]).all()
+        np.testing.assert_allclose(got[stem], np.asarray(want[i]), atol=2e-5)
