@@ -17,7 +17,11 @@ def main():
         description="HTTP inference server: POST /predict with a WAV body, GET /health"
     )
     ap.add_argument("--model", default="awsaf49/sonics-spectttra-alpha-120s")
-    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--checkpoint-dir", default=None,
+        help="classifier weights; default: checkpoints/alpha120s/best when "
+        "it exists (the committed trained flagship, like bench.py and the "
+        "stage configs), else random init. Pass 'random' to force random.")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8756)
     ap.add_argument("--max-batch", type=int, default=8)
@@ -52,11 +56,20 @@ def main():
     )
     args = ap.parse_args()
 
+    ckpt = args.checkpoint_dir
+    if ckpt == "random":
+        ckpt = None
+    elif ckpt is None:
+        default_ckpt = ROOT / "checkpoints" / "alpha120s" / "best"
+        if default_ckpt.exists():
+            ckpt = str(default_ckpt)
+            print(f"Using committed trained checkpoint: {ckpt}", file=sys.stderr)
+
     from adx_tpu.serving import serve
 
     serve(
         model=args.model,
-        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_dir=ckpt,
         host=args.host,
         port=args.port,
         max_batch=args.max_batch,
