@@ -108,3 +108,26 @@ def build_predictor(model_cfg: dict):
         initial_delay=float(retry_cfg.get("initial_delay", 3.0)),
         max_delay=float(retry_cfg.get("max_delay", 120.0)),
     )
+
+
+def resolve_default_checkpoint(
+    cli_value: str | None = None, model_name: str | None = None
+) -> str | None:
+    """Shared CLI convention for the flagship classifier weights: an
+    explicit path wins, the literal ``"random"`` forces random init, and
+    ``None`` auto-selects the committed trained checkpoint
+    (``checkpoints/alpha120s/best``) when it exists — keeping bench.py,
+    serve_sonics.py and the robustness chain consistent with the stage
+    configs (VERDICT r4 item 1: never silently bench/serve/compare a
+    random model when trained weights are shipped). When ``model_name``
+    is given, auto-selection only fires for the flagship α-120s config —
+    the shipped weights would silently mis-load (or shape-error) under
+    any other preset."""
+    if cli_value == "random":
+        return None
+    if cli_value:
+        return cli_value
+    if model_name is not None and "alpha-120s" not in model_name:
+        return None
+    default = Path(__file__).resolve().parents[2] / "checkpoints" / "alpha120s" / "best"
+    return str(default) if default.exists() else None

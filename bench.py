@@ -120,13 +120,9 @@ def main():
     from adx_tpu.runtime.engine import PerturbationEngine
 
     t_setup = time.time()
-    default_ckpt = Path(__file__).resolve().parent / "checkpoints" / "alpha120s" / "best"
-    if cli.checkpoint == "random":
-        ckpt_dir = None
-    elif cli.checkpoint:
-        ckpt_dir = cli.checkpoint
-    else:
-        ckpt_dir = str(default_ckpt) if default_ckpt.exists() else None
+    from adx_tpu.io.config import resolve_default_checkpoint
+
+    ckpt_dir = resolve_default_checkpoint(cli.checkpoint, "spectttra-alpha-120s")
     predictor = LocalSonics.from_pretrained(
         "spectttra-alpha-120s", max_batch=8, checkpoint_dir=ckpt_dir,
         dtype=jax.numpy.bfloat16 if cli.dtype == "bf16" else jax.numpy.float32,

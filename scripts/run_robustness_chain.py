@@ -82,6 +82,12 @@ def main():
                          "dataset to 12 s)")
     ap.add_argument("--sr", type=int, default=44100)
     ap.add_argument("--local-model", default="spectttra-alpha-120s")
+    ap.add_argument(
+        "--checkpoint-dir", default=None,
+        help="classifier weights for every sweep; default: "
+        "checkpoints/alpha120s/best when it exists (the committed trained "
+        "flagship, like bench.py/serving/stage configs), else random init. "
+        "Pass 'random' to force random.")
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--arms", nargs="*",
                     default=["mp3_192", "resample22k", "noise_snr30",
@@ -200,10 +206,16 @@ def main():
     # ---- 3. per-run sweeps -------------------------------------------------
     cfg_dir = out / "configs"
     cfg_dir.mkdir(exist_ok=True)
+    from adx_tpu.io.config import resolve_default_checkpoint
+
     model_cfg = {
         "local": True, "local_model": cli.local_model,
         "max_batch": cli.max_batch, "device": "tpu",
     }
+    ckpt_dir = resolve_default_checkpoint(cli.checkpoint_dir, cli.local_model)
+    if ckpt_dir is not None:
+        model_cfg["checkpoint_dir"] = ckpt_dir
+        print(f"🏋️ sweeps use classifier weights: {ckpt_dir}")
     # FBP/occlusion analysis crop: the synthetic tracks are exactly
     # --track-seconds long, but a user --dataset must not inherit that 12 s
     # default — fall back to the reference's 120 s crop there

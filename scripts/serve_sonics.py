@@ -56,14 +56,11 @@ def main():
     )
     args = ap.parse_args()
 
-    ckpt = args.checkpoint_dir
-    if ckpt == "random":
-        ckpt = None
-    elif ckpt is None:
-        default_ckpt = ROOT / "checkpoints" / "alpha120s" / "best"
-        if default_ckpt.exists():
-            ckpt = str(default_ckpt)
-            print(f"Using committed trained checkpoint: {ckpt}", file=sys.stderr)
+    from adx_tpu.io.config import resolve_default_checkpoint
+
+    ckpt = resolve_default_checkpoint(args.checkpoint_dir, args.model)
+    if ckpt is not None and args.checkpoint_dir is None:
+        print(f"Using committed trained checkpoint: {ckpt}", file=sys.stderr)
 
     from adx_tpu.serving import serve
 

@@ -74,3 +74,26 @@ def test_build_predictor_resolves_repo_relative_checkpoint(tmp_path, monkeypatch
         return np.asarray(jax.tree_util.tree_leaves(tree)[0])
 
     assert not np.allclose(leaf0(predictor.params), leaf0(rand))
+
+
+def test_resolve_default_checkpoint_convention():
+    """Shared CLI convention (bench/serving/robustness chain): explicit
+    path wins, 'random' forces random init, None auto-selects the committed
+    flagship — but ONLY for an alpha-120s model (auto-loading 120s weights
+    under another preset would mis-load)."""
+    from adx_tpu.io.config import resolve_default_checkpoint
+
+    assert resolve_default_checkpoint("some/dir") == "some/dir"
+    assert resolve_default_checkpoint("random") is None
+    assert resolve_default_checkpoint("random", "spectttra-alpha-120s") is None
+    assert resolve_default_checkpoint(None, "spectttra-beta-5s") is None
+    assert resolve_default_checkpoint(None, "tiny") is None
+
+    expected = REPO / "checkpoints" / "alpha120s" / "best"
+    for model in (None, "spectttra-alpha-120s",
+                  "awsaf49/sonics-spectttra-alpha-120s"):
+        got = resolve_default_checkpoint(None, model)
+        if expected.exists():
+            assert got == str(expected)
+        else:
+            assert got is None
