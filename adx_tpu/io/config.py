@@ -122,10 +122,23 @@ def resolve_default_checkpoint(
     random model when trained weights are shipped). When ``model_name``
     is given, auto-selection only fires for the flagship α-120s config —
     the shipped weights would silently mis-load (or shape-error) under
-    any other preset."""
+    any other preset. An explicit path that doesn't exist (after a
+    repo-root fallback for relative spellings) raises instead of letting
+    ``from_pretrained`` silently degrade to seeded-random weights — the
+    exact failure this convention exists to prevent."""
     if cli_value == "random":
         return None
     if cli_value:
+        p = Path(cli_value)
+        if not p.exists() and not p.is_absolute():
+            root_p = Path(__file__).resolve().parents[2] / p
+            if root_p.exists():
+                return str(root_p)
+        if not p.exists():
+            raise FileNotFoundError(
+                f"checkpoint dir {cli_value!r} does not exist (also tried "
+                f"relative to the repo root). Pass 'random' for random init."
+            )
         return cli_value
     if model_name is not None and "alpha-120s" not in model_name:
         return None

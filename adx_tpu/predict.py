@@ -280,7 +280,8 @@ class LocalSonics:
             import sys as _sys
 
             # stderr, NOT stdout: bench.py's driver contract is ONE JSON
-            # line on stdout, and bench always takes this random-init path
+            # line on stdout (bench reaches this path when the committed
+            # checkpoint is absent or --checkpoint random is passed)
             print(
                 f"⚠️  No checkpoint weights for {name!r}; using seeded random "
                 f"parameters (architecture preset {cfg.name}). Convert the HF "

@@ -99,7 +99,10 @@ def main():
     ap.add_argument("--out", default="checkpoints/spleeter_unet_synth")
     ap.add_argument("--n-train", type=int, default=48)
     ap.add_argument("--n-val", type=int, default=4)
-    ap.add_argument("--steps", type=int, default=800)
+    # 2400 = the shipping budget that produced checkpoints/spleeter_unet_synth
+    # and the BASELINE.md SI-SNR table (800 was the probe budget where drums
+    # sat at -0.2 dB pre-normalization)
+    ap.add_argument("--steps", type=int, default=2400)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
@@ -135,7 +138,6 @@ def main():
     stems_dev = jax.device_put(q)
 
     unet_train = SpleeterUNet(channels=1, deterministic=False, train=True)
-    unet_infer = SpleeterUNet(channels=1)
 
     def mags_of(waves):  # [B, n] → [B, T, 1024, 1]
         S = stft(waves, n_fft=N_FFT, hop_length=HOP)

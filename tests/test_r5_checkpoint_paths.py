@@ -76,14 +76,23 @@ def test_build_predictor_resolves_repo_relative_checkpoint(tmp_path, monkeypatch
     assert not np.allclose(leaf0(predictor.params), leaf0(rand))
 
 
-def test_resolve_default_checkpoint_convention():
+def test_resolve_default_checkpoint_convention(tmp_path, monkeypatch):
     """Shared CLI convention (bench/serving/robustness chain): explicit
     path wins, 'random' forces random init, None auto-selects the committed
     flagship — but ONLY for an alpha-120s model (auto-loading 120s weights
     under another preset would mis-load)."""
+    import pytest
+
     from adx_tpu.io.config import resolve_default_checkpoint
 
-    assert resolve_default_checkpoint("some/dir") == "some/dir"
+    monkeypatch.chdir(tmp_path)  # sweep-style scratch CWD
+    assert resolve_default_checkpoint(str(tmp_path)) == str(tmp_path)
+    # repo-root fallback for relative spellings from a scratch CWD
+    assert resolve_default_checkpoint("tests") == str(REPO / "tests")
+    # an explicit-but-missing path must FAIL FAST, not silently degrade the
+    # caller to seeded-random weights
+    with pytest.raises(FileNotFoundError):
+        resolve_default_checkpoint("checkpoints/alpha120s/bestt")
     assert resolve_default_checkpoint("random") is None
     assert resolve_default_checkpoint("random", "spectttra-alpha-120s") is None
     assert resolve_default_checkpoint(None, "spectttra-beta-5s") is None
