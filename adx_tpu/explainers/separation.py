@@ -137,12 +137,25 @@ def unet_separate(
     (the axon tunnel cannot transfer complex64).
     """
     names = STEM_NAMES[model_name]
+    stacked, n_ch = _stack_for_device(params_per_stem, names)
+    return _unet_separate_stacked(
+        audio, stacked, n_ch, names, separation_exponent, device
+    )
+
+
+def _stack_for_device(params_per_stem: Dict[str, Any], names) -> tuple:
+    """Stack the per-stem host trees into one device tree (stem axis 0)."""
     first = params_per_stem[names[0]]
     n_ch = int(first["params"]["logit"]["bias"].shape[-1])
     stacked = jax.tree.map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
         *[params_per_stem[n] for n in names],
     )
+    return stacked, n_ch
+
+
+def _unet_separate_stacked(audio, stacked, n_ch, names,
+                           separation_exponent=2.0, device=False):
     waves = _unet_separate_device(
         jnp.asarray(audio, jnp.float32), stacked, n_ch,
         float(separation_exponent), int(np.shape(audio)[-1]),
@@ -306,8 +319,40 @@ def separate(
         raise ValueError(f"Unknown separation model: {model_name!r}")
     weights_dir = os.environ.get(_WEIGHTS_ENV)
     if weights_dir:
-        params = load_spleeter_params(weights_dir, model_name)
-        if params is not None:
-            return unet_separate(audio, sr, params, model_name, device=device)
+        entry = _cached_device_params(weights_dir, model_name)
+        if entry is not None:
+            stacked, n_ch = entry
+            return _unet_separate_stacked(
+                audio, stacked, n_ch, STEM_NAMES[model_name], device=device
+            )
         print(f"[Warning] No converted weights under {weights_dir}; using mask fallback.")
     return mask_separate(audio, sr, model_name, device=device)
+
+
+# Serving/explain call separate() once per track; without this cache every
+# call re-read + decompressed the 68 MB npz set AND re-uploaded ~272 MB of
+# f32 params through the ~15-22 MB/s axon tunnel (measured: 5.7 s of a
+# 7.0 s warm /explain was 'separation'). Keyed by resolved dir + weight
+# mtimes so a converted/retrained checkpoint is picked up; cleared on a key
+# change so only one weight set stays pinned on HBM.
+_DEVICE_PARAMS_CACHE: Dict[tuple, tuple] = {}
+
+
+def _cached_device_params(weights_dir: str | Path, model_name: str):
+    wd = Path(weights_dir).resolve()
+    names = STEM_NAMES[model_name]
+    try:
+        mtimes = tuple(
+            (wd / f"{model_name.split(':')[1]}_{n}.npz").stat().st_mtime_ns
+            for n in names
+        )
+    except FileNotFoundError:
+        return None
+    key = (str(wd), model_name, mtimes)
+    if key not in _DEVICE_PARAMS_CACHE:
+        params = load_spleeter_params(wd, model_name)
+        if params is None:
+            return None
+        _DEVICE_PARAMS_CACHE.clear()
+        _DEVICE_PARAMS_CACHE[key] = _stack_for_device(params, names)
+    return _DEVICE_PARAMS_CACHE[key]

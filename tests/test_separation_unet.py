@@ -199,6 +199,33 @@ def test_unet_separate_and_dispatch(two_stem_vars, tmp_path, monkeypatch):
     assert set(stems2) == {"vocals0", "accompaniment0"}
     np.testing.assert_allclose(stems2["vocals0"], stems["vocals0"], atol=1e-6)
 
+    # repeated calls reuse the device-stacked params (serving calls
+    # separate() per track; the uncached path re-read + re-uploaded
+    # ~272 MB of params per call — 5.7 s of a 7.0 s warm /explain)
+    import adx_tpu.explainers.separation as sep_mod
+
+    assert len(sep_mod._DEVICE_PARAMS_CACHE) == 1
+    calls = {"n": 0}
+    real_load = sep_mod.load_spleeter_params
+
+    def counting_load(*a, **k):
+        calls["n"] += 1
+        return real_load(*a, **k)
+
+    monkeypatch.setattr(sep_mod, "load_spleeter_params", counting_load)
+    stems3 = separate(y, sr, "spleeter:2stems")
+    assert calls["n"] == 0, "cached call must not touch the npz files"
+    np.testing.assert_array_equal(stems3["vocals0"], stems2["vocals0"])
+
+    # touching a weight file invalidates the cache (retrained/converted
+    # checkpoints are picked up without a process restart)
+    import os as _os
+
+    p = tmp_path / "2stems_vocals.npz"
+    _os.utime(p, ns=(p.stat().st_atime_ns, p.stat().st_mtime_ns + 1))
+    separate(y, sr, "spleeter:2stems")
+    assert calls["n"] == 1 and len(sep_mod._DEVICE_PARAMS_CACHE) == 1
+
 
 def test_unet_separate_long_clip_segments(two_stem_vars):
     """Clips longer than Spleeter's 512-frame processing unit run through
