@@ -154,6 +154,18 @@ def _stack_for_device(params_per_stem: Dict[str, Any], names) -> tuple:
     return stacked, n_ch
 
 
+def _stack_for_host(params_per_stem: Dict[str, Any], names) -> tuple:
+    """Host-side (numpy) variant of ``_stack_for_device``: the jitted call
+    transfers the leaves per invocation, so nothing stays pinned on HBM."""
+    first = params_per_stem[names[0]]
+    n_ch = int(first["params"]["logit"]["bias"].shape[-1])
+    stacked = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[params_per_stem[n] for n in names],
+    )
+    return stacked, n_ch
+
+
 def _unet_separate_stacked(audio, stacked, n_ch, names,
                            separation_exponent=2.0, device=False):
     waves = _unet_separate_device(
@@ -319,7 +331,7 @@ def separate(
         raise ValueError(f"Unknown separation model: {model_name!r}")
     weights_dir = os.environ.get(_WEIGHTS_ENV)
     if weights_dir:
-        entry = _cached_device_params(weights_dir, model_name)
+        entry = _cached_host_params(weights_dir, model_name)
         if entry is not None:
             stacked, n_ch = entry
             return _unet_separate_stacked(
@@ -330,15 +342,19 @@ def separate(
 
 
 # Serving/explain call separate() once per track; without this cache every
-# call re-read + decompressed the 68 MB npz set AND re-uploaded ~272 MB of
-# f32 params through the ~15-22 MB/s axon tunnel (measured: 5.7 s of a
-# 7.0 s warm /explain was 'separation'). Keyed by resolved dir + weight
-# mtimes so a converted/retrained checkpoint is picked up; cleared on a key
-# change so only one weight set stays pinned on HBM.
-_DEVICE_PARAMS_CACHE: Dict[tuple, tuple] = {}
+# call re-read + decompressed the 68 MB npz set (measured: 5.7 s of a
+# 7.0 s warm /explain was 'separation'). The cache holds HOST-stacked f32
+# trees and the params are re-uploaded per call: a device-resident cache
+# was tried and made the OTHER sweeps ~10x slower (warm serving occlusion
+# 0.42 → 6.33 s, FBP 0.11 → 1.31, LIME 0.13 → 1.30 while the small
+# analyze program was unchanged — ~272 MB of pinned params pressure the
+# big sweep programs' HBM workspaces; a transient per-call upload does
+# not). Keyed by resolved dir + weight mtimes so a converted/retrained
+# checkpoint is picked up; cleared on a key change to bound host memory.
+_HOST_PARAMS_CACHE: Dict[tuple, tuple] = {}
 
 
-def _cached_device_params(weights_dir: str | Path, model_name: str):
+def _cached_host_params(weights_dir: str | Path, model_name: str):
     wd = Path(weights_dir).resolve()
     names = STEM_NAMES[model_name]
     try:
@@ -349,10 +365,10 @@ def _cached_device_params(weights_dir: str | Path, model_name: str):
     except FileNotFoundError:
         return None
     key = (str(wd), model_name, mtimes)
-    if key not in _DEVICE_PARAMS_CACHE:
+    if key not in _HOST_PARAMS_CACHE:
         params = load_spleeter_params(wd, model_name)
         if params is None:
             return None
-        _DEVICE_PARAMS_CACHE.clear()
-        _DEVICE_PARAMS_CACHE[key] = _stack_for_device(params, names)
-    return _DEVICE_PARAMS_CACHE[key]
+        _HOST_PARAMS_CACHE.clear()
+        _HOST_PARAMS_CACHE[key] = _stack_for_host(params, names)
+    return _HOST_PARAMS_CACHE[key]

@@ -199,12 +199,17 @@ def test_unet_separate_and_dispatch(two_stem_vars, tmp_path, monkeypatch):
     assert set(stems2) == {"vocals0", "accompaniment0"}
     np.testing.assert_allclose(stems2["vocals0"], stems["vocals0"], atol=1e-6)
 
-    # repeated calls reuse the device-stacked params (serving calls
-    # separate() per track; the uncached path re-read + re-uploaded
-    # ~272 MB of params per call — 5.7 s of a 7.0 s warm /explain)
+    # repeated calls reuse the HOST-stacked params (serving calls
+    # separate() per track; the uncached path re-read + decompressed the
+    # npz set per call — and a device-resident cache was measured to slow
+    # the co-resident sweep programs ~10x, so the cache must stay host-side)
     import adx_tpu.explainers.separation as sep_mod
 
-    assert len(sep_mod._DEVICE_PARAMS_CACHE) == 1
+    assert len(sep_mod._HOST_PARAMS_CACHE) == 1
+    for leaf in __import__("jax").tree_util.tree_leaves(
+        next(iter(sep_mod._HOST_PARAMS_CACHE.values()))[0]
+    ):
+        assert isinstance(leaf, np.ndarray), "cache must hold host arrays"
     calls = {"n": 0}
     real_load = sep_mod.load_spleeter_params
 
@@ -224,7 +229,7 @@ def test_unet_separate_and_dispatch(two_stem_vars, tmp_path, monkeypatch):
     p = tmp_path / "2stems_vocals.npz"
     _os.utime(p, ns=(p.stat().st_atime_ns, p.stat().st_mtime_ns + 1))
     separate(y, sr, "spleeter:2stems")
-    assert calls["n"] == 1 and len(sep_mod._DEVICE_PARAMS_CACHE) == 1
+    assert calls["n"] == 1 and len(sep_mod._HOST_PARAMS_CACHE) == 1
 
 
 def test_unet_separate_long_clip_segments(two_stem_vars):
