@@ -179,6 +179,13 @@ def _unet_separate_stacked(audio, stacked, n_ch, names,
 
 @functools.partial(jax.jit, static_argnames=("n_ch", "n_out"))
 def _unet_separate_device(y, stacked_params, n_ch, separation_exponent, n_out):
+    # f16-stored trees arrive raw from the separation cache (half the H2D
+    # bytes); compute is always f32 — exact vs casting on the host
+    stacked_params = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        stacked_params,
+    )
     S = stft(y, n_fft=_SEP_N_FFT, hop_length=_SEP_HOP)
     mag, phase = magphase(S)
     T = mag.shape[-1]
@@ -290,8 +297,16 @@ def mask_separate(
 _WEIGHTS_ENV = "ADX_SPLEETER_WEIGHTS"
 
 
-def load_spleeter_params(weights_dir: str | Path, model_name: str) -> Optional[Dict[str, Any]]:
-    """Load converted per-stem ``.npz`` parameter trees if present."""
+def load_spleeter_params(
+    weights_dir: str | Path, model_name: str, cast_f32: bool = True
+) -> Optional[Dict[str, Any]]:
+    """Load converted per-stem ``.npz`` parameter trees if present.
+
+    ``cast_f32=False`` preserves the stored dtypes (the shipped
+    synthetic-trained UNet stores params f16) — used by the separation
+    cache so the per-call device upload ships half the bytes; the jitted
+    program casts to f32 after transfer, which is value-identical to
+    casting on the host."""
     weights_dir = Path(weights_dir)
     names = STEM_NAMES[model_name]
     out = {}
@@ -302,9 +317,10 @@ def load_spleeter_params(weights_dir: str | Path, model_name: str) -> Optional[D
         flat = dict(np.load(p))
         # float16-stored trees (the synthetic-trained UNet ships f16 to
         # halve the repo weight) compute as f32 like converted checkpoints
-        flat = {k: (v.astype(np.float32)
-                    if np.issubdtype(v.dtype, np.floating) else v)
-                for k, v in flat.items()}
+        if cast_f32:
+            flat = {k: (v.astype(np.float32)
+                        if np.issubdtype(v.dtype, np.floating) else v)
+                    for k, v in flat.items()}
         tree: Dict[str, Any] = {}
         for key, value in flat.items():
             node = tree
@@ -366,7 +382,9 @@ def _cached_host_params(weights_dir: str | Path, model_name: str):
         return None
     key = (str(wd), model_name, mtimes)
     if key not in _HOST_PARAMS_CACHE:
-        params = load_spleeter_params(wd, model_name)
+        # raw dtypes: f16-stored params upload half the bytes per call and
+        # are cast to f32 INSIDE the program (value-identical to host cast)
+        params = load_spleeter_params(wd, model_name, cast_f32=False)
         if params is None:
             return None
         _HOST_PARAMS_CACHE.clear()

@@ -278,3 +278,37 @@ def test_unet_separate_long_clip_segments(two_stem_vars):
     for i, stem in enumerate(("vocals0", "accompaniment0")):
         assert got[stem].shape == y.shape and np.isfinite(got[stem]).all()
         np.testing.assert_allclose(got[stem], np.asarray(want[i]), atol=2e-5)
+
+
+def test_f16_stored_weights_in_program_cast_is_exact(two_stem_vars, tmp_path,
+                                                     monkeypatch):
+    """The separation cache ships f16-stored params raw (half the per-call
+    H2D bytes) and casts to f32 inside the program — must be bit-identical
+    to the host-cast f32 path on the SAME stored values."""
+    per_stem = map_tf_variables(two_stem_vars, ["vocals", "accompaniment"])
+    for stem, flat in per_stem.items():
+        f16 = {k: (v.astype(np.float16)
+                   if np.issubdtype(v.dtype, np.floating) else v)
+               for k, v in flat.items()}
+        np.savez(tmp_path / f"2stems_{stem}.npz", **f16)
+
+    sr = 44100
+    t = np.arange(sr // 2) / sr
+    y = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 80 * t)).astype(np.float32)
+
+    # host-cast f32 reference through the public API
+    params_f32 = load_spleeter_params(tmp_path, "spleeter:2stems")
+    ref = unet_separate(y, sr, params_f32, "spleeter:2stems")
+
+    # cache path: raw f16 leaves, cast in-program
+    import adx_tpu.explainers.separation as sep_mod
+
+    monkeypatch.setenv("ADX_SPLEETER_WEIGHTS", str(tmp_path))
+    sep_mod._HOST_PARAMS_CACHE.clear()
+    got = separate(y, sr, "spleeter:2stems")
+    cached_tree = next(iter(sep_mod._HOST_PARAMS_CACHE.values()))[0]
+    leaf = __import__("jax").tree_util.tree_leaves(cached_tree)[0]
+    assert leaf.dtype == np.float16, "cache must keep the stored f16 dtype"
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k])
